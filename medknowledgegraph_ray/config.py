@@ -1,0 +1,49 @@
+"""Engine-wide constants and path conventions.
+
+The reference selects the top-15 most-frequent DISEASE entity surfaces and,
+per surface, the top-4 candidate CUIs with linker score > 0.85
+(/root/reference/pymedgraph/dataextraction/medgen.py:149-163).  Those three
+knobs are first-class config here.
+"""
+
+from __future__ import annotations
+
+import os
+
+# Reference semantics knobs (medgen.py:149-163, localconfig.json).
+SCORE_MIN = 0.85          # kb_score threshold (medgen.py:149,158)
+TOP_ENTITIES = 15         # value_counts()[:15] (medgen.py:152-154)
+TOP_CUIS = 4              # top CUIs per entity surface (medgen.py:156-161)
+PRED = "CONTAINS"         # single predicate, as in neo4jconnector.py:160
+
+# Synthetic-corpus root: transcripts + KB parquet generated deterministically
+# (seeded) — the transcript table of BASELINE.json's input_hint does not ship
+# with the testdata, so we synthesize it at matching scale factors.
+GEN_ROOT = os.environ.get("GRAFT_KG_GEN_ROOT", "/tmp/graft_kg")
+
+# Scale-factor → corpus size (number of conversations).
+SF_CONVS = {"sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000, "sf1": 150000}
+DEFAULT_SEED = 20260817
+
+# Ray Data tuning defaults (overridable per call).
+DETECT_BATCH_SIZE = 4096      # turns per batch through the mention actor pool
+DETECT_CONCURRENCY = (1, 8)   # actor pool min/max (min 1: never deadlock on a small node)
+SALT_BUCKETS = 16             # salt fan-out for two-phase aggregation on hot keys
+
+
+def sf_name(sf_dir: str) -> str:
+    """Map a testdata dir like /root/testdata/sf0.01 → 'sf0.01'."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in SF_CONVS:
+        raise ValueError(f"unknown scale factor dir {sf_dir!r} (basename {base!r})")
+    return base
+
+
+def gen_dir(sf_dir: str) -> str:
+    """Directory holding the generated transcript shards for a testdata dir."""
+    return os.path.join(GEN_ROOT, sf_name(sf_dir), "transcripts")
+
+
+def kb_dir() -> str:
+    """Directory holding the (scale-independent) knowledge-base tables."""
+    return os.path.join(GEN_ROOT, "kb")

@@ -1,0 +1,47 @@
+"""Dataset sources: transcript shards, KB tables, testdata tables.
+
+Replaces the reference's network fetchers (fetch_ncbi.py / uniprot.py) with
+`ray.data.read_parquet` over local shards, always with column pruning
+(`columns=[...]`) so only needed columns leave storage.  KB tables are tiny
+broadcast sides: they are read ONCE per job with pyarrow (driver side) and
+shipped via `ray.put`, never shuffled.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from .. import config, datagen
+
+
+def read_transcripts(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Transcript shards for an sf dir as a streaming Dataset.
+
+    Generates the deterministic corpus on first use (idempotent).  Column
+    pruning is mandatory in the hot pipelines — e.g. mention detection reads
+    only (conv_id, turn_idx, text).
+    """
+    gen = datagen.ensure_transcripts(sf_dir)
+    files = sorted(glob.glob(os.path.join(gen, "*.parquet")))
+    return rd.read_parquet(files, columns=columns)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """One of the provided testdata tables (documents, embeddings, lineitem…)."""
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def kb_table(name: str):
+    """A KB table as an in-memory pyarrow Table (broadcast side, tiny)."""
+    datagen.ensure_kb()
+    return pq.read_table(os.path.join(config.kb_dir(), f"{name}.parquet"))
+
+
+def transcript_files(sf_dir: str) -> list[str]:
+    """Shard file list (the resume/manifest unit)."""
+    gen = datagen.ensure_transcripts(sf_dir)
+    return sorted(glob.glob(os.path.join(gen, "*.parquet")))

@@ -1,0 +1,117 @@
+"""Graph materialization: deduplicated node/edge Parquet tables.
+
+Replaces the reference's Neo4j upload (/root/reference/pymedgraph/graph/
+neo4jconnector.py:51-221).  Cypher `MERGE` on `id_attribute` becomes an
+exact dedup keyed on the canonical node id (`drop_duplicates` analog at
+neo4jconnector.py:127-129); the `(a)-[:CONTAINS]->(b)` edge MERGE
+(:165-193) becomes a dedup on the full (subj, pred, obj) triple.  The edge
+hierarchy mirrors the reference's 7-level map (neo4jconnector.py:275-284):
+
+    Conversation → {DISEASE,CHEMICAL} → UMLS → Gene → Protein → GO
+    UMLS → SnomedConcept,  UMLS → ClinicalFeature
+
+Node identity is `<label>:<id>` so ids cannot collide across labels.
+Dedup keys on the canonical id — attributes are functionally dependent on
+the id, so keep-any equals the reference's keep-first (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .. import config
+
+
+def node_id(label: str, col: pa.ChunkedArray | pa.Array):
+    return pc.binary_join_element_wise(pa.scalar(label + ":"), col, "")
+
+
+def edge_table(subj_label: str, subj, obj_label: str, obj) -> pa.Table:
+    n = len(subj)
+    return pa.table(
+        {
+            "subj": node_id(subj_label, subj),
+            "pred": pa.array([config.PRED] * n, pa.string()),
+            "obj": node_id(obj_label, obj),
+        }
+    )
+
+
+def _edges_batch(subj_label: str, subj_col: str, obj_label_col_or_const, obj_col: str):
+    """Build a map_batches fn emitting edge rows from a child table batch.
+
+    `obj_label_col_or_const` is either a fixed label string or the name of a
+    column holding per-row labels (the DISEASE/CHEMICAL entity case).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        subj = pc.binary_join_element_wise(pa.scalar(subj_label + ":"), batch[subj_col], "")
+        if obj_label_col_or_const in batch.column_names:
+            obj = pc.binary_join_element_wise(
+                batch[obj_label_col_or_const], pa.scalar(":"), batch[obj_col], ""
+            )
+        else:
+            obj = pc.binary_join_element_wise(
+                pa.scalar(obj_label_col_or_const + ":"), batch[obj_col], ""
+            )
+        return pa.table(
+            {
+                "subj": subj,
+                "pred": pa.array([config.PRED] * len(batch), pa.string()),
+                "obj": obj,
+            }
+        )
+
+    return fn
+
+
+def dedup_triples(edges: rd.Dataset) -> rd.Dataset:
+    """Exact (subj, pred, obj) dedup: per-block partial distinct, then a
+    grouped distinct keyed on the composite triple (hash-partitioned; the
+    composite key spreads hot subjects across reducers)."""
+    pre = edges.map_batches(
+        lambda t: t.group_by(["subj", "pred", "obj"]).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby(["subj", "pred", "obj"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def dedup_nodes(nodes: rd.Dataset) -> rd.Dataset:
+    """MERGE-on-id semantics: one row per canonical_id (neo4jconnector.py:127-129)."""
+    pre = nodes.map_batches(
+        lambda t: t.group_by(
+            ["canonical_id", "node_label", "name", "definition"]
+        ).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby("canonical_id").map_groups(
+        lambda t: t.sort_by([(c, "ascending") for c in t.column_names]).slice(0, 1),
+        batch_format="pyarrow",
+    )
+
+
+def node_rows(batch: pa.Table, label, id_col: str, name_col: str, def_col: str | None) -> pa.Table:
+    """Project a child table batch into (canonical_id, node_label, name, definition)."""
+    if label in batch.column_names:  # per-row label column
+        cid = pc.binary_join_element_wise(batch[label], pa.scalar(":"), batch[id_col], "")
+        lab = batch[label]
+    else:
+        cid = pc.binary_join_element_wise(pa.scalar(label + ":"), batch[id_col], "")
+        lab = pa.array([label] * len(batch), pa.string())
+    definition = (
+        pc.fill_null(batch[def_col], "") if def_col else pa.array([""] * len(batch), pa.string())
+    )
+    return pa.table(
+        {
+            "canonical_id": cid,
+            "node_label": lab,
+            "name": batch[name_col],
+            "definition": definition,
+        }
+    )

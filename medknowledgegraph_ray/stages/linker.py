@@ -1,0 +1,134 @@
+"""Candidate entity linking: surface form → CUI candidates with scores.
+
+The reference's UMLS linker is a broadcast ANN lookup — a char-3gram TF-IDF
+index over UMLS aliases held in process memory, queried per entity surface
+(/root/reference/pymedgraph/dataextraction/entityrecognition.py:25-27,59-61;
+CUI → name/definition at :110-112).  Here the small side (the alias KB) is a
+`ray.put` broadcast; linking runs inside `map_batches` with a dict lookup
+(exact-alias path, SQL-checkable) plus a deterministic char-3gram Jaccard
+scorer (fuzzy path for unseen surfaces, rows-only checked).
+
+Link rows are DISTINCT per (norm_surface, cui) keep-max-score, mirroring the
+reference's global link-set dedup (entityrecognition.py:44,61,115).  Name and
+definition are functionally dependent on the CUI, so keep-any == keep-first
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..sources import readers
+
+
+def link_catalog() -> pa.Table:
+    """aliases ⨝ umls_kb → (alias, cui, score, name, definition, label)."""
+    aliases = readers.kb_table("aliases")
+    kb = readers.kb_table("umls_kb").select(["cui", "canonical_name", "definition"])
+    joined = aliases.join(kb, keys="cui", join_type="inner")
+    return pa.table(
+        {
+            "alias": joined["alias"],
+            "cui": joined["cui"],
+            "score": joined["alias_score"],
+            "name": joined["canonical_name"],
+            "definition": joined["definition"],
+            "label": joined["sem_label"],
+        }
+    ).sort_by([("alias", "ascending"), ("cui", "ascending")])
+
+
+def _trigrams(s: str) -> set:
+    s = f"  {s} "
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+class SurfaceLinker:
+    """Actor-pool stage: distinct surfaces → candidate link rows.
+
+    State built once per actor from the broadcast catalog: an exact
+    alias → [(cui, score, name, def, label)] dict and a trigram inverted
+    index for the fuzzy path.
+    """
+
+    def __init__(self, catalog_ref, fuzzy: bool = False, fuzzy_min: float = 0.5):
+        catalog: pa.Table = (
+            ray.get(catalog_ref) if isinstance(catalog_ref, ray.ObjectRef) else catalog_ref
+        )
+        self.exact: dict[str, list] = defaultdict(list)
+        rows = catalog.to_pylist()
+        for r in rows:
+            self.exact[r["alias"]].append(
+                (r["cui"], r["score"], r["name"], r["definition"], r["label"])
+            )
+        self.fuzzy = fuzzy
+        self.fuzzy_min = fuzzy_min
+        if fuzzy:
+            self.alias_grams = {a: _trigrams(a) for a in self.exact}
+
+    def _fuzzy_candidates(self, surface: str) -> list:
+        grams = _trigrams(surface)
+        best: list = []
+        for alias, agrams in self.alias_grams.items():
+            inter = len(grams & agrams)
+            if not inter:
+                continue
+            jac = inter / (len(grams) + len(agrams) - inter)
+            if jac < self.fuzzy_min:
+                continue
+            for cui, score, name, definition, label in self.exact[alias]:
+                best.append((cui, round(score * jac, 4), name, definition, label))
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("norm_surface", "cui", "score", "name", "definition", "label")}
+        for surface in batch["norm_surface"].to_pylist():
+            cands = self.exact.get(surface)
+            if cands is None and self.fuzzy:
+                cands = self._fuzzy_candidates(surface)
+            for cui, score, name, definition, label in cands or ():
+                out["norm_surface"].append(surface)
+                out["cui"].append(cui)
+                out["score"].append(score)
+                out["name"].append(name)
+                out["definition"].append(definition)
+                out["label"].append(label)
+        return pa.table(
+            {
+                "norm_surface": pa.array(out["norm_surface"], pa.string()),
+                "cui": pa.array(out["cui"], pa.string()),
+                "score": pa.array(out["score"], pa.float64()),
+                "name": pa.array(out["name"], pa.string()),
+                "definition": pa.array(out["definition"], pa.string()),
+                "label": pa.array(out["label"], pa.string()),
+            }
+        )
+
+
+def distinct_surfaces(mentions: rd.Dataset) -> rd.Dataset:
+    """Global distinct (norm_surface) — vocabulary-bounded, tiny after the
+    per-block partial distinct, so the final exchange is negligible."""
+    pre = mentions.map_batches(
+        lambda t: t.select(["norm_surface"]).group_by("norm_surface").aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby("norm_surface").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def link_surfaces(mentions: rd.Dataset, *, fuzzy: bool = False) -> rd.Dataset:
+    """mentions → links(norm_surface, cui, score, name, definition, label)."""
+    catalog_ref = ray.put(link_catalog())
+    return distinct_surfaces(mentions).map_batches(
+        SurfaceLinker,
+        fn_constructor_kwargs={"catalog_ref": catalog_ref, "fuzzy": fuzzy},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 2),
+    )
