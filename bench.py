@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG pipeline over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "kg_build_seconds", "value": <sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": <dir>, "num_cpus": N,
+   "turns_per_sec": ...}
+
+`--scaling` runs the same job twice in fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N→4N-node cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from medknowledgegraph_ray import datagen
+    from medknowledgegraph_ray.pipelines import kg
+    from medknowledgegraph_ray.sources import readers
+
+    # warm: generate (idempotent) + one untimed read for page cache
+    datagen.ensure_transcripts(sf_dir)
+    n_turns = readers.read_transcripts(sf_dir, ["conv_id"]).count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    kg.conversations(sf_dir).count()
+    queries["assembly"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    kg.mention_rows(sf_dir).count()
+    queries["mentions"] = round(time.time() - t0, 3)
+
+    out_dir = f"/tmp/graft_bench/kg_{os.path.basename(sf_dir)}_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    result = kg.build_graph(sf_dir, out_dir)
+    build_sec = round(time.time() - t0, 3)
+    queries["build_graph"] = build_sec
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_seconds",
+        "value": build_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "n_edges": result["n_edges"],
+        "turns_per_sec": round(n_turns / build_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = once(lo), once(hi)
+    thr_lo = r_lo["n_turns"] / r_lo["value"]
+    thr_hi = r_hi["n_turns"] / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": round(thr_lo, 1),
+        "turns_per_sec_32": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -19,6 +19,7 @@ pins, it streams from the committed Parquet.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pyarrow as pa
@@ -221,27 +222,69 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
     man = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     shards = readers.transcript_files(sf_dir)
 
+    def _nrows(path: str) -> int:
+        # parquet footer metadata — no data read, no Ray job
+        import pyarrow.parquet as pq
+
+        files = [path] if path.endswith(".parquet") else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
     done = man.completed("mentions")
     mention_dirs, n_turns = [], 0
+    pending = []
     for shard_path in shards:
         part = os.path.basename(shard_path).replace(".parquet", "")
-        out = os.path.join(out_dir, "mentions", part)
         if part in done:
             mention_dirs.append(done[part]["output_path"])
             n_turns += done[part].get("rows_in", 0)
-            continue
-        ds = rd.read_parquet(shard_path, columns=["conv_id", "turn_idx", "text"])
-        rows_in = ds.count()
-        atomic_write_parquet(mentions.detect_mentions(ds), out)
-        rows_out = rd.read_parquet(out).count()
-        man.record(
-            "mentions", part, "done",
-            input_shard=shard_path, rows_in=rows_in, rows_out=rows_out, output_path=out,
-        )
-        mention_dirs.append(out)
-        n_turns += rows_in
+        else:
+            pending.append((part, shard_path))
 
-    mention_ds = rd.read_parquet(mention_dirs)
+    if pending:
+        # ONE pipelined execution over every pending shard (per-shard
+        # sequential runs would pay actor-pool startup per shard); per-shard
+        # output partitions are preserved via a hive-partitioned write on the
+        # carried `shard` provenance column, so resume granularity is intact.
+        ds = rd.read_parquet(
+            [p for _, p in pending],
+            columns=["conv_id", "turn_idx", "text"],
+            include_paths=True,
+        ).map_batches(
+            lambda t: t.append_column(
+                "shard",
+                pc.replace_substring_regex(
+                    pc.replace_substring_regex(t["path"], r"^.*/", ""), r"\.parquet$", ""
+                ),
+            ).drop_columns(["path"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        det = mentions.detect_mentions(ds, keep_shard=True)
+        tmp = os.path.join(out_dir, "mentions.tmp")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        det.write_parquet(tmp, partition_cols=["shard"])
+        os.makedirs(os.path.join(out_dir, "mentions"), exist_ok=True)
+        for part, shard_path in pending:
+            src = os.path.join(tmp, f"shard={part}")
+            dst = os.path.join(out_dir, "mentions", part)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            else:  # shard produced zero mentions
+                os.makedirs(dst, exist_ok=True)
+            rows_in, rows_out = _nrows(shard_path), _nrows(dst)
+            man.record(
+                "mentions", part, "done",
+                input_shard=shard_path, rows_in=rows_in, rows_out=rows_out, output_path=dst,
+            )
+            mention_dirs.append(dst)
+            n_turns += rows_in
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    mention_files = [f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    mention_ds = rd.read_parquet(mention_files)
     t = graph_tables(mention_ds)
 
     def _commit(stage: str, ds: rd.Dataset) -> int:
@@ -250,7 +293,7 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
             return prior[stage].get("rows_out", 0)
         out = os.path.join(out_dir, stage)
         atomic_write_parquet(ds, out)
-        n = rd.read_parquet(out).count()
+        n = _nrows(out)
         man.record(stage, stage, "done", rows_out=n, output_path=out)
         return n
 

@@ -112,7 +112,13 @@ def proteins_for_genes(genes: rd.Dataset) -> rd.Dataset:
             "url": (UNIPROT_URL + r["entry"]) if r.get("entry") else "",
         }
 
-    return _broadcast_expand(genes.select_columns(["gene"]), "gene", idx, emit)
+    # DISTINCT genes first: a gene reachable from several CUIs must yield one
+    # protein row set, as the reference's single OR-joined UniProt query does
+    # (uniprot.py:72-79).  The gene list is tiny → coalesce and dedup locally.
+    distinct_genes = genes.select_columns(["gene"]).repartition(1).map_batches(
+        lambda t: t.group_by("gene").aggregate([]), batch_format="pyarrow"
+    )
+    return _broadcast_expand(distinct_genes, "gene", idx, emit)
 
 
 def go_for_proteins(proteins: rd.Dataset) -> rd.Dataset:

@@ -56,33 +56,42 @@ class MentionDetector:
         texts = pd.Series(batch["text"].to_pylist()).str.lower()
         conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
         tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        out_conv, out_tidx, out_surface, out_label = [], [], [], []
+        # optional provenance column (input shard id) carried through for
+        # the resumable per-shard partitioned write
+        shard = (
+            np.asarray(batch["shard"].to_pylist(), dtype=object)
+            if "shard" in batch.column_names
+            else None
+        )
+        out_idx, out_surface, out_label = [], [], []
         for alias, label, pat in zip(self.aliases, self.labels, self.patterns):
             mask = texts.str.contains(pat, regex=True).to_numpy()
             if not mask.any():
                 continue
             idx = np.nonzero(mask)[0]
-            out_conv.append(conv[idx])
-            out_tidx.append(tidx[idx])
+            out_idx.append(idx)
             out_surface.append(np.repeat(alias, len(idx)))
             out_label.append(np.repeat(label, len(idx)))
-        if not out_conv:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], pa.string()),
-                    "turn_idx": pa.array([], pa.int32()),
-                    "norm_surface": pa.array([], pa.string()),
-                    "label": pa.array([], pa.string()),
-                }
-            )
-        return pa.table(
-            {
-                "conv_id": pa.array(np.concatenate(out_conv), pa.string()),
-                "turn_idx": pa.array(np.concatenate(out_tidx), pa.int32()),
+        if out_idx:
+            idx = np.concatenate(out_idx)
+            cols = {
+                "conv_id": pa.array(conv[idx], pa.string()),
+                "turn_idx": pa.array(tidx[idx], pa.int32()),
                 "norm_surface": pa.array(np.concatenate(out_surface), pa.string()),
                 "label": pa.array(np.concatenate(out_label), pa.string()),
             }
-        )
+            if shard is not None:
+                cols["shard"] = pa.array(shard[idx], pa.string())
+        else:
+            cols = {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "norm_surface": pa.array([], pa.string()),
+                "label": pa.array([], pa.string()),
+            }
+            if shard is not None:
+                cols["shard"] = pa.array([], pa.string())
+        return pa.table(cols)
 
 
 def detect_mentions(
@@ -90,10 +99,12 @@ def detect_mentions(
     *,
     batch_size: int = config.DETECT_BATCH_SIZE,
     concurrency=config.DETECT_CONCURRENCY,
+    keep_shard: bool = False,
 ) -> rd.Dataset:
     """turns → mentions(conv_id, turn_idx, norm_surface, label), distinct per turn."""
     vocab_ref = ray.put(alias_catalog())
-    return turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+    cols = ["conv_id", "turn_idx", "text"] + (["shard"] if keep_shard else [])
+    return turns.select_columns(cols).map_batches(
         MentionDetector,
         fn_constructor_kwargs={"vocab_ref": vocab_ref},
         batch_format="pyarrow",

@@ -1,0 +1,96 @@
+"""End-to-end pipeline tests at sf0.001: oracle parity, invariants, resume.
+
+The serial oracle is DuckDB executing the reference operator chain in SQL
+(SURVEY.md §5.2) over the SAME generated corpus; the Ray pipeline's outputs
+must match exactly (set semantics — the reference's own row order is
+nondeterministic, entityrecognition.py:44,61)."""
+
+import glob
+import shutil
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location("_ray_entry", "/root/repo/__ray_entry__.py")
+_entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(_entry)
+
+from medknowledgegraph_ray.pipelines import kg
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    sql = _entry.oracle_sql()[name].replace("/tmp/graft_kg/sf0.01/", f"/tmp/graft_kg/{sf_dir.rstrip('/').split('/')[-1]}/")
+    con = duckdb.connect()
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["kg_mentions", "kg_links", "kg_top_cuis", "kg_edges", "kg_nodes"]
+)
+def test_oracle_parity(name, sf_dir):
+    eng = _entry.queries()[name](sf_dir).to_pandas()
+    ora = _oracle(name, sf_dir)
+    a, b = _norm(eng), _norm(ora)
+    assert a.shape == b.shape, f"{name}: {a.shape} != {b.shape}"
+    assert a.equals(b), f"{name}: value mismatch"
+
+
+def test_triple_set_precision_recall(sf_dir):
+    """P/R of the emitted triple set vs the oracle triple set must be ≥0.95
+    (BASELINE.json north_rule); by construction it is exactly 1.0."""
+    eng = set(map(tuple, _entry.queries()["kg_edges"](sf_dir).to_pandas().values.tolist()))
+    ora = set(map(tuple, _oracle("kg_edges", sf_dir).values.tolist()))
+    tp = len(eng & ora)
+    precision = tp / len(eng)
+    recall = tp / len(ora)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_per_turn_text_equality(sf_dir):
+    got = (
+        kg.turn_roundtrip(sf_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src_files = sorted(glob.glob(f"/tmp/graft_kg/{sf_dir.rstrip('/').split('/')[-1]}/transcripts/*.parquet"))
+    want = (
+        pd.concat([pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas() for f in src_files])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_build_graph_resume(tmp_path, sf_dir):
+    out = str(tmp_path / "kg")
+    r1 = kg.build_graph(sf_dir, out)
+    edges1 = sorted(map(tuple, rd.read_parquet(out + "/edges").to_pandas().values.tolist()))
+
+    # rerun: everything committed → skipped, same result
+    r2 = kg.build_graph(sf_dir, out)
+    assert r2["n_edges"] == r1["n_edges"]
+
+    # lose a mention partition → only it recomputes; identical triple set
+    victim = sorted(glob.glob(out + "/mentions/part-*"))[0]
+    shutil.rmtree(victim)
+    shutil.rmtree(out + "/edges")
+    shutil.rmtree(out + "/nodes")
+    r3 = kg.build_graph(sf_dir, out)
+    edges3 = sorted(map(tuple, rd.read_parquet(out + "/edges").to_pandas().values.tolist()))
+    assert edges3 == edges1
+    assert r3["n_nodes"] == r1["n_nodes"]

@@ -1,0 +1,116 @@
+"""Unit tests for individual stages on tiny in-memory datasets."""
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from medknowledgegraph_ray.functions import text as textfn
+from medknowledgegraph_ray.stages import assemble, canonicalize, linker, mentions
+
+
+def _turns(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_assembly_orders_turns_regardless_of_input_order():
+    ds = _turns([("c1", 2, "three"), ("c1", 0, "one"), ("c1", 1, "two")])
+    out = assemble.conversations(ds).to_pandas()
+    assert out.loc[0, "text"] == "one two three"
+    assert out.loc[0, "n_turns"] == 3
+
+
+def test_roundtrip_restores_exact_turn_text():
+    rows = [("c1", 1, "b b"), ("c1", 0, "a"), ("c2", 0, "z!")]
+    out = assemble.turn_roundtrip(_turns(rows)).to_pandas()
+    got = sorted(map(tuple, out.values.tolist()))
+    assert got == sorted(rows)
+
+
+def test_mention_detector_casing_boundaries_and_dedup():
+    vocab = pa.table({"alias": ["xelorvan syndrome", "bd9"], "sem_label": ["DISEASE", "DISEASE"]})
+    det = mentions.MentionDetector(vocab)
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "text": pa.array(
+                [
+                    "Has Xelorvan Syndrome twice: xelorvan syndrome.",  # dedup per turn
+                    "xxelorvan syndromee",  # no word boundary → no match
+                    "bd9 and BD9.",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = det(batch).to_pylist()
+    got = {(r["conv_id"], r["turn_idx"], r["norm_surface"]) for r in out}
+    assert got == {("c1", 0, "xelorvan syndrome"), ("c2", 0, "bd9")}
+    # presence semantics: one row per (turn, alias) even with two occurrences
+    assert len(out) == 2
+
+
+def test_surface_linker_exact_and_fuzzy():
+    catalog = pa.table(
+        {
+            "alias": ["xelorvan syndrome"],
+            "cui": ["C1"],
+            "score": [0.95],
+            "name": ["xelorvan syndrome"],
+            "definition": [""],
+            "label": ["DISEASE"],
+        }
+    )
+    exact = linker.SurfaceLinker(catalog)
+    out = exact(pa.table({"norm_surface": pa.array(["xelorvan syndrome", "unknown"], pa.string())}))
+    assert out.num_rows == 1 and out["cui"][0].as_py() == "C1"
+
+    fuzzy = linker.SurfaceLinker(catalog, fuzzy=True, fuzzy_min=0.5)
+    out2 = fuzzy(pa.table({"norm_surface": pa.array(["xelorvan syndrom"], pa.string())}))
+    assert out2.num_rows == 1
+    assert out2["cui"][0].as_py() == "C1"
+    assert out2["score"][0].as_py() < 0.95  # damped by trigram similarity
+
+
+def test_top_entities_deterministic_tiebreak():
+    counts = rd.from_items(
+        [
+            {"norm_surface": "bbb", "label": "DISEASE", "n_convs": 5},
+            {"norm_surface": "aaa", "label": "DISEASE", "n_convs": 5},
+            {"norm_surface": "ccc", "label": "DISEASE", "n_convs": 9},
+            {"norm_surface": "ddd", "label": "CHEMICAL", "n_convs": 100},
+        ]
+    )
+    top = canonicalize.top_entities(counts, k=2).to_pandas()
+    assert list(top["norm_surface"]) == ["ccc", "aaa"]  # (count desc, surface asc)
+
+
+def test_top_cuis_per_surface_score_filter_and_tiebreak():
+    links_ds = rd.from_items(
+        [
+            {"norm_surface": "s", "cui": "C2", "score": 0.91, "name": "", "definition": "", "label": "DISEASE"},
+            {"norm_surface": "s", "cui": "C1", "score": 0.91, "name": "", "definition": "", "label": "DISEASE"},
+            {"norm_surface": "s", "cui": "C3", "score": 0.95, "name": "", "definition": "", "label": "DISEASE"},
+            {"norm_surface": "s", "cui": "C4", "score": 0.80, "name": "", "definition": "", "label": "DISEASE"},
+        ]
+    )
+    out = canonicalize.top_cuis_per_surface(links_ds, k=3).to_pandas()
+    assert list(out["cui"]) == ["C3", "C1", "C2"]  # score desc, then cui asc; 0.80 filtered
+
+
+def test_go_parse():
+    parsed = textfn.parse_go_field(
+        "biological process term a [GO:0000001]; molecular function b [GO:0000002]"
+    )
+    assert parsed == [("0000001", "biological process term a"), ("0000002", "molecular function b")]
+    assert textfn.parse_go_field("") == []
+    assert textfn.parse_go_field("junk without id") == []
