@@ -19,9 +19,13 @@ from collections.abc import Callable
 from typing import Any
 
 from medknowledgegraph_ray import config, datagen
-from medknowledgegraph_ray.pipelines import kg
+from medknowledgegraph_ray.pipelines import analytics, kg
+from medknowledgegraph_ray.sources import readers
+from medknowledgegraph_ray.stages import ann, dedupe, multimodal, textstats, windows
 
 _SF001 = "/root/testdata/sf0.01"
+_ANN_DIM = 64  # embeddings table vector length
+_ANN_K = 10
 
 
 def _gen_paths(sf_dir: str = _SF001) -> dict[str, str]:
@@ -126,6 +130,86 @@ def entry() -> Any:
     return kg.edges("/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Data-pipeline operators (documents / embeddings / events tables)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    return readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+
+def _doc_stats(sf_dir: str):
+    return textstats.doc_stats(_docs(sf_dir))
+
+
+def _lang_id(sf_dir: str):
+    return textstats.lang_id(_docs(sf_dir))
+
+
+def _quality(sf_dir: str):
+    return textstats.quality_score(_docs(sf_dir))
+
+
+def _fingerprints(sf_dir: str):
+    return textstats.fingerprints(_docs(sf_dir))
+
+
+def _dedup_exact(sf_dir: str):
+    return dedupe.exact_dedup(_docs(sf_dir))
+
+
+def _dedup_minhash(sf_dir: str):
+    return dedupe.minhash_dedup(_docs(sf_dir))
+
+
+def _dedup_simhash(sf_dir: str):
+    return dedupe.simhash_signatures(_docs(sf_dir))
+
+
+def _dedup_embedding(sf_dir: str):
+    # threshold 0.4: the testdata embeddings have no pairs above cosine 0.52,
+    # so the production default (0.95) would be a trivially-empty check
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedupe.embedding_near_dups(emb, threshold=0.4, dim=_ANN_DIM)
+
+
+def _ann_topk(sf_dir: str):
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.brute_force_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
+
+
+def _ann_lsh(sf_dir: str):
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.lsh_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
+
+
+def _mm_metadata(sf_dir: str):
+    return multimodal.media_metadata(_docs(sf_dir)).select_columns(
+        ["doc_id", "media_type", "n_bytes", "digest"]
+    )
+
+
+def _mm_decode(sf_dir: str):
+    return multimodal.media_metadata(_docs(sf_dir))
+
+
+def _ev_tumbling(sf_dir: str):
+    return windows.tumbling_window(readers.read_table(sf_dir, "events"))
+
+
+def _ev_sessionize(sf_dir: str):
+    return windows.sessionize(readers.read_table(sf_dir, "events"))
+
+
+def _ann_query_values_sql() -> str:
+    q = ann.fixed_queries(_ANN_DIM)
+    rows = ",".join(
+        f"({qid}, [{','.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for qid, vec in zip(q["query_id"], q["matrix"])
+    )
+    return f"(VALUES {rows}) q(query_id, qv)"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Generate the corpora the driver will exercise (idempotent, ~1 s).
     datagen.ensure_transcripts("/root/testdata/sf0.001")
@@ -147,7 +231,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_go": kg.go_terms,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
+        # ---- training-data pipeline operators (documents/embeddings) ----
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_quality": _quality,
+        "doc_fingerprints": _fingerprints,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "ann_topk": _ann_topk,
+        "ann_lsh": _ann_lsh,
+        "mm_metadata": _mm_metadata,
+        "mm_decode": _mm_decode,
+        # ---- windowed / ordered-log operators (events) ----
+        "ev_tumbling": _ev_tumbling,
+        "ev_sessionize": _ev_sessionize,
+        # ---- generic analytical operator parity (TPC-H-ish tables) ----
+        "agg_lineitem": analytics.lineitem_agg,
+        "join_top_customers": analytics.top_customers,
+        "agg_orders_by_status": analytics.orders_by_status,
+        "scan_filter_pushdown": analytics.filter_pushdown_scan,
+        "join_region_counts": analytics.nation_region_counts,
     }
+
+
+# Shared doc-stats subquery: formulas are the EXACT per-row IEEE ops the Ray
+# stage runs (textstats.TextStats) — int64 counts, float64 divisions — so
+# equality needs no tolerance.  \w/\s/\b are ASCII-identical between RE2
+# (DuckDB) and re.ASCII (ours); documents are pure ASCII (verified).
+_DOC_STATS_SQL = """
+SELECT doc_id, n_chars_calc, n_tokens, n_punct, n_stop,
+       CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+       CAST(n_punct AS DOUBLE) / greatest(n_chars_calc, 1) AS punct_ratio
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         length(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|a|in|is|that|for|on)\\b')) AS n_stop
+  FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -206,4 +332,135 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT DISTINCT 'GO:' || go_id, 'GO', go_name, '' FROM g_go"
             " )) WHERE rn = 1"
         ),
+        # ---- training-data pipeline oracles (views pre-registered by the
+        # driver at sf0.01: documents, embeddings, events, lineitem, …) ----
+        "doc_stats": _DOC_STATS_SQL,
+        "doc_lang_id": (
+            "SELECT doc_id, CASE WHEN n_tokens > 0 AND stop_ratio >= 0.08"
+            " THEN 'en' ELSE 'other' END AS lang_pred FROM (" + _DOC_STATS_SQL + ")"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, round("
+            " 0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)"
+            " + 0.4 * least(stop_ratio / 0.08, 1.0)"
+            " + 0.2 * (1.0 - least(punct_ratio / 0.2, 1.0)), 6) AS quality"
+            " FROM (" + _DOC_STATS_SQL + ")"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
+            " CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
+        ),
+        # exact pairwise shingle-Jaccard — valid as the LSH oracle because all
+        # testdata near-dup pairs sit at J≥0.98 where 16×4-band LSH recall is
+        # 1 − (1 − 0.98^4)^16 ≈ 1 − 1e-18
+        "dedup_minhash": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+""",
+        "ann_topk": (
+            "WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qv FROM "
+            + _ann_query_values_sql()
+            + "), scored AS ("
+            " SELECT q.query_id, e.vec_id,"
+            "  round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /"
+            "   (sqrt(list_dot_product(q.qv, q.qv)) *"
+            "    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+            "         CAST(e.embedding AS DOUBLE[])))), 6) AS score"
+            " FROM embeddings e CROSS JOIN q)"
+            " SELECT query_id, vec_id, score, rank FROM ("
+            "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank FROM scored)"
+            f" WHERE rank <= {_ANN_K}"
+        ),
+        "mm_metadata": (
+            "SELECT doc_id,"
+            " CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+            " ELSE 'video' END AS media_type,"
+            " strlen(text) AS n_bytes, md5(text) AS digest FROM documents"
+        ),
+        "ev_tumbling": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_e6"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "ev_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1000000) AS BIGINT) AS value_e6
+  FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       CAST(sum(value_e6) AS BIGINT) AS value_sum_e6
+FROM sess GROUP BY 1, 2
+""",
+        "agg_lineitem": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            "  AS sum_base_price_c,"
+            " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))"
+            "  AS BIGINT) AS sum_revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem GROUP BY 1, 2"
+        ),
+        "join_top_customers": (
+            "WITH r AS (SELECT o_custkey,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c"
+            " FROM orders GROUP BY 1)"
+            " SELECT r.o_custkey, c.c_name, c.c_nationkey, r.revenue_c"
+            " FROM r JOIN customer c ON c.c_custkey = r.o_custkey"
+            " ORDER BY revenue_c DESC, o_custkey ASC LIMIT 10"
+        ),
+        "agg_orders_by_status": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,"
+            " min(epoch_us(o_orderdate)) AS first_us,"
+            " max(epoch_us(o_orderdate)) AS last_us"
+            " FROM orders GROUP BY 1"
+        ),
+        "scan_filter_pushdown": (
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c"
+            " FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0"
+        ),
+        "join_region_counts": (
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+        ),
+        # no oracle entries (rows-only checks by design):
+        #   doc_fingerprints (rolling md5 hash — not SQL-expressible cheaply)
+        #   dedup_simhash    (64-bit md5 majority vote — same)
+        #   dedup_embedding, ann_lsh (LSH recall < 1 by construction)
+        #   mm_decode        (synthetic dims derived from hex-parsed md5)
     }

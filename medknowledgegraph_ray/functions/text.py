@@ -19,7 +19,8 @@ GO_ID_RE = re.compile(r"\[GO:(\d+)\]")
 
 # Stopword list shared verbatim with the lang-id / quality oracle SQL.
 EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "on")
-EN_STOP_RE = re.compile(r"\b(" + "|".join(EN_STOPWORDS) + r")\b")
+# re.ASCII so \b/\w match RE2 (DuckDB) semantics exactly
+EN_STOP_RE = re.compile(r"\b(" + "|".join(EN_STOPWORDS) + r")\b", re.ASCII)
 
 
 def lower(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:

@@ -1,0 +1,175 @@
+"""Generic analytical operator parity over the provided testdata tables.
+
+These exercise the engine's generic operator surface (grouped aggregation
+with partial pre-aggregation, broadcast hash join, grouped top-k, distinct,
+filter pushdown at the read) against tables the driver has pre-registered
+as DuckDB views — straightforward oracles, no generated data involved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..sources import readers
+
+
+def lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """Pricing-summary-style grouped aggregate with per-batch partial
+    pre-aggregation (the two-phase pattern; only one row per key per block
+    crosses the exchange).
+
+    Money columns are converted to scaled int64 PER ROW (cents / 1e-4
+    units) before summation, so the sums are exact integers and equality
+    with the oracle does not depend on float summation order.  The scaled
+    values land on no exact .5 rounding boundary in the testdata (verified),
+    so half-even (numpy) vs half-away (DuckDB) cannot diverge."""
+    ds = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev_e4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64())
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "rev_e4": rev_e4,
+            }
+        )
+        return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("rev_e4", "sum"), ("qty", "count")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+        Sum("sum_revenue_e4", alias_name="sum_revenue_e4"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"):
+            t[c] = t[c].astype("int64")
+        return t
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Broadcast join (orders ⨝ customer: small side shipped once) + global
+    top-k by revenue with deterministic tiebreak."""
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    cust_map = {
+        r["c_custkey"]: (r["c_name"], r["c_nationkey"]) for r in cust.take_all()
+    }
+    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t2 = pa.table({"o_custkey": t["o_custkey"], "revenue_c": cents})
+        return t2.group_by("o_custkey").aggregate([("revenue_c", "sum")]).rename_columns(
+            ["o_custkey", "revenue_c"]
+        )
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = per_cust.groupby("o_custkey").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+
+    def attach(t: pd.DataFrame) -> pd.DataFrame:
+        t["c_name"] = t["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[0])
+        t["c_nationkey"] = t["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[1]).astype("int32")
+        t["revenue_c"] = t["revenue_c"].astype("int64")
+        return t
+
+    joined = merged.map_batches(attach, batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_c", "o_custkey"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    return joined.repartition(1).map_batches(pick, batch_format="pandas", batch_size=None)
+
+
+def orders_by_status(sf_dir: str) -> rd.Dataset:
+    """Grouped count + min/max over a date column.  Timestamps are emitted
+    as integer epoch-microseconds (first_us/last_us) — int64 round-trips
+    identically through Ray/pandas and DuckDB where timestamp dtypes may
+    not; money as exact integer cents."""
+    ds = readers.read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "total_c": np.round(t["o_totalprice"].to_numpy() * 100.0).astype("int64"),
+                "date_us": t["o_orderdate"].astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(prep, batch_format="pandas").groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("total_c", alias_name="total_c"),
+        Min("date_us", alias_name="first_us"),
+        Max("date_us", alias_name="last_us"),
+    )
+
+    def finalize(t: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_orders", "total_c", "first_us", "last_us"):
+            t[c] = t[c].astype("int64")
+        return t
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def filter_pushdown_scan(sf_dir: str) -> rd.Dataset:
+    """Predicate + projection pushed into the parquet read (row-group
+    pruning): high-value open orders only."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == "O") & (pc.field("o_totalprice") > 200000.0),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nation_region_counts(sf_dir: str) -> rd.Dataset:
+    """Two-level broadcast join (nation → region) + grouped count of
+    customers per region name."""
+    nation = {r["n_nationkey"]: r["n_regionkey"] for r in readers.read_table(sf_dir, "nation").take_all()}
+    region = {r["r_regionkey"]: r["r_name"] for r in readers.read_table(sf_dir, "region").take_all()}
+    cust = readers.read_table(sf_dir, "customer", columns=["c_nationkey"])
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        t["r_name"] = t["c_nationkey"].map(lambda nk: region[nation[nk]])
+        g = t.groupby("r_name").size().reset_index(name="n_customers")
+        return g
+
+    partials = cust.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"))
+    return out.map_batches(
+        lambda t: t.assign(n_customers=t["n_customers"].astype("int64")), batch_format="pandas"
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+`ray.put` and every batch does one numpy matmul against it; a per-batch
+partial top-k is emitted so the final exact merge sees only
+O(k × blocks × queries) rows, never the corpus.  Scale path: the same
+matmul within LSH hyperplane buckets (see dedupe.HyperplaneBucketer) —
+queries probe only their own bucket(s).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Per-batch cosine scores + local top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = np.asarray(q["query_id"], dtype=np.int64)
+        self.qm = _unit(np.asarray(q["matrix"], dtype=np.float64))  # (nq, dim)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = self.qm @ m.T  # (nq, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.append(np.full(k, self.query_ids[qi]))
+            out_v.append(vec_ids[idx])
+            out_s.append(sims[qi][idx])
+        return pd.DataFrame(
+            {
+                "query_id": pd.array(np.concatenate(out_q), dtype="int64"),
+                "vec_id": pd.array(np.concatenate(out_v), dtype="int64"),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+
+def brute_force_topk(
+    embeddings: rd.Dataset, queries: dict, k: int = 10
+) -> rd.Dataset:
+    """Exact global top-k per query: per-batch partial top-k, then one tiny
+    final merge.  `queries` = {"query_id": [...], "matrix": [[...], ...]}.
+
+    Ties broken (score desc, vec_id asc); scores rounded to 6 so the result
+    is float-stable against the DuckDB list_cosine_similarity oracle."""
+    qref = ray.put(queries)
+    partials = embeddings.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(6)
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int = 4) -> rd.Dataset:
+    """Approximate top-k: corpus and queries hashed by the same seeded
+    hyperplanes; each query scores only its bucket.  Recall < 1 by design —
+    rows-only checked; the brute-force path is the correctness baseline."""
+    from .dedupe import HyperplaneBucketer
+
+    qm = _unit(np.asarray(queries["matrix"], dtype=np.float64))
+    dim = qm.shape[1]
+    bucketer = HyperplaneBucketer(dim, n_planes=n_planes)
+    q_buckets = ((qm @ bucketer.planes) >= 0) @ (1 << np.arange(n_planes))
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
+    query_ids = np.asarray(queries["query_id"], dtype=np.int64)
+
+    bucketed = embeddings.map_batches(
+        HyperplaneBucketer, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
+    )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        qis = by_bucket.get(b, [])
+        if not qis:
+            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                                 "vec_id": pd.array([], dtype="int64"),
+                                 "score": pd.array([], dtype="float64"),
+                                 "rank": pd.array([], dtype="int64")})
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        m = np.stack(g["embedding"].to_numpy())
+        outs = []
+        for qi in qis:
+            sims = np.round(qm[qi] @ m.T, 6)
+            df = pd.DataFrame({"query_id": np.int64(query_ids[qi]), "vec_id": ids, "score": sims})
+            df = df.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+            df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
+            outs.append(df)
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas")
+
+
+def fixed_queries(dim: int, n: int = 3, seed: int = 5) -> dict:
+    """Deterministic query matrix for benchmarks/oracles."""
+    rng = np.random.RandomState(seed)
+    return {
+        "query_id": list(range(n)),
+        "matrix": rng.normal(size=(n, dim)).round(4).tolist(),
+    }

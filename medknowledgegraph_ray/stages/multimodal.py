@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so the
+DECODE KERNEL IS A DETERMINISTIC STUB — but the Ray-side plumbing (binary
+Arrow columns, small batches for large payloads, actor-pool stage shape,
+metadata schema) is real and tested.  Swap `_decode_stub` for a real
+decoder (PIL / torchaudio) in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def to_binary_payloads(docs: rd.Dataset) -> rd.Dataset:
+    """Model a binary-payload table from the documents table: payload =
+    utf-8 bytes of text (stands in for image/audio bytes), media_type by
+    doc_id stripe.  Output: (doc_id, media_type, payload:binary)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        payloads = [t.encode("utf-8") for t in texts]
+        media = ["image" if d % 3 == 0 else ("audio" if d % 3 == 1 else "video") for d in doc_ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "media_type": pa.array(media, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decode: digests + synthetic dimensions derived
+    from the payload hash.  A real decoder would raise NotImplementedError
+    here if the codec is unsupported; we never silently skip."""
+    digest = hashlib.md5(payload).hexdigest()
+    h = int(digest[:8], 16)
+    if media_type == "image":
+        meta = {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024, "frames": 1}
+    elif media_type == "audio":
+        meta = {"width": 0, "height": 0, "frames": 8000 + h % 160000}  # samples
+    else:  # video
+        meta = {"width": 320 + h % 1280, "height": 240 + (h >> 10) % 720, "frames": 24 + h % 240}
+    return {"digest": digest, **meta}
+
+
+class MediaDecoder:
+    """Actor-pool decode stage.  Small batch_size is intentional: payload
+    bytes × batch × concurrency must fit the worker heap (the guide's
+    large-binary-row rule)."""
+
+    def __init__(self):
+        self.decode = _decode_stub  # real impl: load codecs/models here, once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        media = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = [self.decode(p, m) for p, m in zip(payloads, media)]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "media_type": pa.array(media, pa.string()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "digest": pa.array([r["digest"] for r in rows], pa.string()),
+                "width": pa.array([r["width"] for r in rows], pa.int64()),
+                "height": pa.array([r["height"] for r in rows], pa.int64()),
+                "frames": pa.array([r["frames"] for r in rows], pa.int64()),
+            }
+        )
+
+
+def decode_media(payloads: rd.Dataset, *, batch_size: int = 256) -> rd.Dataset:
+    return payloads.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def media_metadata(docs: rd.Dataset) -> rd.Dataset:
+    """documents → binary payloads → decoded metadata.
+
+    digest/n_bytes are SQL-checkable (md5(text) / strlen(text)); the
+    synthetic dims are deterministic from the digest."""
+    return decode_media(to_binary_payloads(docs))

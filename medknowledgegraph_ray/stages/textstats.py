@@ -1,0 +1,131 @@
+"""Text analysis operators for a large-scale training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+
+These go beyond the reference (which has no corpus-hygiene stage) and run
+over the testdata `documents` table.  Every kernel is deterministic and —
+where SQL-expressible — shares its exact formula with the DuckDB oracle in
+__ray_entry__ (same stopword list, same regexes, same rounding).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import text as textfn
+
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)  # ASCII → RE2/DuckDB-identical classes
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+
+
+class TextStats:
+    """Actor-pool stage: per-document token/char/punct/stopword statistics.
+
+    Regexes are compiled once per actor; per-batch work is vectorized
+    pandas str ops.  Output columns (shared with the oracle SQL):
+      n_chars_calc  — length in characters
+      n_tokens      — whitespace tokens
+      n_punct       — punctuation characters
+      n_stop        — EN stopword occurrences (word-boundary)
+      stop_ratio    — n_stop / n_tokens (0 when empty), rounded to 6
+      punct_ratio   — n_punct / n_chars (0 when empty), rounded to 6
+    """
+
+    def __init__(self):
+        self.token_split = _TOKEN_SPLIT
+        self.punct = _PUNCT
+        self.stop = textfn.EN_STOP_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_tokens = text.str.split(self.token_split).map(
+            lambda xs: sum(1 for x in xs if x)
+        ).astype("int64")
+        n_punct = text.str.count(self.punct).astype("int64")
+        n_stop = text.str.lower().str.count(self.stop).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "n_stop": n_stop,
+                # plain float64 divisions (no rounding): the oracle runs the
+                # IDENTICAL IEEE-754 ops, so equality is exact
+                "stop_ratio": n_stop / np.maximum(n_tokens, 1),
+                "punct_ratio": n_punct / np.maximum(n_chars, 1),
+            }
+        )
+        return out
+
+
+def doc_stats(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(TextStats, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+
+
+def lang_id(docs: rd.Dataset) -> rd.Dataset:
+    """Heuristic n-gram language ID: 'en' iff the EN-stopword rate clears a
+    threshold — deterministic, SQL-checkable (same formula in the oracle)."""
+    stats = doc_stats(docs)
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        is_en = (batch["n_tokens"] > 0) & (batch["stop_ratio"] >= 0.08)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": np.where(is_en, "en", "other")})
+
+    return stats.map_batches(decide, batch_format="pandas")
+
+
+def quality_score(docs: rd.Dataset) -> rd.Dataset:
+    """Composite quality score in [0,1]: length band + stopword presence −
+    punctuation excess.  score = round(0.4*len_ok + 0.4*min(stop_ratio/0.08,1)
+    + 0.2*(1 − min(punct_ratio/0.2, 1)), 6)."""
+    stats = doc_stats(docs)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        len_ok = ((batch["n_tokens"] >= 10) & (batch["n_tokens"] <= 10000)).astype("float64")
+        stop_c = np.minimum(batch["stop_ratio"] / 0.08, 1.0)
+        punct_c = 1.0 - np.minimum(batch["punct_ratio"] / 0.2, 1.0)
+        q = (0.4 * len_ok + 0.4 * stop_c + 0.2 * punct_c).round(6)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "quality": q})
+
+    return stats.map_batches(score, batch_format="pandas")
+
+
+class Fingerprinter:
+    """64-bit rolling document fingerprint over normalized tokens.
+
+    Deterministic polynomial rolling hash (base 1000003, mod 2^61-1) over
+    md5-derived token hashes — stable across processes (no PYTHONHASHSEED
+    dependence).  Rows-only checked (not SQL-expressible cheaply)."""
+
+    MOD = (1 << 61) - 1
+    BASE = 1000003
+
+    def __init__(self):
+        self.token_re = textfn.TOKEN_RE
+        self._cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = textfn.stable_token_hash(tok)
+            self._cache[tok] = h
+        return h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in batch["text"].fillna(""):
+            acc = 0
+            for tok in self.token_re.findall(text.lower()):
+                acc = (acc * self.BASE + self._tok_hash(tok)) % self.MOD
+            fps.append(acc)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": pd.array(fps, dtype="int64")})
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    return docs.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096, concurrency=(1, 8))

@@ -1,0 +1,95 @@
+"""Windowed / ordered-log operators over the `events` stream table.
+
+Ray Data has no event-time windows; the stream-shaped semantics are
+expressed as key-partitioned group transforms over ts-sorted groups
+(ordering assumption: all rows of one user_id fit one group and are sorted
+inside it — the transcript `(conv_id, turn_idx)` pattern generalized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def tumbling_window(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
+    """Per (user_id, window): event count + value sum.
+
+    Window id = floor(epoch_seconds / width) — a stateless map, so this is
+    partial-aggregated per batch before the (user, window)-keyed merge;
+    oracle: GROUP BY user_id, CAST(floor(epoch(ts)/width) AS BIGINT).
+    """
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        # integer microsecond epochs (oracle: epoch_us(ts) // width_us) — no
+        # float division near window boundaries.  value scaled to int64
+        # micro-units PER ROW so sums are exact integers regardless of
+        # summation order (oracle: sum(CAST(round(value*1e6) AS BIGINT))).
+        epoch_us = batch["ts"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "window_id": (epoch_us // (width_sec * 1_000_000)).astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+        g = out.groupby(["user_id", "window_id"])["value_e6"].agg(["count", "sum"]).reset_index()
+        return g.rename(columns={"count": "n_events", "sum": "value_sum_e6"})
+
+    partials = events.select_columns(["user_id", "ts", "value"]).map_batches(
+        add_window, batch_format="pandas"
+    )
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("value_sum_e6", alias_name="value_sum_e6")
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["value_sum_e6"] = batch["value_sum_e6"].astype("int64")
+        return batch
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap from the
+    previous event exceeds `gap_sec`.  Inherently ordered → per-user group
+    sort + cumulative scan (pandas) inside `map_groups`; oracle via SQL
+    window functions (lag + running sum)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        epoch_us = g["ts"].astype("int64")
+        gap_us = gap_sec * 1_000_000
+        new_sess = (epoch_us.diff().fillna(gap_us + 1) > gap_us).astype(int)
+        sess_idx = new_sess.cumsum()
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype("int64"),
+                    "session_idx": sess_idx.astype("int64"),
+                    "ts_us": epoch_us.to_numpy(),
+                    "value_e6": np.round(g["value"].to_numpy() * 1e6).astype("int64"),
+                }
+            )
+            .groupby(["user_id", "session_idx"])
+            .agg(
+                n_events=("ts_us", "size"),
+                start_us=("ts_us", "min"),
+                end_us=("ts_us", "max"),
+                value_sum_e6=("value_e6", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n_events", "start_us", "end_us", "value_sum_e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
