@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_go": kg.go_terms,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
+        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
+        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         # ---- training-data pipeline operators (documents/embeddings) ----
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
@@ -331,6 +333,21 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT DISTINCT 'Protein:' || entry, 'Protein', name, '' FROM g_proteins"
             "  UNION SELECT DISTINCT 'GO:' || go_id, 'GO', go_name, '' FROM g_go"
             " )) WHERE rn = 1"
+        ),
+        "kg_intersection_umls": _kg_sql(
+            ", lvl_u AS (SELECT DISTINCT norm_surface AS term, cui AS node FROM g_top4)"
+            " SELECT a.term AS term_a, b.term AS term_b,"
+            " CAST(count(*) AS BIGINT) AS n_common"
+            " FROM lvl_u a JOIN lvl_u b ON a.node = b.node AND a.term < b.term"
+            " GROUP BY 1, 2"
+        ),
+        "kg_intersection_gene": _kg_sql(
+            ", lvl_g AS (SELECT DISTINCT t4.norm_surface AS term, g.gene AS node"
+            "   FROM g_top4 t4 JOIN g_gene_map g USING (cui))"
+            " SELECT a.term AS term_a, b.term AS term_b,"
+            " CAST(count(*) AS BIGINT) AS n_common"
+            " FROM lvl_g a JOIN lvl_g b ON a.node = b.node AND a.term < b.term"
+            " GROUP BY 1, 2"
         ),
         # ---- training-data pipeline oracles (views pre-registered by the
         # driver at sf0.01: documents, embeddings, events, lineitem, …) ----

@@ -28,7 +28,7 @@ import ray.data as rd
 
 from .. import config
 from ..sources import readers
-from ..stages import assemble, canonicalize, enrich, graph, linker, mentions
+from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions
 from ..state.manifest import Manifest, atomic_write_parquet
 
 
@@ -95,6 +95,12 @@ def proteins(sf_dir: str) -> rd.Dataset:
 
 def go_terms(sf_dir: str) -> rd.Dataset:
     return enrich.go_for_proteins(proteins(sf_dir))
+
+
+def intersection(sf_dir: str, level: str = "Gene") -> rd.Dataset:
+    """Pairwise shared-node counts between top entity surfaces at a graph
+    level — the `GET /intersection` analog (neo4jconnector.py:267-316)."""
+    return intersect.intersection(intersect.level_nodes(top_cui_links(sf_dir), level))
 
 
 # ---------------------------------------------------------------------------

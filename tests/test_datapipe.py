@@ -1,0 +1,134 @@
+"""Training-data pipeline operators: unit behavior on crafted tables plus
+oracle parity at sf0.001 for the SQL-checkable ones."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+import importlib.util
+
+spec = importlib.util.spec_from_file_location("_ray_entry_dp", "/root/repo/__ray_entry__.py")
+_entry = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(_entry)
+
+from medknowledgegraph_ray.stages import ann, dedupe, textstats, windows
+
+SQL_CHECKED = [
+    "doc_stats", "doc_lang_id", "doc_quality", "dedup_exact", "dedup_minhash",
+    "ann_topk", "mm_metadata", "ev_tumbling", "ev_sessionize",
+    "agg_lineitem", "join_top_customers", "agg_orders_by_status",
+    "scan_filter_pushdown", "join_region_counts",
+]
+
+TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
+          "documents", "embeddings"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_parity_sf0001(name, sf_dir):
+    eng = _norm(_entry.queries()[name](sf_dir).to_pandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    ora = _norm(con.sql(_entry.oracle_sql()[name]).df())
+    con.close()
+    assert eng.shape == ora.shape, (eng.shape, ora.shape)
+    assert list(eng.dtypes) == list(ora.dtypes), (eng.dtypes, ora.dtypes)
+    assert eng.equals(ora)
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    ds = _docs([(5, "same text"), (2, "same text"), (9, "other")])
+    out = dedupe.exact_dedup(ds).to_pandas().set_index("keep_doc_id")
+    assert out.loc[2, "n_dups"] == 2 and out.loc[9, "n_dups"] == 1
+
+
+def test_minhash_finds_exact_dup_and_skips_disjoint():
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    b = "one two three four five six seven eight nine ten " * 5
+    ds = _docs([(1, a), (2, a), (3, b)])
+    out = dedupe.minhash_dedup(ds).to_pandas()
+    assert set(map(tuple, out[["doc_a", "doc_b"]].values.tolist())) == {(1, 2)}
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_identical_for_same_token_multiset():
+    ds = _docs([(1, "foo bar baz"), (2, "baz foo bar"), (3, "entirely different words")])
+    out = dedupe.simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
+    assert out[1] == out[2] != out[3]
+
+
+def test_fingerprint_is_order_sensitive_and_stable():
+    ds = _docs([(1, "a b c"), (2, "c b a"), (3, "a b c")])
+    out = textstats.fingerprints(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert out[1] == out[3] != out[2]
+
+
+def test_ann_bruteforce_matches_numpy():
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(50, 8))
+    emb = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    )
+    q = {"query_id": [0], "matrix": [rng.normal(size=8).tolist()]}
+    out = ann.brute_force_topk(emb, q, k=5).to_pandas().sort_values("rank")
+    qv = np.asarray(q["matrix"][0])
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (qv / np.linalg.norm(qv))
+    want = np.argsort(-np.round(sims, 6), kind="stable")[:5]
+    assert out["vec_id"].tolist() == want.tolist()
+
+
+def _events(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_sessionize_gap_boundary():
+    # gap == 1800s stays in-session; gap > 1800s starts a new one
+    base = 1_700_000_000_000_000  # epoch us
+    ds = _events([
+        (1, 7, base, 1.0),
+        (2, 7, base + 1800 * 1_000_000, 2.0),          # exactly the gap → same session
+        (3, 7, base + 3601 * 1_000_000 + 1800 * 1_000_000, 3.0),  # > gap → new session
+    ])
+    out = windows.sessionize(ds).to_pandas().sort_values("session_idx")
+    assert out["n_events"].tolist() == [2, 1]
+    assert out["value_sum_e6"].tolist() == [3_000_000, 3_000_000]
+
+
+def test_tumbling_window_boundary():
+    ds = _events([
+        (1, 7, 3600 * 1_000_000 - 1, 1.0),   # last µs of window 0
+        (2, 7, 3600 * 1_000_000, 2.0),       # first µs of window 1
+    ])
+    out = windows.tumbling_window(ds).to_pandas().sort_values("window_id")
+    assert out["window_id"].tolist() == [0, 1]
+    assert out["n_events"].tolist() == [1, 1]
