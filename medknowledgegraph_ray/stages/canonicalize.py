@@ -23,6 +23,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .. import config
+from . import distinct as _distinct
 
 
 def entity_counts(conv_entities: rd.Dataset) -> rd.Dataset:
@@ -88,9 +89,4 @@ def top_cuis_per_surface(
 
 def selected_cuis(top_links: rd.Dataset) -> rd.Dataset:
     """Distinct CUIs of the selected links (medgen.py:163 `list(set(cuis))`)."""
-    pre = top_links.map_batches(
-        lambda t: t.select(["cui"]).group_by("cui").aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return pre.groupby("cui").map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    return _distinct.distinct(top_links, ["cui"])

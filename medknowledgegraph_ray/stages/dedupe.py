@@ -137,10 +137,10 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_from_buckets, batch_format="pandas"
     )
-    # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # distinct pairs (a doc pair can collide in several bands) — vectorized
+    from .distinct import distinct as _distinct
+
+    return _distinct(pairs, ["doc_a", "doc_b"])
 
 
 def _ngram_set(text: str, w: int = 3) -> set:

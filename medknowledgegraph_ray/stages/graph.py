@@ -20,8 +20,13 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Min
 
 from .. import config
+from .distinct import distinct
+
+_SEP = "\x1f"  # packs (node_label, name, definition) for the Min aggregate;
+               # never occurs in our ASCII corpus/KB text
 
 
 def node_id(label: str, col: pa.ChunkedArray | pa.Array):
@@ -69,31 +74,48 @@ def _edges_batch(subj_label: str, subj_col: str, obj_label_col_or_const, obj_col
 
 def dedup_triples(edges: rd.Dataset) -> rd.Dataset:
     """Exact (subj, pred, obj) dedup: per-block partial distinct, then a
-    grouped distinct keyed on the composite triple (hash-partitioned; the
-    composite key spreads hot subjects across reducers)."""
-    pre = edges.map_batches(
-        lambda t: t.group_by(["subj", "pred", "obj"]).aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return pre.groupby(["subj", "pred", "obj"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    vectorized grouped distinct keyed on the composite triple (the composite
+    key spreads hot subjects across reducers)."""
+    return distinct(edges, ["subj", "pred", "obj"])
 
 
 def dedup_nodes(nodes: rd.Dataset) -> rd.Dataset:
-    """MERGE-on-id semantics: one row per canonical_id (neo4jconnector.py:127-129)."""
-    pre = nodes.map_batches(
-        lambda t: t.group_by(
-            ["canonical_id", "node_label", "name", "definition"]
-        ).aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    """MERGE-on-id semantics: one row per canonical_id (neo4jconnector.py:
+    127-129), keeping the lexicographic minimum of (node_label, name,
+    definition) — deterministic under any partitioning.
+
+    No per-group Python: the attribute triple is packed into one string so
+    the keep-min is a single vectorized Min aggregate, unpacked after."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        packed = pc.binary_join_element_wise(
+            t["node_label"], t["name"], t["definition"], _SEP
+        )
+        # per-block partial min bounds the exchange to one row per id per block
+        return (
+            pa.table({"canonical_id": t["canonical_id"], "packed": packed})
+            .group_by("canonical_id")
+            .aggregate([("packed", "min")])
+            .rename_columns(["canonical_id", "packed"])
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["packed"], _SEP)
+        return pa.table(
+            {
+                "canonical_id": t["canonical_id"],
+                "node_label": pc.list_element(parts, 0),
+                "name": pc.list_element(parts, 1),
+                "definition": pc.list_element(parts, 2),
+            }
+        )
+
+    merged = (
+        nodes.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("canonical_id")
+        .aggregate(Min("packed", alias_name="packed"))
     )
-    return pre.groupby("canonical_id").map_groups(
-        lambda t: t.sort_by([(c, "ascending") for c in t.column_names]).slice(0, 1),
-        batch_format="pyarrow",
-    )
+    return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def node_rows(batch: pa.Table, label, id_col: str, name_col: str, def_col: str | None) -> pa.Table:

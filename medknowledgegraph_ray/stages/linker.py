@@ -23,6 +23,7 @@ import ray
 import ray.data as rd
 
 from ..sources import readers
+from . import distinct as _distinct
 
 
 def link_catalog() -> pa.Table:
@@ -112,14 +113,7 @@ class SurfaceLinker:
 def distinct_surfaces(mentions: rd.Dataset) -> rd.Dataset:
     """Global distinct (norm_surface) — vocabulary-bounded, tiny after the
     per-block partial distinct, so the final exchange is negligible."""
-    pre = mentions.map_batches(
-        lambda t: t.select(["norm_surface"]).group_by("norm_surface").aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return pre.groupby("norm_surface").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct.distinct(mentions, ["norm_surface"])
 
 
 def link_surfaces(mentions: rd.Dataset, *, fuzzy: bool = False) -> rd.Dataset:
