@@ -50,13 +50,14 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
-    t0 = time.time()
-    kg.conversations(sf_dir).count()
-    queries["assembly"] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        t0 = time.time()
+        kg.conversations(sf_dir).count()
+        queries["assembly"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    kg.mention_rows(sf_dir).count()
-    queries["mentions"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        kg.mention_rows(sf_dir).count()
+        queries["mentions"] = round(time.time() - t0, 3)
 
     out_dir = f"/tmp/graft_bench/kg_{os.path.basename(sf_dir)}_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -80,8 +81,20 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling criterion needs a compute-dominant run: at sf0.1 the build
+    # is ~20 s of which fixed costs (actor spawn, driver steps, single-disk
+    # writes) are most — parallelism-insensitive by nature.  The sf1
+    # generated corpus (~2.5M turns) keeps the scalable stages (detection,
+    # conv-entity distinct, triple dedup) in the majority.
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
+
     def once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=scaling_sf,
+            GRAFT_BENCH_BUILD_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -27,8 +27,48 @@ DEFAULT_SEED = 20260817
 
 # Ray Data tuning defaults (overridable per call).
 DETECT_BATCH_SIZE = 4096      # turns per batch through the mention actor pool
-DETECT_CONCURRENCY = (1, 8)   # actor pool min/max (min 1: never deadlock on a small node)
 SALT_BUCKETS = 16             # salt fan-out for two-phase aggregation on hot keys
+MENTION_BUCKETS = 64          # resume-unit buckets for the mention stage write
+
+
+def pool_size(cap: int | None = None) -> tuple[int, int]:
+    """Actor-pool (min, max) sized to the CLUSTER, not a constant.
+
+    A fixed max (the old `(1, 8)`) means a 4N-node cluster runs the compute
+    stage no faster than an N-node one — the direct opposite of the scaling
+    criterion.  Max = total cluster CPUs (optionally capped); min stays 1 so
+    multi-branch plans never deadlock on a small node.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, min(cpus, cap) if cap else cpus)
+
+
+def detect_concurrency() -> tuple[int, int]:
+    """Pool sizing for the hot detection stage: PRE-SIZED, not ramped.
+
+    Ray Data's autoscaling pool starts at `min` and upscales lazily — with
+    min=1 the sf1 detection stage spent half its wall time below target
+    pool size (24 s → 12 s once pre-sized).  min = 3/4 of cluster CPUs,
+    capped at cpus-2 so shuffle tasks and a second small pool never starve
+    (actors hold their CPU while downstream stages run)."""
+    lo, hi = pool_size()
+    warm = max(lo, min((hi * 3) // 4, hi - 2))
+    return (max(1, warm), hi)
+
+
+def shuffle_blocks() -> int:
+    """Reduce-side partition count for small-output shuffles (distinct /
+    dedup).  Ray's default scales block count with cluster CPUs, which for
+    vocabulary-bounded intermediates means hundreds of near-empty blocks —
+    pure scheduling overhead that WORSENS with cluster size.  Clamp to
+    [8, 64]: enough reducers to spread hot keys, few enough that task
+    overhead stays constant as the cluster grows."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, min(64, cpus))
 
 
 def sf_name(sf_dir: str) -> str:

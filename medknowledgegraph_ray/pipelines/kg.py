@@ -127,26 +127,71 @@ def _entity_umls_edges(t: pa.Table) -> pa.Table:
 
 def graph_tables(mention_ds: rd.Dataset) -> dict[str, rd.Dataset]:
     """All downstream tables from a (materialized or Parquet-backed) mention
-    table.  Every returned dataset is either tiny (vocabulary-bounded) and
-    materialized, or a cheap stateless transform over one."""
-    lk = linker.link_surfaces(mention_ds).materialize()      # |vocab| rows
+    table.
+
+    Only the corpus-scale work runs as Ray jobs: the per-conversation
+    entity distinct (`ce`), its count aggregate, and the distinct-surface
+    shuffle.  Everything downstream of those is vocabulary/KB-bounded
+    (≤ a few hundred rows regardless of corpus size), so the selection and
+    enrichment chain runs DRIVER-SIDE on the pulled tiny tables — the
+    driver is where a broadcast join's small side lives anyway, and each
+    avoided mini-job removes fixed scheduling latency that would otherwise
+    cap scaling efficiency.  The driver-side ops share their emit/ordering
+    logic with the streaming variants (enrich.*_table / linker.link_table),
+    so both paths are row-identical."""
     ce = mentions.conv_entities(mention_ds).materialize()    # ≤ convs × vocab
-    top = canonicalize.top_entities(canonicalize.entity_counts(ce))
-    top_links = canonicalize.top_cuis_per_surface(lk, surfaces=top)
-    sel = canonicalize.selected_cuis(top_links).materialize()  # ≤ 60 rows
-    gn = enrich.genes_for_cuis(sel).materialize()
-    sn = enrich.snomed_for_cuis(sel)
-    cf = enrich.clinical_features_for_cuis(sel)
-    pr = enrich.proteins_for_genes(gn).materialize()
-    go = enrich.go_for_proteins(pr)
-    return {"links": lk, "conv_entities": ce, "selected": sel,
-            "genes": gn, "snomed": sn, "clinical_features": cf,
-            "proteins": pr, "go": go}
+    # distinct surfaces derive from ce (vocab ⊆ ce keys) — no second scan of
+    # the corpus-scale mention table
+    counts = canonicalize.entity_counts(ce).to_pandas()      # vocab-bounded
+    lk_tab = linker.link_table(counts["norm_surface"].unique().tolist())
+    lk_df = lk_tab.to_pandas()
+    top = counts[counts["label"] == "DISEASE"].sort_values(
+        ["n_convs", "norm_surface"], ascending=[False, True], kind="mergesort"
+    ).head(config.TOP_ENTITIES)
+
+    cand = lk_df[
+        (lk_df["score"] > config.SCORE_MIN)
+        & lk_df["norm_surface"].isin(set(top["norm_surface"]))
+    ]
+    top_links = (
+        cand.sort_values(["score", "cui"], ascending=[False, True], kind="mergesort")
+        .groupby("norm_surface", sort=False)
+        .head(config.TOP_CUIS)
+    )
+    sel = sorted(set(top_links["cui"]))
+
+    gn = enrich.genes_table(sel)
+    sn = enrich.snomed_table(sel)
+    cf = enrich.clinical_features_table(sel)
+    pr = enrich.proteins_table(gn["gene"].to_pylist())
+    go = enrich.go_table(pr["entry"].to_pylist())
+
+    wrap = rd.from_arrow
+    return {
+        "links": wrap(lk_tab),
+        "conv_entities": ce,
+        "selected": wrap(pa.table({"cui": pa.array(sel, pa.string())})),
+        "genes": wrap(gn),
+        "snomed": wrap(sn),
+        "clinical_features": wrap(cf),
+        "proteins": wrap(pr),
+        "go": wrap(go),
+    }
 
 
 def _edge_union(t: dict[str, rd.Dataset]) -> rd.Dataset:
-    parts = [
-        _edges_from(t["conv_entities"], "Conversation", "conv_id", "label", "norm_surface"),
+    """Union of the seven edge families.
+
+    The corpus-scale family (Conversation→entity) is derived 1:1 from the
+    already-deduplicated conv_entities table and its subjects live in their
+    own `Conversation:` namespace — re-shuffling it through a global triple
+    dedup would move millions of rows to prove what is true by
+    construction.  Only the vocabulary/KB-bounded families go through
+    dedup_triples (guards e.g. duplicate (surface, cui) rows under fuzzy
+    linking); their namespaces are mutually disjoint from the conversation
+    family, so the final union is globally distinct."""
+    ce_edges = _edges_from(t["conv_entities"], "Conversation", "conv_id", "label", "norm_surface")
+    small_parts = [
         t["links"].map_batches(_entity_umls_edges, batch_format="pyarrow", zero_copy_batch=True),
         _edges_from(t["genes"], "UMLS", "source", "Gene", "gene"),
         _edges_from(t["snomed"], "UMLS", "source", "SnomedConcept", "saui"),
@@ -154,24 +199,34 @@ def _edge_union(t: dict[str, rd.Dataset]) -> rd.Dataset:
         _edges_from(t["proteins"], "Gene", "source", "Protein", "entry"),
         _edges_from(t["go"], "Protein", "source", "GO", "go_id"),
     ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.union(p)
-    return graph.dedup_triples(u)
+    small = small_parts[0]
+    for p in small_parts[1:]:
+        small = small.union(p)
+    return ce_edges.union(graph.dedup_triples(small, blocks=1))
 
 
 def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
-    conv_nodes = conv_ids.map_batches(
-        lambda b: graph.node_rows(
-            b.group_by("conv_id").aggregate([]), "Conversation", "conv_id", "conv_id", None
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    """Union of the node families, deduped PER FAMILY.
+
+    Canonical ids are namespaced by label (`<label>:<id>`), so families
+    never collide and each family's dedup exchange can be sized to that
+    family: the conversation family is corpus-scale (full shuffle width),
+    the entity family is vocabulary-bounded after the per-block partial,
+    and everything KB-derived fits one reduce partition."""
+    conv_nodes = graph.dedup_nodes(
+        conv_ids.map_batches(
+            lambda b: graph.node_rows(
+                b.group_by("conv_id").aggregate([]), "Conversation", "conv_id", "conv_id", None
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
     )
-    parts = [
-        conv_nodes,
+    entity_nodes = graph.dedup_nodes(
         t["conv_entities"].map_batches(
             lambda b: graph.node_rows(b, "label", "norm_surface", "norm_surface", None),
             batch_format="pyarrow", zero_copy_batch=True),
+    )
+    small_parts = [
         t["links"].map_batches(
             lambda b: graph.node_rows(b, "UMLS", "cui", "name", "definition"),
             batch_format="pyarrow", zero_copy_batch=True),
@@ -191,17 +246,16 @@ def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
             lambda b: graph.node_rows(b, "GO", "go_id", "go_name", None),
             batch_format="pyarrow", zero_copy_batch=True),
     ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.union(p)
-    return graph.dedup_nodes(u)
+    small = small_parts[0]
+    for p in small_parts[1:]:
+        small = small.union(p)
+    return conv_nodes.union(entity_nodes).union(graph.dedup_nodes(small, blocks=1))
 
 
 def edges(sf_dir: str) -> rd.Dataset:
     """The full deduplicated (subj, pred, obj) edge set — the triple surface
     judged against the reference semantics (P/R on the set)."""
-    m = mention_rows(sf_dir).materialize()
-    return _edge_union(graph_tables(m))
+    return _edge_union(graph_tables(mention_rows(sf_dir)))
 
 
 triples = edges  # the edge set IS the emitted triple set
@@ -209,8 +263,7 @@ triples = edges  # the edge set IS the emitted triple set
 
 def nodes(sf_dir: str) -> rd.Dataset:
     """Deduplicated node table (canonical_id, node_label, name, definition)."""
-    m = mention_rows(sf_dir).materialize()
-    return _node_union(graph_tables(m), transcripts(sf_dir, ["conv_id"]))
+    return _node_union(graph_tables(mention_rows(sf_dir)), transcripts(sf_dir, ["conv_id"]))
 
 
 # ---------------------------------------------------------------------------
@@ -235,31 +288,50 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
         files = [path] if path.endswith(".parquet") else sorted(glob.glob(os.path.join(path, "*.parquet")))
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
+    # Resume granularity: BUCKETS of input shards (≤ MENTION_BUCKETS), not
+    # individual shards.  At 10^5+ shards a per-shard hive write means that
+    # many tiny partitions — filesystem metadata and block bloat that every
+    # downstream read and shuffle pays for.  A bucket (stable hash of the
+    # shard name) is the atomic resume unit: lose one bucket, recompute only
+    # its member shards.
+    import zlib
+
+    n_buckets = min(config.MENTION_BUCKETS, max(1, len(shards)))
+
+    def bucket_of(shard_path: str) -> str:
+        name = os.path.basename(shard_path).replace(".parquet", "")
+        return f"b{zlib.crc32(name.encode()) % n_buckets:04d}"
+
+    buckets: dict[str, list[str]] = {}
+    for shard_path in shards:
+        buckets.setdefault(bucket_of(shard_path), []).append(shard_path)
+
     done = man.completed("mentions")
     mention_dirs, n_turns = [], 0
-    pending = []
-    for shard_path in shards:
-        part = os.path.basename(shard_path).replace(".parquet", "")
+    pending: list[tuple[str, list[str]]] = []
+    for part in sorted(buckets):
         if part in done:
             mention_dirs.append(done[part]["output_path"])
             n_turns += done[part].get("rows_in", 0)
         else:
-            pending.append((part, shard_path))
+            pending.append((part, buckets[part]))
 
     if pending:
-        # ONE pipelined execution over every pending shard (per-shard
-        # sequential runs would pay actor-pool startup per shard); per-shard
-        # output partitions are preserved via a hive-partitioned write on the
-        # carried `shard` provenance column, so resume granularity is intact.
+        # ONE pipelined execution over every pending bucket (per-bucket
+        # sequential runs would pay actor-pool startup per bucket); bucket
+        # output partitions are preserved via a hive-partitioned write on
+        # the carried provenance column, so resume granularity is intact.
+        pat_buckets = {os.path.basename(p): b for b, paths in pending for p in paths}
         ds = rd.read_parquet(
-            [p for _, p in pending],
+            [p for _, paths in pending for p in paths],
             columns=["conv_id", "turn_idx", "text"],
             include_paths=True,
         ).map_batches(
             lambda t: t.append_column(
                 "shard",
-                pc.replace_substring_regex(
-                    pc.replace_substring_regex(t["path"], r"^.*/", ""), r"\.parquet$", ""
+                pa.array(
+                    [pat_buckets[os.path.basename(p)] for p in t["path"].to_pylist()],
+                    pa.string(),
                 ),
             ).drop_columns(["path"]),
             batch_format="pyarrow",
@@ -272,24 +344,26 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
         det.write_parquet(tmp, partition_cols=["shard"])
         os.makedirs(os.path.join(out_dir, "mentions"), exist_ok=True)
-        for part, shard_path in pending:
+        for part, shard_paths in pending:
             src = os.path.join(tmp, f"shard={part}")
             dst = os.path.join(out_dir, "mentions", part)
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.exists(src):
                 os.rename(src, dst)
-            else:  # shard produced zero mentions
+            else:  # bucket produced zero mentions
                 os.makedirs(dst, exist_ok=True)
-            rows_in, rows_out = _nrows(shard_path), _nrows(dst)
+            rows_in, rows_out = sum(_nrows(p) for p in shard_paths), _nrows(dst)
             man.record(
                 "mentions", part, "done",
-                input_shard=shard_path, rows_in=rows_in, rows_out=rows_out, output_path=dst,
+                input_shards=shard_paths, rows_in=rows_in, rows_out=rows_out, output_path=dst,
             )
             mention_dirs.append(dst)
             n_turns += rows_in
         shutil.rmtree(tmp, ignore_errors=True)
 
     mention_files = [f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    # single consumer (conv_entities): a lazy read streams the committed
+    # Parquet exactly once
     mention_ds = rd.read_parquet(mention_files)
     t = graph_tables(mention_ds)
 

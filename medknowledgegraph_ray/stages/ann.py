@@ -15,6 +15,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .. import config
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -65,17 +67,26 @@ def brute_force_topk(
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=config.pool_size(),
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         g["score"] = g["score"].round(6)
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        return g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def pick_and_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = pick(g)
         g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
         return g
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    # salted two-phase merge: at corpus scale the per-query partial set is
+    # k × #blocks rows — one reducer per query melts without the salt
+    from .skew import salted_grouped_topk
+
+    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
 
 
 def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int = 4) -> rd.Dataset:
@@ -95,7 +106,7 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
 
     bucketed = embeddings.map_batches(
         HyperplaneBucketer, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
+        batch_format="pandas", batch_size=4096, concurrency=config.pool_size(),
     )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:

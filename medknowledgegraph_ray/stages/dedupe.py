@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .. import config
+
 _WORD = re.compile(r"[a-z0-9]+")
 
 
@@ -120,8 +122,21 @@ class MinHasher:
         )
 
 
+# Degenerate-bucket guard: a bucket shared by B docs emits B(B-1)/2 pairs —
+# a boilerplate-text bucket at corpus scale is O(n²) skew on one reducer.
+# Buckets past the cap fail LOUDLY (no silent truncation, SURVEY §7.4): the
+# operator's contract is that such text should be exact-deduped or
+# stopworded upstream first.
+MAX_BUCKET = 10_000
+
+
 def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(set(g["doc_id"]))
+    if len(ids) > MAX_BUCKET:
+        raise ValueError(
+            f"LSH bucket with {len(ids)} docs exceeds MAX_BUCKET={MAX_BUCKET}; "
+            "run exact dedup / boilerplate stripping before MinHash"
+        )
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -133,7 +148,7 @@ def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
 def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
     """LSH candidate pairs: docs sharing any band bucket (distinct pairs)."""
     bands = docs.map_batches(MinHasher, fn_constructor_kwargs=kw, batch_format="pandas",
-                             batch_size=2048, concurrency=(1, 8))
+                             batch_size=2048, concurrency=config.pool_size())
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_from_buckets, batch_format="pandas"
     )
@@ -150,20 +165,51 @@ def _ngram_set(text: str, w: int = 3) -> set:
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
     """Verified near-dup pairs: candidates whose exact shingle Jaccard ≥
-    threshold.  Verification joins the (small) candidate set against doc
-    text via a broadcast map, never all-pairs."""
-    import ray
+    threshold.
 
-    cands = minhash_candidates(docs, **kw).to_pandas()
-    texts = {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    Scale shape: the candidate PAIR set is small by LSH construction, so
+    only docs that appear in some candidate pair are ever materialized —
+    the corpus-wide text scan stays distributed (a broadcast semi-join
+    filter inside map_batches), never `take_all` on the full input."""
+    cands = minhash_candidates(docs, **kw).to_pandas()  # small by construction
+    pair_list = list(zip(cands.get("doc_a", []), cands.get("doc_b", [])))
+    if not pair_list:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_ids = sorted({d for p in pair_list for d in p})
+
+    # distributed semi-join: stream the corpus, keep candidate docs only,
+    # reduce each to its (hashed) shingle set — tiny result, safe to gather
+    id_arr = pa.array(cand_ids, pa.int64())
+
+    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["doc_id"].isin(cand_ids)
+        sub = batch[keep]
+        sets = [
+            sorted({_md5_u64(s.encode()) for s in _ngram_set(t or "")})
+            for t in sub["text"]
+        ]
+        return pd.DataFrame({"doc_id": sub["doc_id"].astype("int64"), "shingles": sets})
+
+    gathered = {
+        r["doc_id"]: set(r["shingles"])
+        for r in docs.map_batches(shingle_rows, batch_format="pandas").take_all()
+    }
     out = []
-    for a, b in zip(cands.get("doc_a", []), cands.get("doc_b", [])):
-        sa, sb = _ngram_set(texts[a]), _ngram_set(texts[b])
+    for a, b in pair_list:
+        sa, sb = gathered.get(a, set()), gathered.get(b, set())
         if not sa or not sb:
             continue
         j = len(sa & sb) / len(sa | sb)
         if j >= threshold:
-            out.append((a, b, round(j, 6)))
+            out.append((int(a), int(b), round(j, 6)))
     return rd.from_arrow(
         pa.table(
             {
@@ -204,7 +250,8 @@ class SimHasher:
 
 
 def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
+    return docs.map_batches(SimHasher, batch_format="pandas", batch_size=2048,
+                            concurrency=config.pool_size())
 
 
 def simhash_dup_groups(docs: rd.Dataset) -> rd.Dataset:
@@ -259,7 +306,7 @@ def embedding_near_dups(embeddings: rd.Dataset, threshold: float = 0.95, dim: in
         dim = len(first["embedding"])
     bucketed = embeddings.map_batches(
         HyperplaneBucketer, fn_constructor_kwargs={"dim": dim},
-        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
+        batch_format="pandas", batch_size=4096, concurrency=config.pool_size(),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -72,14 +72,14 @@ def _edges_batch(subj_label: str, subj_col: str, obj_label_col_or_const, obj_col
     return fn
 
 
-def dedup_triples(edges: rd.Dataset) -> rd.Dataset:
+def dedup_triples(edges: rd.Dataset, *, blocks: int | None = None) -> rd.Dataset:
     """Exact (subj, pred, obj) dedup: per-block partial distinct, then a
     vectorized grouped distinct keyed on the composite triple (the composite
     key spreads hot subjects across reducers)."""
-    return distinct(edges, ["subj", "pred", "obj"])
+    return distinct(edges, ["subj", "pred", "obj"], blocks=blocks)
 
 
-def dedup_nodes(nodes: rd.Dataset) -> rd.Dataset:
+def dedup_nodes(nodes: rd.Dataset, *, blocks: int | None = None) -> rd.Dataset:
     """MERGE-on-id semantics: one row per canonical_id (neo4jconnector.py:
     127-129), keeping the lexicographic minimum of (node_label, name,
     definition) — deterministic under any partitioning.
@@ -112,6 +112,7 @@ def dedup_nodes(nodes: rd.Dataset) -> rd.Dataset:
 
     merged = (
         nodes.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(blocks or config.shuffle_blocks())  # post-partial data is tiny
         .groupby("canonical_id")
         .aggregate(Min("packed", alias_name="packed"))
     )

@@ -110,6 +110,13 @@ class SurfaceLinker:
         )
 
 
+def link_table(surfaces: list[str], *, fuzzy: bool = False) -> pa.Table:
+    """Driver-side linking of an (already vocabulary-bounded) surface list —
+    same SurfaceLinker state and emit as the streaming path, no Ray job."""
+    lk = SurfaceLinker(link_catalog(), fuzzy=fuzzy)
+    return lk(pa.table({"norm_surface": pa.array(sorted(set(surfaces)), pa.string())}))
+
+
 def distinct_surfaces(mentions: rd.Dataset) -> rd.Dataset:
     """Global distinct (norm_surface) — vocabulary-bounded, tiny after the
     per-block partial distinct, so the final exchange is negligible."""

@@ -110,10 +110,12 @@ def detect_mentions(
     turns: rd.Dataset,
     *,
     batch_size: int = config.DETECT_BATCH_SIZE,
-    concurrency=config.DETECT_CONCURRENCY,
+    concurrency=None,
     keep_shard: bool = False,
 ) -> rd.Dataset:
     """turns → mentions(conv_id, turn_idx, norm_surface, label), distinct per turn."""
+    if concurrency is None:
+        concurrency = config.detect_concurrency()  # pre-sized, cluster-scaled
     vocab_ref = ray.put(alias_catalog())
     cols = ["conv_id", "turn_idx", "text"] + (["shard"] if keep_shard else [])
     return turns.select_columns(cols).map_batches(

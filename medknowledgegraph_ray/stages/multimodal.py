@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .. import config
+
 
 def to_binary_payloads(docs: rd.Dataset) -> rd.Dataset:
     """Model a binary-payload table from the documents table: payload =
@@ -87,7 +89,7 @@ def decode_media(payloads: rd.Dataset, *, batch_size: int = 256) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=config.pool_size(),
     )
 
 

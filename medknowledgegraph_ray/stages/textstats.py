@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .. import config
+
 from ..functions import text as textfn
 
 _TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)  # ASCII → RE2/DuckDB-identical classes
@@ -65,7 +67,8 @@ class TextStats:
 
 
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(TextStats, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+    return docs.map_batches(TextStats, batch_format="pandas", batch_size=4096,
+                            concurrency=config.pool_size())
 
 
 def lang_id(docs: rd.Dataset) -> rd.Dataset:
@@ -128,4 +131,5 @@ class Fingerprinter:
 
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+    return docs.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096,
+                            concurrency=config.pool_size())

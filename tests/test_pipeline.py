@@ -85,8 +85,8 @@ def test_build_graph_resume(tmp_path, sf_dir):
     r2 = kg.build_graph(sf_dir, out)
     assert r2["n_edges"] == r1["n_edges"]
 
-    # lose a mention partition → only it recomputes; identical triple set
-    victim = sorted(glob.glob(out + "/mentions/part-*"))[0]
+    # lose a mention bucket → only it recomputes; identical triple set
+    victim = sorted(glob.glob(out + "/mentions/b*"))[0]
     shutil.rmtree(victim)
     shutil.rmtree(out + "/edges")
     shutil.rmtree(out + "/nodes")
