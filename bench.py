@@ -49,12 +49,14 @@ def run_bench() -> dict:
     n_turns = readers.read_transcripts(sf_dir, ["conv_id"]).count()
 
     queries: dict[str, float] = {}
+    mode = os.environ.get("GRAFT_BENCH_MODE", "full")  # full | scaling
 
-    if not os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+    if mode == "full":
         t0 = time.time()
         kg.conversations(sf_dir).count()
         queries["assembly"] = round(time.time() - t0, 3)
 
+    if mode in ("full", "scaling"):
         t0 = time.time()
         kg.mention_rows(sf_dir).count()
         queries["mentions"] = round(time.time() - t0, 3)
@@ -93,7 +95,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=scaling_sf,
-            GRAFT_BENCH_BUILD_ONLY="1",
+            GRAFT_BENCH_MODE="scaling",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -106,6 +108,12 @@ def run_scaling() -> dict:
     thr_lo = r_lo["n_turns"] / r_lo["value"]
     thr_hi = r_hi["n_turns"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # model-stage (triple extraction / mention detection) efficiency — the
+    # compute-bound stage that dominates with a real NER model; end-to-end
+    # on ONE box under-reports a multi-node cluster because disk + object
+    # store + memory bandwidth are shared across all CPUs here but scale
+    # with node count there (analysis in BASELINE.md)
+    m_lo, m_hi = r_lo["queries"]["mentions"], r_hi["queries"]["mentions"]
     return {
         "metric": "scaling_efficiency",
         "sec_8": r_lo["value"],
@@ -113,6 +121,11 @@ def run_scaling() -> dict:
         "turns_per_sec_8": round(thr_lo, 1),
         "turns_per_sec_32": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "model_stage_sec_8": m_lo,
+        "model_stage_sec_32": m_hi,
+        "model_stage_turns_per_sec_8": round(r_lo["n_turns"] / m_lo, 1),
+        "model_stage_turns_per_sec_32": round(r_hi["n_turns"] / m_hi, 1),
+        "model_stage_efficiency": round((m_lo / m_hi) / (hi / lo), 3),
         "sf": r_hi["sf"],
     }
 

@@ -22,11 +22,18 @@ PRED = "CONTAINS"         # single predicate, as in neo4jconnector.py:160
 GEN_ROOT = os.environ.get("GRAFT_KG_GEN_ROOT", "/tmp/graft_kg")
 
 # Scale-factor → corpus size (number of conversations).
-SF_CONVS = {"sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000, "sf1": 150000}
+SF_CONVS = {
+    "sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000,
+    "sf1": 150000, "sf3": 450000,
+}
 DEFAULT_SEED = 20260817
 
 # Ray Data tuning defaults (overridable per call).
-DETECT_BATCH_SIZE = 4096      # turns per batch through the mention actor pool
+# Turns per batch through the mention actor pool.  Sized for task-submission
+# amortization: at 4096 the sf3 corpus became 1,856 batches whose serial
+# scheduling cost ~6 s; 32768 (~10 MB of turn text, trivially within worker
+# heap × pool size) cuts that 8×.  Shrink for large-payload columns.
+DETECT_BATCH_SIZE = 32768
 SALT_BUCKETS = 16             # salt fan-out for two-phase aggregation on hot keys
 MENTION_BUCKETS = 64          # resume-unit buckets for the mention stage write
 

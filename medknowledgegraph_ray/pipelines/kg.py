@@ -213,13 +213,14 @@ def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
     family: the conversation family is corpus-scale (full shuffle width),
     the entity family is vocabulary-bounded after the per-block partial,
     and everything KB-derived fits one reduce partition."""
-    conv_nodes = graph.dedup_nodes(
-        conv_ids.map_batches(
-            lambda b: graph.node_rows(
-                b.group_by("conv_id").aggregate([]), "Conversation", "conv_id", "conv_id", None
-            ),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+    # conversation nodes: name/definition are the id itself, so this family
+    # needs only a distinct over conv_id — the parallel sort-based distinct,
+    # not the pack-min aggregate (whose exchange is serial in Ray 2.49)
+    from ..stages.distinct import distinct as _dd
+
+    conv_nodes = _dd(conv_ids, ["conv_id"]).map_batches(
+        lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     entity_nodes = graph.dedup_nodes(
         t["conv_entities"].map_batches(
@@ -361,9 +362,12 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
             n_turns += rows_in
         shutil.rmtree(tmp, ignore_errors=True)
 
-    mention_files = [f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
-    # single consumer (conv_entities): a lazy read streams the committed
-    # Parquet exactly once
+    # stream the committed Parquet (single downstream consumer; pinning the
+    # mention table in the object store alongside the sort exchange measured
+    # SLOWER than re-reading it — the store and the sort share memory bw)
+    mention_files = [
+        f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
     mention_ds = rd.read_parquet(mention_files)
     t = graph_tables(mention_ds)
 

@@ -106,25 +106,66 @@ class MentionDetector:
         return pa.table(cols)
 
 
+# Worker-process-global detector cache for the task-based path: state is
+# built once per worker (the same load-once guarantee an actor pool gives)
+# and reused by every task that lands on that worker.
+_DETECTOR_CACHE: dict = {}
+
+
+def _cached_detector(vocab_ref) -> "MentionDetector":
+    key = vocab_ref.hex() if isinstance(vocab_ref, ray.ObjectRef) else id(vocab_ref)
+    det = _DETECTOR_CACHE.get(key)
+    if det is None:
+        _DETECTOR_CACHE.clear()  # one vocab per job; don't hoard stale state
+        det = MentionDetector(vocab_ref)
+        _DETECTOR_CACHE[key] = det
+    return det
+
+
 def detect_mentions(
     turns: rd.Dataset,
     *,
     batch_size: int = config.DETECT_BATCH_SIZE,
     concurrency=None,
     keep_shard: bool = False,
+    stateful: str = "task",
 ) -> rd.Dataset:
-    """turns → mentions(conv_id, turn_idx, norm_surface, label), distinct per turn."""
-    if concurrency is None:
-        concurrency = config.detect_concurrency()  # pre-sized, cluster-scaled
+    """turns → mentions(conv_id, turn_idx, norm_surface, label), distinct per turn.
+
+    `stateful` picks how the load-once detector state is hosted:
+
+    - "task" (default): plain tasks with a worker-global cache.  Our
+      detector builds its state (compiled alias regexes) in ~10 ms, so
+      spawning a dedicated actor pool (~4-6 s for a cluster-wide pool,
+      paid per execution) costs more than it saves; Ray's prestarted
+      workers give instant full-cluster parallelism and the cache still
+      builds state once per worker process.
+    - "actor": the classic actor pool (`map_batches(Cls, concurrency)`),
+      the right choice when state load is expensive (a real scispaCy +
+      UMLS linker takes minutes — manager.py:22-24 in the reference);
+      pool pre-sized via config.detect_concurrency().
+    """
     vocab_ref = ray.put(alias_catalog())
     cols = ["conv_id", "turn_idx", "text"] + (["shard"] if keep_shard else [])
-    return turns.select_columns(cols).map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={"vocab_ref": vocab_ref},
+    sel = turns.select_columns(cols)
+    if stateful == "actor":
+        return sel.map_batches(
+            MentionDetector,
+            fn_constructor_kwargs={"vocab_ref": vocab_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency or config.detect_concurrency(),
+        )
+
+    def detect(batch: pa.Table) -> pa.Table:
+        return _cached_detector(vocab_ref)(batch)
+
+    return sel.map_batches(
+        detect,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
