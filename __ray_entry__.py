@@ -197,8 +197,29 @@ def _ev_tumbling(sf_dir: str):
     return windows.tumbling_window(readers.read_table(sf_dir, "events"))
 
 
+def _ev_sliding(sf_dir: str):
+    return windows.sliding_window(readers.read_table(sf_dir, "events"))
+
+
+def _ev_top_events(sf_dir: str):
+    return windows.top_events_per_user(readers.read_table(sf_dir, "events"))
+
+
 def _ev_sessionize(sf_dir: str):
     return windows.sessionize(readers.read_table(sf_dir, "events"))
+
+
+def _dedup_simhash_groups(sf_dir: str):
+    return dedupe.simhash_dup_groups(_docs(sf_dir))
+
+
+def _kg_links_fuzzy(sf_dir: str):
+    # trigram-Jaccard fuzzy candidate scoring (J2's ANN-lookup analog);
+    # rows-only: the fuzzy score surface is not cheaply SQL-expressible
+    from medknowledgegraph_ray.pipelines import kg as _kg
+    from medknowledgegraph_ray.stages import linker as _linker
+
+    return _linker.link_surfaces(_kg.mention_rows(sf_dir), fuzzy=True)
 
 
 def _ann_query_values_sql() -> str:
@@ -246,8 +267,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "mm_metadata": _mm_metadata,
         "mm_decode": _mm_decode,
+        "dedup_simhash_groups": _dedup_simhash_groups,
+        "kg_links_fuzzy": _kg_links_fuzzy,
         # ---- windowed / ordered-log operators (events) ----
         "ev_tumbling": _ev_tumbling,
+        "ev_sliding": _ev_sliding,
+        "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
         "agg_lineitem": analytics.lineitem_agg,
@@ -417,6 +442,24 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
             " CAST(count(*) AS BIGINT) AS n_events,"
             " CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_e6"
             " FROM events GROUP BY 1, 2"
+        ),
+        "ev_sliding": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t,"
+            " CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events)"
+            " SELECT user_id, w AS window_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(value_e6) AS BIGINT) AS value_sum_e6"
+            " FROM e, UNNEST(generate_series((t - 3600000000) // 900000000 + 1,"
+            " t // 900000000)) AS u(w)"
+            " GROUP BY 1, 2"
+        ),
+        "ev_top_events": (
+            "SELECT user_id, event_id, value_e6, rank FROM ("
+            " SELECT user_id, event_id,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6,"
+            "  CAST(row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY CAST(round(value * 1000000) AS BIGINT) DESC, event_id ASC)"
+            "   AS BIGINT) AS rank"
+            " FROM events) WHERE rank <= 3"
         ),
         "ev_sessionize": """
 WITH e AS (

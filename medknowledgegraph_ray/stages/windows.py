@@ -54,6 +54,81 @@ def tumbling_window(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
     return merged.map_batches(finalize, batch_format="pandas")
 
 
+def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 900) -> rd.Dataset:
+    """Overlapping windows: window w covers [w·slide, w·slide + width); an
+    event belongs to width/slide windows.  The expansion is a vectorized
+    per-batch flat map (numpy repeat) followed by the same partial-agg +
+    keyed merge as the tumbling window; oracle via generate_series unnest."""
+    width_us = width_sec * 1_000_000
+    slide_us = slide_sec * 1_000_000
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].astype("int64").to_numpy()
+        v = np.round(batch["value"].to_numpy() * 1e6).astype("int64")
+        u = batch["user_id"].astype("int64").to_numpy()
+        w_min = (t - width_us) // slide_us + 1
+        w_max = t // slide_us
+        counts = (w_max - w_min + 1).astype("int64")
+        idx = np.repeat(np.arange(len(t)), counts)
+        # window ids: for each event, w_min[i] .. w_max[i]
+        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], dtype="int64")
+        out = pd.DataFrame(
+            {
+                "user_id": u[idx],
+                "window_id": w_min[idx] + offs,
+                "value_e6": v[idx],
+            }
+        )
+        g = out.groupby(["user_id", "window_id"])["value_e6"].agg(["count", "sum"]).reset_index()
+        return g.rename(columns={"count": "n_events", "sum": "value_sum_e6"})
+
+    partials = events.select_columns(["user_id", "ts", "value"]).map_batches(
+        expand, batch_format="pandas"
+    )
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("value_sum_e6", alias_name="value_sum_e6")
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_events"] = batch["n_events"].astype("int64")
+        batch["value_sum_e6"] = batch["value_sum_e6"].astype("int64")
+        return batch
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """Grouped top-k (by scaled value desc, event_id asc) via the salted
+    two-phase merge — the hot-key-safe holistic-aggregate shape."""
+    from .skew import salted_grouped_topk
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    prepped = events.select_columns(["user_id", "event_id", "value"]).map_batches(
+        prep, batch_format="pandas"
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value_e6", "event_id"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    def pick_and_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = pick(g)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    return salted_grouped_topk(prepped, "user_id", "event_id", pick, final=pick_and_rank)
+
+
 def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds `gap_sec`.  Inherently ordered → per-user group

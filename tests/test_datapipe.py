@@ -18,7 +18,8 @@ from medknowledgegraph_ray.stages import ann, dedupe, textstats, windows
 
 SQL_CHECKED = [
     "doc_stats", "doc_lang_id", "doc_quality", "dedup_exact", "dedup_minhash",
-    "ann_topk", "mm_metadata", "ev_tumbling", "ev_sessionize",
+    "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
+    "ev_sessionize",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
@@ -122,6 +123,14 @@ def test_sessionize_gap_boundary():
     out = windows.sessionize(ds).to_pandas().sort_values("session_idx")
     assert out["n_events"].tolist() == [2, 1]
     assert out["value_sum_e6"].tolist() == [3_000_000, 3_000_000]
+
+
+def test_sliding_window_membership():
+    # width 3600, slide 900: an event belongs to exactly 4 windows
+    ds = _events([(1, 7, 7200 * 1_000_000, 1.0)])
+    out = windows.sliding_window(ds).to_pandas().sort_values("window_id")
+    assert out["window_id"].tolist() == [5, 6, 7, 8]
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
 
 
 def test_tumbling_window_boundary():
