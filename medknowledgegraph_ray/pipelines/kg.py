@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .. import config
+from .. import config, schemas
 from ..sources import readers
 from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions
 from ..state.manifest import Manifest, atomic_write_parquet
@@ -202,7 +202,9 @@ def _edge_union(t: dict[str, rd.Dataset]) -> rd.Dataset:
     small = small_parts[0]
     for p in small_parts[1:]:
         small = small.union(p)
-    return ce_edges.union(graph.dedup_triples(small, blocks=1))
+    return ce_edges.union(graph.dedup_triples(small, blocks=1)).map_batches(
+        graph.schema_gate(schemas.TRIPLES), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
@@ -250,7 +252,11 @@ def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
     small = small_parts[0]
     for p in small_parts[1:]:
         small = small.union(p)
-    return conv_nodes.union(entity_nodes).union(graph.dedup_nodes(small, blocks=1))
+    return conv_nodes.union(entity_nodes).union(
+        graph.dedup_nodes(small, blocks=1)
+    ).map_batches(
+        graph.schema_gate(schemas.NODES), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def edges(sf_dir: str) -> rd.Dataset:

@@ -58,17 +58,15 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 
     hashed = docs.map_batches(hash_batch, batch_format="pandas")
 
-    # partial (per-block) min/count, then merge — two-phase so the exchange
-    # moves one row per distinct hash per block, not one per document
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("text_hash")["doc_id"].agg(["min", "count"]).reset_index()
-        return g.rename(columns={"min": "keep_doc_id", "count": "n_dups"})
+    # sorted-exchange grouped aggregation: at corpus scale the group count
+    # equals the distinct-document count, where Ray's per-group aggregate
+    # reduce melts (see stages/groupagg.py)
+    from .groupagg import grouped_agg
 
-    partials = hashed.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Min, Sum
-
-    return partials.groupby("text_hash").aggregate(
-        Min("keep_doc_id", alias_name="keep_doc_id"), Sum("n_dups", alias_name="n_dups")
+    return grouped_agg(
+        hashed,
+        ["text_hash"],
+        [("doc_id", "min", "keep_doc_id"), ("doc_id", "count", "n_dups")],
     )
 
 

@@ -29,6 +29,31 @@ _SEP = "\x1f"  # packs (node_label, name, definition) for the Min aggregate;
                # never occurs in our ASCII corpus/KB text
 
 
+def schema_gate(expected: pa.Schema):
+    """Stage-boundary validator (the §2.10 plugin correctness gate — the
+    basepipe.py:137-180 output-type check, ported to Arrow): every batch
+    crossing the boundary must carry exactly the declared schema.  Fails
+    loudly; costs a name/type comparison per batch."""
+    from ..schemas import TableSpecError
+
+    exp_names = list(expected.names)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.schema.names != exp_names:
+            raise TableSpecError(
+                f"schema gate: columns {t.schema.names} != declared {exp_names}"
+            )
+        for f in expected:
+            actual = t.schema.field(f.name).type
+            if actual != f.type:
+                raise TableSpecError(
+                    f"schema gate: column {f.name!r} is {actual}, declared {f.type}"
+                )
+        return t
+
+    return fn
+
+
 def node_id(label: str, col: pa.ChunkedArray | pa.Array):
     return pc.binary_join_element_wise(pa.scalar(label + ":"), col, "")
 

@@ -27,31 +27,24 @@ def tumbling_window(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
         # micro-units PER ROW so sums are exact integers regardless of
         # summation order (oracle: sum(CAST(round(value*1e6) AS BIGINT))).
         epoch_us = batch["ts"].astype("int64")
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "user_id": batch["user_id"].astype("int64"),
                 "window_id": (epoch_us // (width_sec * 1_000_000)).astype("int64"),
                 "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
             }
         )
-        g = out.groupby(["user_id", "window_id"])["value_e6"].agg(["count", "sum"]).reset_index()
-        return g.rename(columns={"count": "n_events", "sum": "value_sum_e6"})
 
-    partials = events.select_columns(["user_id", "ts", "value"]).map_batches(
+    from .groupagg import grouped_agg
+
+    keyed = events.select_columns(["user_id", "ts", "value"]).map_batches(
         add_window, batch_format="pandas"
     )
-    from ray.data.aggregate import Sum
-
-    merged = partials.groupby(["user_id", "window_id"]).aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("value_sum_e6", alias_name="value_sum_e6")
+    return grouped_agg(
+        keyed,
+        ["user_id", "window_id"],
+        [("value_e6", "count", "n_events"), ("value_e6", "sum", "value_sum_e6")],
     )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["value_sum_e6"] = batch["value_sum_e6"].astype("int64")
-        return batch
-
-    return merged.map_batches(finalize, batch_format="pandas")
 
 
 def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 900) -> rd.Dataset:
@@ -72,31 +65,24 @@ def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 9
         idx = np.repeat(np.arange(len(t)), counts)
         # window ids: for each event, w_min[i] .. w_max[i]
         offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], dtype="int64")
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "user_id": u[idx],
                 "window_id": w_min[idx] + offs,
                 "value_e6": v[idx],
             }
         )
-        g = out.groupby(["user_id", "window_id"])["value_e6"].agg(["count", "sum"]).reset_index()
-        return g.rename(columns={"count": "n_events", "sum": "value_sum_e6"})
 
-    partials = events.select_columns(["user_id", "ts", "value"]).map_batches(
+    from .groupagg import grouped_agg
+
+    keyed = events.select_columns(["user_id", "ts", "value"]).map_batches(
         expand, batch_format="pandas"
     )
-    from ray.data.aggregate import Sum
-
-    merged = partials.groupby(["user_id", "window_id"]).aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("value_sum_e6", alias_name="value_sum_e6")
+    return grouped_agg(
+        keyed,
+        ["user_id", "window_id"],
+        [("value_e6", "count", "n_events"), ("value_e6", "sum", "value_sum_e6")],
     )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_events"] = batch["n_events"].astype("int64")
-        batch["value_sum_e6"] = batch["value_sum_e6"].astype("int64")
-        return batch
-
-    return merged.map_batches(finalize, batch_format="pandas")
 
 
 def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
