@@ -56,6 +56,28 @@ def run_bench() -> dict:
         kg.conversations(sf_dir).count()
         queries["assembly"] = round(time.time() - t0, 3)
 
+        # training-data pipeline operators over the provided tables
+        from medknowledgegraph_ray.sources import readers as _r
+        from medknowledgegraph_ray.stages import ann as _ann
+        from medknowledgegraph_ray.stages import dedupe as _dd
+        from medknowledgegraph_ray.stages import textstats as _ts
+        from medknowledgegraph_ray.stages import windows as _w
+
+        docs = lambda: _r.read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+        t0 = time.time()
+        _dd.minhash_dedup(docs()).count()
+        queries["dedup_minhash"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _ts.quality_score(docs()).count()
+        queries["doc_quality"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        emb = _r.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        _ann.brute_force_topk(emb, _ann.fixed_queries(64), k=10).count()
+        queries["ann_topk"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _w.sliding_window(_r.read_table(sf_dir, "events")).count()
+        queries["ev_sliding"] = round(time.time() - t0, 3)
+
     if mode in ("full", "scaling"):
         t0 = time.time()
         kg.mention_rows(sf_dir).count()

@@ -144,16 +144,98 @@ def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
-    """LSH candidate pairs: docs sharing any band bucket (distinct pairs)."""
+    """LSH candidate pairs: docs sharing any band bucket (distinct pairs).
+
+    Bucket grouping uses the sorted-runs shape (stages/distinct.py): after
+    sorting by (band_id, band_hash), each bucket is a contiguous run; pairs
+    for runs strictly inside a block are emitted vectorized, and only the
+    first/last run of each block (which may continue in a neighbor block)
+    goes through a per-group pass — `groupby(bucket).map_groups` would cost
+    one Python call per (doc × band) bucket, ~80k at 5k docs."""
     bands = docs.map_batches(MinHasher, fn_constructor_kwargs=kw, batch_format="pandas",
                              batch_size=2048, concurrency=config.pool_size())
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas"
+    s = bands.sort(["band_id", "band_hash", "doc_id"])
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "band_id": pd.array([], dtype="int32"),
+                "band_hash": pd.array([], dtype="int64"),
+                "is_edge": pd.array([], dtype="bool"),
+            }
+        )
+        n = len(df)
+        if n == 0:
+            return empty
+        b = df["band_id"].to_numpy()
+        h = df["band_hash"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        run_id = np.cumsum(new_run) - 1
+        n_runs = run_id[-1] + 1
+        out_a, out_b = [], []
+        edge_rows = []
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        for r, (st, en) in enumerate(zip(starts, ends)):
+            if r == 0 or r == n_runs - 1:  # may continue in a neighbor block
+                edge_rows.append((st, en))
+                continue
+            if en - st < 2:
+                continue
+            ids = np.unique(d[st:en])
+            if len(ids) > MAX_BUCKET:
+                raise ValueError(
+                    f"LSH bucket with {len(ids)} docs exceeds MAX_BUCKET={MAX_BUCKET}"
+                )
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        frames = []
+        if out_a:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a).astype("int64"),
+                        "doc_b": np.concatenate(out_b).astype("int64"),
+                        "band_id": pd.array([0] * len(np.concatenate(out_a)), dtype="int32"),
+                        "band_hash": pd.array([0] * len(np.concatenate(out_a)), dtype="int64"),
+                        "is_edge": pd.array([False] * len(np.concatenate(out_a)), dtype="bool"),
+                    }
+                )
+            )
+        for st, en in edge_rows:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": d[st:en].astype("int64"),
+                        "doc_b": pd.array([-1] * (en - st), dtype="int64"),
+                        "band_id": b[st:en].astype("int32"),
+                        "band_hash": h[st:en].astype("int64"),
+                        "is_edge": pd.array([True] * (en - st), dtype="bool"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    flagged = s.map_batches(runs, batch_format="pandas").materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[["doc_a", "doc_b"]], batch_format="pandas"
+    )
+    edge_pairs = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t.rename(columns={"doc_a": "doc_id"})[
+            ["band_id", "band_hash", "doc_id"]], batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(_pairs_from_buckets, batch_format="pandas")
     )
     # distinct pairs (a doc pair can collide in several bands) — vectorized
     from .distinct import distinct as _distinct
 
-    return _distinct(pairs, ["doc_a", "doc_b"])
+    return _distinct(interior.union(edge_pairs), ["doc_a", "doc_b"])
 
 
 def _ngram_set(text: str, w: int = 3) -> set:
