@@ -76,3 +76,41 @@ def test_salted_topk_equals_unsalted():
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+from hypothesis import given, settings, strategies as st
+from medknowledgegraph_ray.stages import groupagg
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(0, 3), st.integers(-100, 100)),
+        min_size=0, max_size=300,
+    ),
+    nblocks=st.integers(1, 5),
+)
+def test_grouped_agg_matches_pandas_property(rows, nblocks):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    if df.empty:
+        return
+    ds = rd.from_pandas(df).repartition(nblocks)
+    got = (
+        groupagg.grouped_agg(
+            ds, ["k1", "k2"],
+            [("v", "sum", "v_sum"), ("v", "min", "v_min"), ("v", "count", "n")],
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"])
+        .agg(v_sum=("v", "sum"), v_min=("v", "min"), n=("v", "count"))
+        .reset_index()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    got = got[["k1", "k2", "v_sum", "v_min", "n"]].astype({"v_sum": "int64", "v_min": "int64", "n": "int64"})
+    want = want.astype({"v_sum": "int64", "v_min": "int64", "n": "int64"})
+    assert got.equals(want), (got, want)
