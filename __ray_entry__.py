@@ -154,6 +154,18 @@ def _fingerprints(sf_dir: str):
     return textstats.fingerprints(_docs(sf_dir))
 
 
+def _tokens_bpe(sf_dir: str):
+    return textstats.token_count_bpe(_docs(sf_dir))
+
+
+def _doc_sample(sf_dir: str):
+    return textstats.sample_docs(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def _ev_asof(sf_dir: str):
+    return windows.asof_prev(readers.read_table(sf_dir, "events"))
+
+
 def _dedup_exact(sf_dir: str):
     return dedupe.exact_dedup(_docs(sf_dir))
 
@@ -259,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _lang_id,
         "doc_quality": _quality,
         "doc_fingerprints": _fingerprints,
+        "doc_tokens_bpe": _tokens_bpe,
+        "doc_sample": _doc_sample,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -274,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sliding": _ev_sliding,
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
+        "ev_asof_prev": _ev_asof,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
         "agg_lineitem": analytics.lineitem_agg,
         "join_top_customers": analytics.top_customers,
@@ -391,6 +406,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
             " CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "doc_tokens_bpe": (
+            "SELECT doc_id, length(regexp_extract_all(lower(text),"
+            " '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens FROM documents"
+        ),
+        "doc_sample": (
+            "SELECT doc_id FROM documents"
+            " WHERE ((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296) % 100 < 10"
+        ),
+        "ev_asof_prev": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            " CAST(round(value * 1000000) AS BIGINT) AS value_e6,"
+            " coalesce(lag(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)"
+            "  AS prev_value_e6"
+            " FROM events"
         ),
         # exact pairwise shingle-Jaccard — valid as the LSH oracle because all
         # testdata near-dup pairs sit at J≥0.98 where 16×4-band LSH recall is

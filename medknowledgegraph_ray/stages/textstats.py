@@ -99,6 +99,35 @@ def quality_score(docs: rd.Dataset) -> rd.Dataset:
     return stats.map_batches(score, batch_format="pandas")
 
 
+_BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
+
+
+def token_count_bpe(docs: rd.Dataset) -> rd.Dataset:
+    """BPE-pre-tokenizer-style token count: alpha runs, digit runs, and
+    single punctuation marks over the lowercased text (leftmost-first
+    alternation — identical in Python re and RE2, so SQL-checkable)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].fillna("").str.lower().str.count(_BPE_RE).astype("int64")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def sample_docs(docs: rd.Dataset, pct: int = 10) -> rd.Dataset:
+    """Deterministic hash sample (Knuth multiplicative): keep doc iff
+    (doc_id × 2654435761) mod 2³² mod 100 < pct.  Stateless and
+    partition-independent — the scale-safe alternative to random_shuffle
+    sampling; identical arithmetic in the SQL oracle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        keep = ((ids * 2654435761) % (1 << 32)) % 100 < pct
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class Fingerprinter:
     """64-bit rolling document fingerprint over normalized tokens.
 

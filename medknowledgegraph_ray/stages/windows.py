@@ -115,6 +115,33 @@ def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
     return salted_grouped_topk(prepped, "user_id", "event_id", pick, final=pick_and_rank)
 
 
+def asof_prev(events: rd.Dataset) -> rd.Dataset:
+    """As-of self-join: each event gets the value of the user's immediately
+    preceding event (0 when none) — the ordered-log lag/as-of-join shape,
+    expressed as a per-user sorted scan (the (conv_id, turn_idx) ordering
+    pattern generalized; partitioning assumption: one user fits one group)."""
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = np.round(g["value"].to_numpy() * 1e6).astype("int64")
+        prev = np.concatenate([[0], v[:-1]])
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "event_id": g["event_id"].astype("int64"),
+                "ts_us": g["ts"].astype("int64"),
+                "value_e6": v,
+                "prev_value_e6": prev,
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
 def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds `gap_sec`.  Inherently ordered → per-user group

@@ -19,7 +19,7 @@ from medknowledgegraph_ray.stages import ann, dedupe, textstats, windows
 SQL_CHECKED = [
     "doc_stats", "doc_lang_id", "doc_quality", "dedup_exact", "dedup_minhash",
     "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
-    "ev_sessionize",
+    "ev_sessionize", "ev_asof_prev", "doc_tokens_bpe", "doc_sample",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
