@@ -382,7 +382,14 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
         if stage in prior:
             return prior[stage].get("rows_out", 0)
         out = os.path.join(out_dir, stage)
-        atomic_write_parquet(ds, out)
+        try:
+            atomic_write_parquet(ds, out)
+        except BaseException as e:
+            # fail LOUDLY and leave a lineage record — the reference's
+            # silent `query() → None` swallow (neo4jconnector.py:232-242)
+            # is deliberately not reproduced
+            man.record(stage, stage, "failed", error=repr(e)[:500])
+            raise
         n = _nrows(out)
         man.record(stage, stage, "done", rows_out=n, output_path=out)
         return n

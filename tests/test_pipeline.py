@@ -94,3 +94,31 @@ def test_build_graph_resume(tmp_path, sf_dir):
     edges3 = sorted(map(tuple, rd.read_parquet(out + "/edges").to_pandas().values.tolist()))
     assert edges3 == edges1
     assert r3["n_nodes"] == r1["n_nodes"]
+
+
+def test_failed_stage_is_recorded_in_manifest(tmp_path, sf_dir, monkeypatch):
+    """A failing stage must fail LOUDLY and leave a 'failed' lineage row —
+    never the reference's silent swallow (neo4jconnector.py:232-242)."""
+    import json
+
+    from medknowledgegraph_ray.pipelines import kg as kgmod
+
+    out = str(tmp_path / "kg_fail")
+    calls = {"n": 0}
+    real = kgmod.atomic_write_parquet
+
+    def boom(ds, out_dir):
+        calls["n"] += 1
+        raise RuntimeError("disk gone")
+
+    monkeypatch.setattr(kgmod, "atomic_write_parquet", boom)
+    with pytest.raises(RuntimeError, match="disk gone"):
+        kgmod.build_graph(sf_dir, out)
+    rows = [json.loads(l) for l in open(out + "/manifest.jsonl")]
+    failed = [r for r in rows if r["status"] == "failed"]
+    assert failed and "disk gone" in failed[0]["error"]
+
+    # retry with the failure healed: converges to the normal result
+    monkeypatch.setattr(kgmod, "atomic_write_parquet", real)
+    res = kgmod.build_graph(sf_dir, out)
+    assert res["n_edges"] > 0 and res["n_nodes"] > 0
