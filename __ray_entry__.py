@@ -205,6 +205,23 @@ def _mm_decode(sf_dir: str):
     return multimodal.media_metadata(_docs(sf_dir))
 
 
+def _mm_resize(sf_dir: str):
+    return multimodal.resize_images(multimodal.to_binary_payloads(_docs(sf_dir)))
+
+
+def _mm_frames(sf_dir: str):
+    return multimodal.sample_frames(multimodal.to_binary_payloads(_docs(sf_dir)))
+
+
+def _doc_embed_ann(sf_dir: str):
+    # feature-extract → similarity search, end to end: embed the documents
+    # with the hashing trick, then brute-force top-k against fixed queries
+    emb = ann.embed_texts(_docs(sf_dir)).map_batches(
+        lambda df: df.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
+    )
+    return ann.brute_force_topk(emb, ann.fixed_queries(64), k=_ANN_K)
+
+
 def _ev_tumbling(sf_dir: str):
     return windows.tumbling_window(readers.read_table(sf_dir, "events"))
 
@@ -266,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg.nodes,
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
+        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
+        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         # ---- training-data pipeline operators (documents/embeddings) ----
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
@@ -281,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "mm_metadata": _mm_metadata,
         "mm_decode": _mm_decode,
+        "mm_resize": _mm_resize,
+        "mm_frame_sample": _mm_frames,
+        "doc_embed_ann": _doc_embed_ann,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "kg_links_fuzzy": _kg_links_fuzzy,
         # ---- windowed / ordered-log operators (events) ----
@@ -387,6 +409,27 @@ def oracle_sql() -> dict[str, str]:
             " SELECT a.term AS term_a, b.term AS term_b,"
             " CAST(count(*) AS BIGINT) AS n_common"
             " FROM lvl_g a JOIN lvl_g b ON a.node = b.node AND a.term < b.term"
+            " GROUP BY 1, 2"
+        ),
+        "kg_intersection_protein": _kg_sql(
+            ", lvl_p AS (SELECT DISTINCT t4.norm_surface AS term, p.entry AS node"
+            "   FROM g_top4 t4 JOIN g_gene_map g USING (cui)"
+            "   JOIN g_protein_map p USING (gene))"
+            " SELECT a.term AS term_a, b.term AS term_b,"
+            " CAST(count(*) AS BIGINT) AS n_common"
+            " FROM lvl_p a JOIN lvl_p b ON a.node = b.node AND a.term < b.term"
+            " GROUP BY 1, 2"
+        ),
+        "kg_intersection_go": _kg_sql(
+            ", lvl_go AS (SELECT DISTINCT t4.norm_surface AS term,"
+            "    regexp_extract(trim(part), '\\[GO:(\\d+)\\]', 1) AS node"
+            "   FROM g_top4 t4 JOIN g_gene_map g USING (cui)"
+            "   JOIN g_protein_map p USING (gene),"
+            "   UNNEST(string_split(p.go, ';')) AS u(part)"
+            "   WHERE regexp_matches(part, '\\[GO:\\d+\\]'))"
+            " SELECT a.term AS term_a, b.term AS term_b,"
+            " CAST(count(*) AS BIGINT) AS n_common"
+            " FROM lvl_go a JOIN lvl_go b ON a.node = b.node AND a.term < b.term"
             " GROUP BY 1, 2"
         ),
         # ---- training-data pipeline oracles (views pre-registered by the

@@ -131,6 +131,49 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
     return bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas")
 
 
+class HashingEmbedder:
+    """Feature-extract stage: text → deterministic dense vector via the
+    hashing trick (token md5 → bucket, ±1 sign bit, L2-normalized).  A real
+    model swaps in here (load in __init__, batch-infer in __call__) — this
+    implementation is itself real and process-independent, so doc→embedding
+    →ANN pipelines run end-to-end without a model download."""
+
+    def __init__(self, dim: int = 64):
+        import re
+
+        self.dim = dim
+        self.token_re = re.compile(r"[a-z0-9]+")
+        self._cache: dict[str, tuple[int, int]] = {}
+
+    def _slot(self, tok: str) -> tuple[int, int]:
+        s = self._cache.get(tok)
+        if s is None:
+            import hashlib
+
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            s = (h % self.dim, 1 if (h >> 63) & 1 else -1)
+            self._cache[tok] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = []
+        for text in batch["text"].fillna(""):
+            v = np.zeros(self.dim, dtype=np.float64)
+            for tok in self.token_re.findall(text.lower()):
+                slot, sign = self._slot(tok)
+                v[slot] += sign
+            n = np.linalg.norm(v)
+            vecs.append((v / n if n else v).tolist())
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"), "embedding": vecs})
+
+
+def embed_texts(docs: rd.Dataset, dim: int = 64) -> rd.Dataset:
+    return docs.map_batches(
+        HashingEmbedder, fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas", batch_size=2048, concurrency=config.pool_size(),
+    )
+
+
 def fixed_queries(dim: int, n: int = 3, seed: int = 5) -> dict:
     """Deterministic query matrix for benchmarks/oracles."""
     rng = np.random.RandomState(seed)

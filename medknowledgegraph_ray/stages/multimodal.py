@@ -93,6 +93,79 @@ def decode_media(payloads: rd.Dataset, *, batch_size: int = 256) -> rd.Dataset:
     )
 
 
+class ImageResizer:
+    """Actor-pool resize stage (stub kernel, real plumbing).
+
+    A real implementation loads the codec/resampler once here; the stub
+    recomputes deterministic target dims and a resized-payload digest so
+    the stage's schema contract and batch shape are exercised end-to-end.
+    """
+
+    def __init__(self, width: int = 224, height: int = 224):
+        self.w, self.h = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(p + f"{self.w}x{self.h}".encode()).hexdigest()
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_type": batch["media_type"],
+                "width": pa.array([self.w] * len(batch), pa.int64()),
+                "height": pa.array([self.h] * len(batch), pa.int64()),
+                "resized_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def resize_images(payloads: rd.Dataset, *, width: int = 224, height: int = 224) -> rd.Dataset:
+    imgs = payloads.filter(expr="media_type == 'image'")
+    return imgs.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256, concurrency=config.pool_size(),
+    )
+
+
+def sample_frames(payloads: rd.Dataset, *, n_frames: int = 8) -> rd.Dataset:
+    """Video frame sampling: one output row per sampled frame index
+    (evenly spaced over the decoded frame count) — the flat-map expansion
+    a real frame sampler produces, with deterministic stub frame digests."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mts, fidx, digs = [], [], [], []
+        for doc_id, mt, payload in zip(
+            batch["doc_id"].to_pylist(), batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mt != "video":
+                continue
+            meta = _decode_stub(payload, mt)
+            total = meta["frames"]
+            step = max(1, total // n_frames)
+            for i in range(0, min(total, step * n_frames), step):
+                ids.append(doc_id)
+                mts.append(mt)
+                fidx.append(i)
+                digs.append(hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(mts, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_digest": pa.array(digs, pa.string()),
+            }
+        )
+
+    return payloads.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,
+    )
+
+
 def media_metadata(docs: rd.Dataset) -> rd.Dataset:
     """documents → binary payloads → decoded metadata.
 
