@@ -117,10 +117,11 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     # The scaling criterion needs a compute-dominant run: at sf0.1 the build
     # is ~20 s of which fixed costs (actor spawn, driver steps, single-disk
-    # writes) are most — parallelism-insensitive by nature.  The sf1
-    # generated corpus (~2.5M turns) keeps the scalable stages (detection,
-    # conv-entity distinct, triple dedup) in the majority.
-    scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
+    # writes) are most — parallelism-insensitive by nature.  The sf3
+    # generated corpus (~7.6M turns, built on demand) keeps the scalable
+    # stages (detection, conv-entity distinct, triple dedup) in the
+    # majority; BASELINE.md numbers were recorded at this setting.
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf3")
 
     def once(ncpu: int) -> dict:
         env = dict(
