@@ -139,6 +139,9 @@ def graph_tables(mention_ds: rd.Dataset) -> dict[str, rd.Dataset]:
     cap scaling efficiency.  The driver-side ops share their emit/ordering
     logic with the streaming variants (enrich.*_table / linker.link_table),
     so both paths are row-identical."""
+    # materialized deliberately: distinct() pins its flagged intermediate,
+    # but leaving ce lazy makes each of its three consumers re-run the
+    # filter/union tail over it — measured +20 s at sf3/32 vs this copy
     ce = mentions.conv_entities(mention_ds).materialize()    # ≤ convs × vocab
     # distinct surfaces derive from ce (vocab ⊆ ce keys) — no second scan of
     # the corpus-scale mention table
