@@ -1,9 +1,15 @@
 """Windowed / ordered-log operators over the `events` stream table.
 
-Ray Data has no event-time windows; the stream-shaped semantics are
-expressed as key-partitioned group transforms over ts-sorted groups
-(ordering assumption: all rows of one user_id fit one group and are sorted
-inside it — the transcript `(conv_id, turn_idx)` pattern generalized).
+Ray Data has no event-time windows; the stream-shaped semantics are built
+on two exchange shapes, neither assuming a user fits one group:
+
+- keyed algebraic aggregation (tumbling/sliding) via stages/groupagg.py —
+  per-block partial, parallel sort, per-block combine, edge repair;
+- ordered scans (sessionize / as-of lag) via a global
+  (user_id, ts, event_id) range sort, one VECTORIZED pass per block over
+  all interior users, and per-user repair only for the ≤2 users that can
+  straddle a block edge — the transcript `(conv_id, turn_idx)` stable-
+  ordering pattern generalized to unbounded keys.
 """
 
 from __future__ import annotations
@@ -117,67 +123,200 @@ def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
 
 def asof_prev(events: rd.Dataset) -> rd.Dataset:
     """As-of self-join: each event gets the value of the user's immediately
-    preceding event (0 when none) — the ordered-log lag/as-of-join shape,
-    expressed as a per-user sorted scan (the (conv_id, turn_idx) ordering
-    pattern generalized; partitioning assumption: one user fits one group)."""
+    preceding event (0 when none) — the ordered-log lag/as-of-join shape.
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        v = np.round(g["value"].to_numpy() * 1e6).astype("int64")
-        prev = np.concatenate([[0], v[:-1]])
+    Same scale shape as sessionize: global (user, ts, event_id) sort, one
+    vectorized lag pass per block for interior users, per-user repair only
+    for the ≤2 users touching a block edge."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].astype("int64"),
-                "event_id": g["event_id"].astype("int64"),
-                "ts_us": g["ts"].astype("int64"),
-                "value_e6": v,
-                "prev_value_e6": prev,
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
             }
         )
 
-    return (
+    s = (
         events.select_columns(["user_id", "event_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(lag, batch_format="pandas")
+        .map_batches(prep, batch_format="pandas")
+        .sort(["user_id", "ts_us", "event_id"])
     )
+
+    def lag_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value_e6"].to_numpy()
+        u = df["user_id"].to_numpy()
+        prev = np.concatenate([[0], v[:-1]]) if len(v) else v
+        if len(v) > 1:
+            prev[np.concatenate([[True], u[1:] != u[:-1]])] = 0
+        elif len(v) == 1:
+            prev = np.array([0], dtype="int64")
+        return df.assign(prev_value_e6=prev.astype("int64"))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(prev_value_e6=pd.array([], dtype="int64"),
+                             is_edge=pd.array([], dtype="bool"))
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge = df["user_id"].isin({first, last}).to_numpy()
+        out = lag_sorted(df)
+        return out.assign(is_edge=edge)
+
+    flagged = s.map_batches(split, batch_format="pandas").materialize()
+    cols = ["user_id", "event_id", "ts_us", "value_e6", "prev_value_e6"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        return lag_sorted(g)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols[:-1]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_lag, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
+def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized sessionization of a frame already sorted by
+    (user_id, ts_us, event_id); handles any number of users at once."""
+    u = df["user_id"].to_numpy()
+    t = df["ts_us"].to_numpy()
+    n = len(df)
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = u[1:] != u[:-1]
+    new_sess = new_user.copy()
+    new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+    sid_global = np.cumsum(new_sess)
+    # per-user numbering: subtract the user's first global session id
+    first_pos = np.where(new_user, np.arange(n), 0)
+    np.maximum.accumulate(first_pos, out=first_pos)
+    session_idx = sid_global - sid_global[first_pos] + 1
+    out = (
+        pd.DataFrame(
+            {
+                "user_id": u,
+                "session_idx": session_idx.astype("int64"),
+                "ts_us": t,
+                "value_e6": df["value_e6"].to_numpy(),
+            }
+        )
+        .groupby(["user_id", "session_idx"])
+        .agg(
+            n_events=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+            value_sum_e6=("value_e6", "sum"),
+        )
+        .reset_index()
+    )
+    for c in ("n_events", "start_us", "end_us", "value_sum_e6"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from the
-    previous event exceeds `gap_sec`.  Inherently ordered → per-user group
-    sort + cumulative scan (pandas) inside `map_groups`; oracle via SQL
-    window functions (lag + running sum)."""
+    previous event exceeds `gap_sec`.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        epoch_us = g["ts"].astype("int64")
-        gap_us = gap_sec * 1_000_000
-        new_sess = (epoch_us.diff().fillna(gap_us + 1) > gap_us).astype(int)
-        sess_idx = new_sess.cumsum()
-        out = (
-            pd.DataFrame(
+    Scale shape: global sort on (user_id, ts_us, event_id), then each block
+    sessionizes ALL of its users in one vectorized pass; only the ≤2 users
+    that may straddle a block edge (the block's first and last user — after
+    a sort a user's rows are contiguous) are re-sessionized from their raw
+    events in a tiny per-user pass.  No per-user Python for interior users
+    and no one-user-per-group assumption."""
+    gap_us = gap_sec * 1_000_000
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .sort(["user_id", "ts_us", "event_id"])
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
                 {
-                    "user_id": g["user_id"].astype("int64"),
-                    "session_idx": sess_idx.astype("int64"),
-                    "ts_us": epoch_us.to_numpy(),
-                    "value_e6": np.round(g["value"].to_numpy() * 1e6).astype("int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "session_idx": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                    "start_us": pd.array([], dtype="int64"),
+                    "end_us": pd.array([], dtype="int64"),
+                    "value_sum_e6": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "ts_us_raw": pd.array([], dtype="int64"),
+                    "value_e6_raw": pd.array([], dtype="int64"),
+                    "is_edge": pd.array([], dtype="bool"),
                 }
             )
-            .groupby(["user_id", "session_idx"])
-            .agg(
-                n_events=("ts_us", "size"),
-                start_us=("ts_us", "min"),
-                end_us=("ts_us", "max"),
-                value_sum_e6=("value_e6", "sum"),
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge_mask = df["user_id"].isin({first, last}).to_numpy()
+        interior = _sessionize_sorted(df[~edge_mask], gap_us) if (~edge_mask).any() else None
+        frames = []
+        if interior is not None and len(interior):
+            interior = interior.assign(
+                event_id=pd.array([0] * len(interior), dtype="int64"),
+                ts_us_raw=pd.array([0] * len(interior), dtype="int64"),
+                value_e6_raw=pd.array([0] * len(interior), dtype="int64"),
+                is_edge=pd.array([False] * len(interior), dtype="bool"),
             )
-            .reset_index()
-        )
-        for c in ("n_events", "start_us", "end_us", "value_sum_e6"):
-            out[c] = out[c].astype("int64")
-        return out
+            frames.append(interior)
+        edge = df[edge_mask]
+        if len(edge):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": edge["user_id"].to_numpy(),
+                        "session_idx": pd.array([0] * len(edge), dtype="int64"),
+                        "n_events": pd.array([0] * len(edge), dtype="int64"),
+                        "start_us": pd.array([0] * len(edge), dtype="int64"),
+                        "end_us": pd.array([0] * len(edge), dtype="int64"),
+                        "value_sum_e6": pd.array([0] * len(edge), dtype="int64"),
+                        "event_id": edge["event_id"].to_numpy(),
+                        "ts_us_raw": edge["ts_us"].to_numpy(),
+                        "value_e6_raw": edge["value_e6"].to_numpy(),
+                        "is_edge": pd.array([True] * len(edge), dtype="bool"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    return (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    flagged = s.map_batches(split, batch_format="pandas").materialize()
+    cols = ["user_id", "session_idx", "n_events", "start_us", "end_us", "value_sum_e6"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
     )
+
+    def edge_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us_raw", "event_id"], kind="mergesort")
+        raw = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "ts_us": g["ts_us_raw"].to_numpy(),
+                "value_e6": g["value_e6_raw"].to_numpy(),
+            }
+        )
+        return _sessionize_sorted(raw, gap_us)
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .groupby("user_id")
+        .map_groups(edge_sessions, batch_format="pandas")
+    )
+    return interior.union(edges)
