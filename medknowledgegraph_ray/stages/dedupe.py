@@ -337,18 +337,19 @@ def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
 def simhash_dup_groups(docs: rd.Dataset) -> rd.Dataset:
     """Exact-signature duplicate groups (Hamming-0 buckets): signatures with
     ≥2 docs.  At scale a banding scheme over 16-bit chunks extends this to
-    Hamming ≤ 3; the bucket groupby shape is identical."""
-    sigs = simhash_signatures(docs)
+    Hamming ≤ 3; the bucket aggregation shape is identical.
 
-    def summarize(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0)[["simhash"]].assign(n_docs=pd.array([], dtype="int64"),
-                                                 min_doc=pd.array([], dtype="int64"))
-        return pd.DataFrame({"simhash": [g["simhash"].iloc[0]],
-                             "n_docs": pd.array([len(g)], dtype="int64"),
-                             "min_doc": pd.array([g["doc_id"].min()], dtype="int64")})
+    Pure algebraic aggregation (count + min per signature, filter ≥2) on
+    the sorted exchange — group cardinality here is the distinct-signature
+    count, i.e. corpus-scale, where per-group reducers melt."""
+    from .groupagg import grouped_agg
 
-    return sigs.groupby("simhash").map_groups(summarize, batch_format="pandas")
+    counted = grouped_agg(
+        simhash_signatures(docs),
+        ["simhash"],
+        [("doc_id", "count", "n_docs"), ("doc_id", "min", "min_doc")],
+    )
+    return counted.filter(expr="n_docs >= 2")
 
 
 # ---------------------------------------------------------------------------
