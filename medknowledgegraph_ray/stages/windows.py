@@ -92,9 +92,12 @@ def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 9
 
 
 def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
-    """Grouped top-k (by scaled value desc, event_id asc) via the salted
-    two-phase merge — the hot-key-safe holistic-aggregate shape."""
-    from .skew import salted_grouped_topk
+    """Grouped top-k (by scaled value desc, event_id asc), scale-safe for
+    corpus-many groups: global sort on (user_id, value_e6 desc, event_id),
+    vectorized head-k per user per block (cumcount over sorted runs), and
+    per-user repair only for the ≤2 block-edge users.  For the OTHER top-k
+    regime — few groups, each corpus-scale — see skew.salted_grouped_topk
+    (used by the ANN merge)."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -105,20 +108,58 @@ def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
             }
         )
 
-    prepped = events.select_columns(["user_id", "event_id", "value"]).map_batches(
-        prep, batch_format="pandas"
+    s = (
+        events.select_columns(["user_id", "event_id", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
     )
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value_e6", "event_id"], ascending=[False, True],
-                             kind="mergesort").head(k)
+    def headk_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        n = len(df)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        # rank within user = position since the user's first row
+        first_pos = np.where(new_user, np.arange(n), 0)
+        np.maximum.accumulate(first_pos, out=first_pos)
+        rank = np.arange(n) - first_pos + 1
+        out = df[rank <= k].copy()
+        out["rank"] = pd.array(rank[rank <= k], dtype="int64")
+        return out
 
-    def pick_and_rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = pick(g)
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(rank=pd.array([], dtype="int64"),
+                             is_edge=pd.array([], dtype="bool"))
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge_mask = df["user_id"].isin({first, last})
+        interior = headk_sorted(df[~edge_mask.to_numpy()])
+        interior = interior.assign(is_edge=pd.array([False] * len(interior), dtype="bool"))
+        edge = df[edge_mask.to_numpy()].assign(
+            rank=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
+        )
+        return pd.concat([interior, edge], ignore_index=True)
+
+    flagged = s.map_batches(split, batch_format="pandas").materialize()
+    cols = ["user_id", "event_id", "value_e6", "rank"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
         g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
-        return g
+        return g[cols]
 
-    return salted_grouped_topk(prepped, "user_id", "event_id", pick, final=pick_and_rank)
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .groupby("user_id")
+        .map_groups(edge_topk, batch_format="pandas")
+    )
+    return interior.union(edges)
 
 
 def asof_prev(events: rd.Dataset) -> rd.Dataset:
