@@ -216,9 +216,7 @@ def _mm_frames(sf_dir: str):
 def _doc_embed_ann(sf_dir: str):
     # feature-extract → similarity search, end to end: embed the documents
     # with the hashing trick, then brute-force top-k against fixed queries
-    emb = ann.embed_texts(_docs(sf_dir)).map_batches(
-        lambda df: df.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
-    )
+    emb = ann.embed_texts(_docs(sf_dir)).rename_columns({"doc_id": "vec_id"})
     return ann.brute_force_topk(emb, ann.fixed_queries(64), k=_ANN_K)
 
 

@@ -16,6 +16,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources import readers
+from ..stages.groupagg import rename_after_groupby
 
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
@@ -47,10 +48,13 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
                 "rev_e4": rev_e4,
             }
         )
-        return t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("price_c", "sum"), ("rev_e4", "sum"), ("qty", "count")]
-        ).rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"]
+        )
+        return rename_after_groupby(
+            g, ["l_returnflag", "l_linestatus"],
+            ["qty", "price_c", "rev_e4", "qty"], ["sum", "sum", "sum", "count"],
+            ["sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"],
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -70,37 +74,49 @@ def lineitem_agg(sf_dir: str) -> rd.Dataset:
 
 
 def top_customers(sf_dir: str, k: int = 10) -> rd.Dataset:
-    """Broadcast join (orders ⨝ customer: small side shipped once) + global
-    top-k by revenue with deterministic tiebreak."""
-    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
-    cust_map = {
-        r["c_custkey"]: (r["c_name"], r["c_nationkey"]) for r in cust.take_all()
-    }
+    """Global top-k customers by revenue, then a k-key join against customer.
+
+    Scale shape: per-block PARTIAL top-k (each block of the per-customer
+    revenue aggregate forwards at most k rows) before the single-block
+    final pick, so the funnel carries O(k × blocks), never the full
+    customer cardinality; the customer table is only read for the k
+    winning keys (predicate pushdown), never gathered to the driver.
+    The partial uses the identical total order (revenue desc, custkey asc)
+    as the final pick, so restriction-to-k is exact."""
     orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64())
         t2 = pa.table({"o_custkey": t["o_custkey"], "revenue_c": cents})
-        return t2.group_by("o_custkey").aggregate([("revenue_c", "sum")]).rename_columns(
-            ["o_custkey", "revenue_c"]
-        )
+        g = t2.group_by("o_custkey").aggregate([("revenue_c", "sum")])
+        return rename_after_groupby(g, ["o_custkey"], ["revenue_c"], ["sum"], ["revenue_c"])
 
     per_cust = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = per_cust.groupby("o_custkey").aggregate(Sum("revenue_c", alias_name="revenue_c"))
 
-    def attach(t: pd.DataFrame) -> pd.DataFrame:
-        t["c_name"] = t["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[0])
-        t["c_nationkey"] = t["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[1]).astype("int32")
-        t["revenue_c"] = t["revenue_c"].astype("int64")
-        return t
-
-    joined = merged.map_batches(attach, batch_format="pandas")
-
     def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue_c"] = df["revenue_c"].astype("int64")
         return df.sort_values(["revenue_c", "o_custkey"], ascending=[False, True],
                               kind="mergesort").head(k)
 
-    return joined.repartition(1).map_batches(pick, batch_format="pandas", batch_size=None)
+    top = (
+        merged.map_batches(pick, batch_format="pandas", batch_size=None)  # per-block partial
+        .repartition(1)
+        .map_batches(pick, batch_format="pandas", batch_size=None)
+        .to_pandas()  # exactly k rows
+    )
+    keys = top["o_custkey"].tolist()
+    cust_rows = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).take_all()  # ≤ k rows
+    cust_map = {r["c_custkey"]: (r["c_name"], r["c_nationkey"]) for r in cust_rows}
+    top["c_name"] = top["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[0])
+    top["c_nationkey"] = top["o_custkey"].map(lambda ck: cust_map.get(ck, ("", -1))[1]).astype("int32")
+    out = top[["o_custkey", "revenue_c", "c_name", "c_nationkey"]].reset_index(drop=True)
+    return rd.from_pandas(out)  # k rows
 
 
 def orders_by_status(sf_dir: str) -> rd.Dataset:

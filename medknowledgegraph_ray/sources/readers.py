@@ -31,8 +31,23 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None) -> rd.Datase
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    """One of the provided testdata tables (documents, embeddings, lineitem…)."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    """One of the provided testdata tables (documents, embeddings, lineitem…).
+
+    The provided testdata parquet carries pandas footer metadata whose
+    nested dict makes `hash(pyarrow.Schema)` raise, which defeats Ray's
+    block-schema dedup (a "Failed to hash the schemas" warning per block).
+    Strip it at the read boundary by passing an explicit metadata-free
+    schema.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    full = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        import pyarrow as pa
+
+        schema = pa.schema([full.field(c) for c in columns])
+    else:
+        schema = full
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def kb_table(name: str):

@@ -40,7 +40,12 @@ class BruteForceScorer:
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            # the partial must be a restriction of the SAME total order the
+            # final merge uses — (score rounded to 6 desc, vec_id asc) — or a
+            # sub-1e-6 near-tie at a block's k-boundary makes the result
+            # partition-dependent
+            r = np.round(sims[qi], 6)
+            idx = np.lexsort((vec_ids, -r))[:k]
             out_q.append(np.full(k, self.query_ids[qi]))
             out_v.append(vec_ids[idx])
             out_s.append(sims[qi][idx])

@@ -28,10 +28,11 @@ from . import distinct as _distinct
 
 def entity_counts(conv_entities: rd.Dataset) -> rd.Dataset:
     """(norm_surface, label) → n_convs, via partial-count pre-aggregation."""
+    from .groupagg import rename_after_groupby
+
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")]).rename_columns(
-            ["norm_surface", "label", "n_convs"]
-        )
+        g = batch.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")])
+        return rename_after_groupby(g, ["norm_surface", "label"], ["conv_id"], ["count"], ["n_convs"])
 
     partials = conv_entities.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = partials.groupby(["norm_surface", "label"]).aggregate(Sum("n_convs", alias_name="n_convs"))

@@ -247,58 +247,116 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
     """Verified near-dup pairs: candidates whose exact shingle Jaccard ≥
     threshold.
 
-    Scale shape: the candidate PAIR set is small by LSH construction, so
-    only docs that appear in some candidate pair are ever materialized —
-    the corpus-wide text scan stays distributed (a broadcast semi-join
-    filter inside map_batches), never `take_all` on the full input."""
-    cands = minhash_candidates(docs, **kw).to_pandas()  # small by construction
-    pair_list = list(zip(cands.get("doc_a", []), cands.get("doc_b", [])))
-    if not pair_list:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    cand_ids = sorted({d for p in pair_list for d in p})
+    Fully distributed verification (no shingle-set gather to the driver —
+    at corpus scale the candidate set grows with the corpus):
 
-    # distributed semi-join: stream the corpus, keep candidate docs only,
-    # reduce each to its (hashed) shingle set — tiny result, safe to gather
-    id_arr = pa.array(cand_ids, pa.int64())
+      1. candidate-doc ids only (8 B each) are collected and broadcast via
+         `ray.put` — the minimal small side of the semi-join;
+      2. the corpus is streamed once, candidate docs reduced to hashed
+         shingle sets — a broadcast semi-join inside `map_batches`;
+      3. shingle sets meet pair-halves in a `groupby(doc_id)` exchange,
+         then pairs reassemble in a `groupby(doc_a, doc_b)` exchange that
+         computes the exact Jaccard — both shuffles move only candidate
+         rows, never the corpus text.
+    """
+    import ray
+
+    cands = minhash_candidates(docs, **kw)
+
+    # ids-only gather (int64 per candidate doc; the shingle sets stay out)
+    def pair_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])})
+
+    from .distinct import distinct as _distinct
+
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    ids = np.sort(np.asarray(
+        [r["doc_id"] for r in _distinct(
+            cands.map_batches(pair_ids, batch_format="pyarrow"), ["doc_id"]
+        ).take_all()],
+        dtype=np.int64,
+    ))
+    if len(ids) == 0:
+        return rd.from_arrow(empty)
+    id_ref = ray.put(ids)
 
     def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = batch["doc_id"].isin(cand_ids)
-        sub = batch[keep]
+        cand = ray.get(id_ref)  # plasma-cached, zero-copy after first batch
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(cand, doc_ids)
+        pos[pos >= len(cand)] = 0
+        sub = batch[cand[pos] == doc_ids]
         sets = [
-            sorted({_md5_u64(s.encode()) for s in _ngram_set(t or "")})
+            np.array(sorted({_md5_u64(s.encode()) for s in _ngram_set(t or "")}),
+                     dtype=np.uint64).astype(np.int64)
             for t in sub["text"]
         ]
-        return pd.DataFrame({"doc_id": sub["doc_id"].astype("int64"), "shingles": sets})
+        return pd.DataFrame({
+            "key": sub["doc_id"].astype("int64").to_numpy(),
+            "doc_a": pd.array([-1] * len(sub), dtype="int64"),
+            "doc_b": pd.array([-1] * len(sub), dtype="int64"),
+            "shingles": sets,
+        })
 
-    gathered = {
-        r["doc_id"]: set(r["shingles"])
-        for r in docs.map_batches(shingle_rows, batch_format="pandas").take_all()
-    }
-    out = []
-    for a, b in pair_list:
-        sa, sb = gathered.get(a, set()), gathered.get(b, set())
-        if not sa or not sb:
-            continue
+    def pair_halves(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].astype("int64")
+        b = batch["doc_b"].astype("int64")
+        emptyset = np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "key": pd.concat([a, b], ignore_index=True),
+            "doc_a": pd.concat([a, a], ignore_index=True),
+            "doc_b": pd.concat([b, b], ignore_index=True),
+            "shingles": [emptyset] * (2 * len(batch)),
+        })
+
+    shingled = docs.map_batches(shingle_rows, batch_format="pandas")
+    halves = cands.map_batches(pair_halves, batch_format="pandas")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = (g["doc_a"].to_numpy() == -1)
+        docrows = g[is_doc]
+        pairs = g[~is_doc]
+        if len(docrows) == 0 or len(pairs) == 0:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "shingles": []})
+        sh = docrows["shingles"].iloc[0]
+        if len(sh) == 0:  # doc too short for any shingle → pair unverifiable
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "shingles": []})
+        return pd.DataFrame({"doc_a": pairs["doc_a"].to_numpy(),
+                             "doc_b": pairs["doc_b"].to_numpy(),
+                             "shingles": [sh] * len(pairs)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        none = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                             "doc_b": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+        if len(g) != 2:  # one half lacked a usable shingle set
+            return none
+        sa = set(np.asarray(g["shingles"].iloc[0]).tolist())
+        sb = set(np.asarray(g["shingles"].iloc[1]).tolist())
         j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out.append((int(a), int(b), round(j, 6)))
-    return rd.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array([r[0] for r in out], pa.int64()),
-                "doc_b": pa.array([r[1] for r in out], pa.int64()),
-                "jaccard": pa.array([r[2] for r in out], pa.float64()),
-            }
-        )
+        if j < threshold:
+            return none
+        return pd.DataFrame({"doc_a": g["doc_a"].iloc[:1].astype("int64").to_numpy(),
+                             "doc_b": g["doc_b"].iloc[:1].astype("int64").to_numpy(),
+                             "jaccard": pd.array([round(j, 6)], dtype="float64")})
+
+    verified = (
+        shingled.union(halves)
+        .groupby("key")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(verify, batch_format="pandas")
     )
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -306,25 +364,37 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over tokens (md5 token hashes, majority vote)."""
+    """64-bit SimHash over tokens (md5 token hashes, majority vote).
+
+    Token → ±1 bit-vector is cached per actor (same pattern as
+    Fingerprinter/HashingEmbedder), and the majority vote runs once per
+    UNIQUE token weighted by its count — not once per occurrence."""
+
+    def __init__(self):
+        self._cache: dict[str, np.ndarray] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
+        self._pow2 = (np.uint64(1) << self._shifts)
+
+    def _tok_vec(self, tok: str) -> np.ndarray:
+        v = self._cache.get(tok)
+        if v is None:
+            bits = (_md5_u64(tok.encode()) >> self._shifts) & np.uint64(1)
+            v = np.where(bits.astype(bool), 1, -1).astype(np.int64)
+            self._cache[tok] = v
+        return v
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"].fillna(""):
-            toks = _WORD.findall(text.lower())
-            if not toks:
-                out.append(0)
+        from collections import Counter
+
+        out = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"].fillna("")):
+            counts = Counter(_WORD.findall(text.lower()))
+            if not counts:
                 continue
             acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = _md5_u64(tok.encode())
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sh = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sh |= 1 << i
-            out.append(np.int64(np.uint64(sh).astype(np.int64)))
+            for tok, c in counts.items():
+                acc += c * self._tok_vec(tok)
+            out[i] = ((acc > 0) * self._pow2).sum(dtype=np.uint64).astype(np.int64)
         return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
                              "simhash": pd.array(out, dtype="int64")})
 

@@ -117,12 +117,14 @@ def dedup_nodes(nodes: rd.Dataset, *, blocks: int | None = None) -> rd.Dataset:
             t["node_label"], t["name"], t["definition"], _SEP
         )
         # per-block partial min bounds the exchange to one row per id per block
-        return (
+        g = (
             pa.table({"canonical_id": t["canonical_id"], "packed": packed})
             .group_by("canonical_id")
             .aggregate([("packed", "min")])
-            .rename_columns(["canonical_id", "packed"])
         )
+        from .groupagg import rename_after_groupby
+
+        return rename_after_groupby(g, ["canonical_id"], ["packed"], ["min"], ["packed"])
 
     def unpack(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(t["packed"], _SEP)

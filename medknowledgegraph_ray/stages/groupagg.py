@@ -28,7 +28,7 @@ _COMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 _EDGE = "__edge"
 
 
-def _rename_after_groupby(
+def rename_after_groupby(
     g: pa.Table, keys: list[str], in_cols: list[str], fns: list[str], aliases: list[str]
 ) -> pa.Table:
     # pyarrow group_by output column order varies across versions (keys
@@ -38,6 +38,9 @@ def _rename_after_groupby(
     for c, f, a in zip(in_cols, fns, aliases):
         out[a] = cols[f"{c}_{f}"]
     return pa.table(out)
+
+
+_rename_after_groupby = rename_after_groupby
 
 
 def grouped_agg(

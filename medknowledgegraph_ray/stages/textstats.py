@@ -20,7 +20,7 @@ from .. import config
 
 from ..functions import text as textfn
 
-_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)  # ASCII → RE2/DuckDB-identical classes
+_TOKEN_RUN = re.compile(r"\S+", re.ASCII)  # ASCII → RE2/DuckDB-identical classes
 _PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 
@@ -38,16 +38,16 @@ class TextStats:
     """
 
     def __init__(self):
-        self.token_split = _TOKEN_SPLIT
+        self.token_run = _TOKEN_RUN
         self.punct = _PUNCT
         self.stop = textfn.EN_STOP_RE
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         n_chars = text.str.len().astype("int64")
-        n_tokens = text.str.split(self.token_split).map(
-            lambda xs: sum(1 for x in xs if x)
-        ).astype("int64")
+        # counting \S+ runs == number of whitespace tokens, fully vectorized
+        # (no per-row Python list from str.split)
+        n_tokens = text.str.count(self.token_run).astype("int64")
         n_punct = text.str.count(self.punct).astype("int64")
         n_stop = text.str.lower().str.count(self.stop).astype("int64")
         out = pd.DataFrame(
