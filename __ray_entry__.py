@@ -40,7 +40,13 @@ def _gen_paths(sf_dir: str = _SF001) -> dict[str, str]:
     }
 
 
-def _kg_ctes(sf_dir: str = _SF001) -> str:
+def _kg_ctes(
+    sf_dir: str = _SF001,
+    *,
+    top_entities: int | None = None,
+    top_cuis: int | None = None,
+    score_min: float | None = None,
+) -> str:
     """Shared WITH-block: the whole reference operator chain in ANSI SQL.
 
     Mirrors, stage by stage: mention detection (word-boundary regex join),
@@ -50,6 +56,9 @@ def _kg_ctes(sf_dir: str = _SF001) -> str:
     (uniprotpipe.py:124-136).
     """
     p = _gen_paths(sf_dir)
+    top_entities = config.TOP_ENTITIES if top_entities is None else top_entities
+    top_cuis = config.TOP_CUIS if top_cuis is None else top_cuis
+    score_min = config.SCORE_MIN if score_min is None else score_min
     return f"""
 WITH g_transcripts AS (SELECT * FROM read_parquet('{p["transcripts"]}')),
 g_aliases AS (SELECT * FROM read_parquet('{p["aliases"]}')),
@@ -77,16 +86,16 @@ g_counts AS (
 ),
 g_top15 AS (
   SELECT norm_surface, label, n_convs FROM g_counts WHERE label = 'DISEASE'
-  ORDER BY n_convs DESC, norm_surface ASC LIMIT {config.TOP_ENTITIES}
+  ORDER BY n_convs DESC, norm_surface ASC LIMIT {top_entities}
 ),
 g_top4 AS (
   SELECT norm_surface, cui, score, name, definition, label FROM (
     SELECT l.*, row_number() OVER (
       PARTITION BY l.norm_surface ORDER BY l.score DESC, l.cui ASC) AS rn
     FROM g_links l
-    WHERE l.score > {config.SCORE_MIN}
+    WHERE l.score > {score_min}
       AND l.norm_surface IN (SELECT norm_surface FROM g_top15)
-  ) WHERE rn <= {config.TOP_CUIS}
+  ) WHERE rn <= {top_cuis}
 ),
 g_sel AS (SELECT DISTINCT cui FROM g_top4),
 g_genes AS (
@@ -121,8 +130,8 @@ g_go AS (
 """
 
 
-def _kg_sql(body: str, sf_dir: str = _SF001) -> str:
-    return _kg_ctes(sf_dir) + body
+def _kg_sql(body: str, sf_dir: str = _SF001, **knobs) -> str:
+    return _kg_ctes(sf_dir, **knobs) + body
 
 
 def entry() -> Any:
@@ -240,6 +249,27 @@ def _dedup_simhash_groups(sf_dir: str):
     return dedupe.simhash_dup_groups(_docs(sf_dir))
 
 
+_TERM = "xelorvan"  # guaranteed planted disease stem (datagen._DIS_STEMS[0])
+_TERM_CAP = 50
+
+
+def _kg_term_convs(sf_dir: str):
+    # term-scoped corpus selection (search_pubmed(term, n) analog,
+    # fetch_ncbi.py:37-59): conversations mentioning the term, capped,
+    # deterministic conv_id order
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    ids = kg.conv_scope_ids(sf_dir, _TERM, _TERM_CAP)
+    return _rd.from_arrow(_pa.table({"conv_id": _pa.array(ids, _pa.string())}))
+
+
+def _kg_top_cuis_strict(sf_dir: str):
+    # the JobRequest knobs (score_min / top_entities / top_cuis) actually
+    # reaching the selection chain — oracle runs the same overridden values
+    return kg.top_cui_links(sf_dir, top_entities_k=8, top_cuis_k=2, score_min=0.9)
+
+
 def _kg_links_fuzzy(sf_dir: str):
     # trigram-Jaccard fuzzy candidate scoring (J2's ANN-lookup analog);
     # rows-only: the fuzzy score surface is not cheaply SQL-expressible
@@ -303,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_ann": _doc_embed_ann,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "kg_links_fuzzy": _kg_links_fuzzy,
+        "kg_term_convs": _kg_term_convs,
+        "kg_top_cuis_strict": _kg_top_cuis_strict,
         # ---- windowed / ordered-log operators (events) ----
         "ev_tumbling": _ev_tumbling,
         "ev_sliding": _ev_sliding,
@@ -356,6 +388,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT norm_surface, cui, score, name, definition, label FROM g_top4"
         ),
         "kg_selected_cuis": _kg_sql("SELECT cui FROM g_sel"),
+        "kg_term_convs": _kg_sql(
+            "SELECT conv_id FROM (SELECT DISTINCT conv_id FROM g_transcripts "
+            f"WHERE contains(lower(text), '{_TERM}')) "
+            f"ORDER BY conv_id LIMIT {_TERM_CAP}"
+        ),
+        "kg_top_cuis_strict": _kg_sql(
+            "SELECT norm_surface, cui, score, name, definition, label FROM g_top4",
+            top_entities=8, top_cuis=2, score_min=0.9,
+        ),
         "kg_genes": _kg_sql("SELECT source, gene FROM g_genes"),
         "kg_snomed": _kg_sql("SELECT source, saui, snomed_text, scui, sab FROM g_snomed"),
         "kg_clinical_features": _kg_sql(

@@ -113,6 +113,10 @@ def run_job(job: JobRequest) -> dict[str, Any]:
     Ray must already be initialised by the caller (driver/CLI/test) — this
     function never calls ray.init().
     """
+    import glob
+
+    import pyarrow.parquet as pq
+
     from .pipelines import kg
     from .state.manifest import atomic_write_parquet
 
@@ -120,28 +124,50 @@ def run_job(job: JobRequest) -> dict[str, Any]:
         shutil.rmtree(job.out_dir)
     os.makedirs(job.out_dir, exist_ok=True)
 
+    knobs = dict(
+        top_entities=job.top_entities, top_cuis=job.top_cuis, score_min=job.score_min
+    )
     summary: dict[str, Any] = {"out_dir": job.out_dir}
     if all(job.pipelines.get(p) for p in PIPE_HIERARCHY):
         # full run: the resumable manifest path
-        summary.update(kg.build_graph(job.sf_dir, job.out_dir))
+        summary.update(
+            kg.build_graph(
+                job.sf_dir, job.out_dir,
+                term=job.term, max_conversations=job.max_conversations, **knobs,
+            )
+        )
         return summary
 
     def _write(name: str, ds) -> None:
         out = os.path.join(job.out_dir, name)
         atomic_write_parquet(ds, out)
-        summary[f"n_{name}"] = ds.count()
+        summary[f"n_{name}"] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(out, "*.parquet"))
+        )
+
+    # the detector actor pool runs ONCE: graph_tables consumes the mention
+    # dataset a single time (through its materialized conv-entity distinct)
+    # and every enabled stage writes from the shared table dict
+    scope = kg.conv_scope_ids(job.sf_dir, job.term, job.max_conversations)
+    mention_ds = kg.mention_rows(job.sf_dir, scope=scope)
+    if job.pipelines["ner"]:
+        mention_ds = mention_ds.materialize()  # also written below, avoid a 2nd scan
+    t = kg.graph_tables(mention_ds, **knobs)
 
     if job.pipelines["ner"]:
-        _write("mentions", kg.mention_rows(job.sf_dir))
-        _write("links", kg.links(job.sf_dir))
+        _write("mentions", mention_ds)
+        _write("links", t["links"])
     if job.pipelines["medgen"]:
-        _write("genes", kg.genes(job.sf_dir))
-        _write("snomed", kg.snomed(job.sf_dir))
-        _write("clinical_features", kg.clinical_features(job.sf_dir))
+        _write("genes", t["genes"])
+        _write("snomed", t["snomed"])
+        _write("clinical_features", t["clinical_features"])
     if job.pipelines["uniprot"]:
-        _write("proteins", kg.proteins(job.sf_dir))
-        _write("go", kg.go_terms(job.sf_dir))
+        _write("proteins", t["proteins"])
+        _write("go", t["go"])
     if job.pipelines["graph"]:
-        _write("edges", kg.edges(job.sf_dir))
-        _write("nodes", kg.nodes(job.sf_dir))
+        conv_ids = kg._scope_conv_ids_ds(job.sf_dir, scope)
+        _write("edges", kg._edge_union(
+            t, term=job.term, conv_ids=conv_ids if job.term is not None else None))
+        _write("nodes", kg._node_union(t, conv_ids, term=job.term))
     return summary

@@ -40,6 +40,69 @@ def transcripts(sf_dir: str, columns=None) -> rd.Dataset:
     return readers.read_transcripts(sf_dir, columns=columns)
 
 
+# ---------------------------------------------------------------------------
+# Term / cap scoping (search_pubmed(term, n_articles) analog,
+# /root/reference/pymedgraph/input/fetch_ncbi.py:37-59: documents matching
+# the term, capped at max_articles, in a deterministic order)
+# ---------------------------------------------------------------------------
+
+def conv_scope_ids(
+    sf_dir: str, term: str | None = None, max_conversations: int | None = None
+) -> list[str] | None:
+    """conv_ids in scope, or None when the whole corpus is in scope.
+
+    Term scoping = conversations where any turn's lowercased text contains
+    the term (the reference's per-term corpus).  The cap keeps the first N
+    conv_ids ascending — our deterministic stand-in for PubMed's relevance
+    order (fetch_ncbi.py:53).  The id list is a broadcast-semi-join small
+    side: capped runs are ≤ N ids by construction, and a focused term
+    selects a small corpus fraction; ids are 10s of bytes each.
+    """
+    if not term and max_conversations is None:
+        return None
+    cols = ["conv_id", "text"] if term else ["conv_id"]
+    ds = transcripts(sf_dir, cols)
+    if term:
+        t_low = str(term).lower()
+
+        def match(t: pa.Table) -> pa.Table:
+            keep = pc.match_substring(pc.utf8_lower(t["text"]), t_low)
+            return t.filter(keep).select(["conv_id"])
+
+        ds = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+    from ..stages.distinct import distinct as _dd
+
+    ids_ds = _dd(ds, ["conv_id"])
+    if max_conversations is not None:
+        n = int(max_conversations)
+
+        def head_sorted(df):
+            return df.sort_values("conv_id", kind="mergesort").head(n)
+
+        # per-block partial head-n (same total order as the final pick) →
+        # single-block final: the funnel carries O(n × blocks), never the
+        # full conversation cardinality
+        ids_ds = (
+            ids_ds.map_batches(head_sorted, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(head_sorted, batch_format="pandas", batch_size=None)
+        )
+    return sorted(r["conv_id"] for r in ids_ds.take_all())
+
+
+def filter_convs(ds: rd.Dataset, keep_ids: list[str]) -> rd.Dataset:
+    """Broadcast semi-join: keep rows whose conv_id is in the scope set
+    (shipped once via ray.put, read zero-copy per task)."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(keep_ids), pa.string()))
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["conv_id"], value_set=ray.get(ref)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def conversations(sf_dir: str) -> rd.Dataset:
     return assemble.conversations(transcripts(sf_dir, ["conv_id", "turn_idx", "text"]))
 
@@ -48,8 +111,11 @@ def turn_roundtrip(sf_dir: str) -> rd.Dataset:
     return assemble.turn_roundtrip(transcripts(sf_dir, ["conv_id", "turn_idx", "text"]))
 
 
-def mention_rows(sf_dir: str) -> rd.Dataset:
-    return mentions.detect_mentions(transcripts(sf_dir, ["conv_id", "turn_idx", "text"]))
+def mention_rows(sf_dir: str, *, scope: list[str] | None = None) -> rd.Dataset:
+    ds = transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    if scope is not None:
+        ds = filter_convs(ds, scope)
+    return mentions.detect_mentions(ds)
 
 
 def conv_entities(sf_dir: str) -> rd.Dataset:
@@ -64,13 +130,23 @@ def entity_counts(sf_dir: str) -> rd.Dataset:
     return canonicalize.entity_counts(conv_entities(sf_dir))
 
 
-def top_entities(sf_dir: str) -> rd.Dataset:
-    return canonicalize.top_entities(entity_counts(sf_dir))
+def top_entities(sf_dir: str, *, k: int = config.TOP_ENTITIES) -> rd.Dataset:
+    return canonicalize.top_entities(entity_counts(sf_dir), k=k)
 
 
-def top_cui_links(sf_dir: str) -> rd.Dataset:
-    """Top-4 CUIs (score > 0.85) for each of the top-15 DISEASE surfaces."""
-    return canonicalize.top_cuis_per_surface(links(sf_dir), surfaces=top_entities(sf_dir))
+def top_cui_links(
+    sf_dir: str,
+    *,
+    top_entities_k: int = config.TOP_ENTITIES,
+    top_cuis_k: int = config.TOP_CUIS,
+    score_min: float = config.SCORE_MIN,
+) -> rd.Dataset:
+    """Top-k CUIs (score > score_min) for each of the top-n DISEASE surfaces
+    (defaults mirror medgen.py:136-163: 15 surfaces × 4 CUIs, > 0.85)."""
+    return canonicalize.top_cuis_per_surface(
+        links(sf_dir), score_min=score_min, k=top_cuis_k,
+        surfaces=top_entities(sf_dir, k=top_entities_k),
+    )
 
 
 def selected_cuis(sf_dir: str) -> rd.Dataset:
@@ -125,7 +201,13 @@ def _entity_umls_edges(t: pa.Table) -> pa.Table:
     )
 
 
-def graph_tables(mention_ds: rd.Dataset) -> dict[str, rd.Dataset]:
+def graph_tables(
+    mention_ds: rd.Dataset,
+    *,
+    top_entities: int = config.TOP_ENTITIES,
+    top_cuis: int = config.TOP_CUIS,
+    score_min: float = config.SCORE_MIN,
+) -> dict[str, rd.Dataset]:
     """All downstream tables from a (materialized or Parquet-backed) mention
     table.
 
@@ -150,16 +232,16 @@ def graph_tables(mention_ds: rd.Dataset) -> dict[str, rd.Dataset]:
     lk_df = lk_tab.to_pandas()
     top = counts[counts["label"] == "DISEASE"].sort_values(
         ["n_convs", "norm_surface"], ascending=[False, True], kind="mergesort"
-    ).head(config.TOP_ENTITIES)
+    ).head(top_entities)
 
     cand = lk_df[
-        (lk_df["score"] > config.SCORE_MIN)
+        (lk_df["score"] > score_min)
         & lk_df["norm_surface"].isin(set(top["norm_surface"]))
     ]
     top_links = (
         cand.sort_values(["score", "cui"], ascending=[False, True], kind="mergesort")
         .groupby("norm_surface", sort=False)
-        .head(config.TOP_CUIS)
+        .head(top_cuis)
     )
     sel = sorted(set(top_links["cui"]))
 
@@ -182,7 +264,12 @@ def graph_tables(mention_ds: rd.Dataset) -> dict[str, rd.Dataset]:
     }
 
 
-def _edge_union(t: dict[str, rd.Dataset]) -> rd.Dataset:
+def _edge_union(
+    t: dict[str, rd.Dataset],
+    *,
+    term: str | None = None,
+    conv_ids: rd.Dataset | None = None,
+) -> rd.Dataset:
     """Union of the seven edge families.
 
     The corpus-scale family (Conversation→entity) is derived 1:1 from the
@@ -205,12 +292,36 @@ def _edge_union(t: dict[str, rd.Dataset]) -> rd.Dataset:
     small = small_parts[0]
     for p in small_parts[1:]:
         small = small.union(p)
-    return ce_edges.union(graph.dedup_triples(small, blocks=1)).map_batches(
+    out = ce_edges.union(graph.dedup_triples(small, blocks=1))
+    if term is not None and conv_ids is not None:
+        # SearchTerm root seeding (neo4jconnector.py:244-256): one edge per
+        # in-scope conversation, derived from the already-distinct conv set
+        from ..stages.distinct import distinct as _dd
+
+        def term_edges(tb: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "subj": pa.array([f"SearchTerm:{term}"] * len(tb), pa.string()),
+                    "pred": pa.array([config.PRED] * len(tb), pa.string()),
+                    "obj": pc.binary_join_element_wise(
+                        pa.scalar("Conversation:"), tb["conv_id"], ""
+                    ),
+                }
+            )
+
+        out = out.union(
+            _dd(conv_ids, ["conv_id"]).map_batches(
+                term_edges, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    return out.map_batches(
         graph.schema_gate(schemas.TRIPLES), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
-def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
+def _node_union(
+    t: dict[str, rd.Dataset], conv_ids: rd.Dataset, *, term: str | None = None
+) -> rd.Dataset:
     """Union of the node families, deduped PER FAMILY.
 
     Canonical ids are namespaced by label (`<label>:<id>`), so families
@@ -255,40 +366,116 @@ def _node_union(t: dict[str, rd.Dataset], conv_ids: rd.Dataset) -> rd.Dataset:
     small = small_parts[0]
     for p in small_parts[1:]:
         small = small.union(p)
-    return conv_nodes.union(entity_nodes).union(
-        graph.dedup_nodes(small, blocks=1)
-    ).map_batches(
+    out = conv_nodes.union(entity_nodes).union(graph.dedup_nodes(small, blocks=1))
+    if term is not None:
+        out = out.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "canonical_id": pa.array([f"SearchTerm:{term}"], pa.string()),
+                        "node_label": pa.array(["SearchTerm"], pa.string()),
+                        "name": pa.array([term], pa.string()),
+                        "definition": pa.array([""], pa.string()),
+                    }
+                )
+            )
+        )
+    return out.map_batches(
         graph.schema_gate(schemas.NODES), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
-def edges(sf_dir: str) -> rd.Dataset:
+def _scope_conv_ids_ds(sf_dir: str, scope: list[str] | None) -> rd.Dataset:
+    if scope is None:
+        return transcripts(sf_dir, ["conv_id"])
+    return rd.from_arrow(pa.table({"conv_id": pa.array(scope, pa.string())}))
+
+
+def edges(
+    sf_dir: str,
+    *,
+    term: str | None = None,
+    max_conversations: int | None = None,
+    top_entities: int = config.TOP_ENTITIES,
+    top_cuis: int = config.TOP_CUIS,
+    score_min: float = config.SCORE_MIN,
+) -> rd.Dataset:
     """The full deduplicated (subj, pred, obj) edge set — the triple surface
     judged against the reference semantics (P/R on the set)."""
-    return _edge_union(graph_tables(mention_rows(sf_dir)))
+    scope = conv_scope_ids(sf_dir, term, max_conversations)
+    t = graph_tables(
+        mention_rows(sf_dir, scope=scope),
+        top_entities=top_entities, top_cuis=top_cuis, score_min=score_min,
+    )
+    return _edge_union(
+        t, term=term,
+        conv_ids=_scope_conv_ids_ds(sf_dir, scope) if term is not None else None,
+    )
 
 
 triples = edges  # the edge set IS the emitted triple set
 
 
-def nodes(sf_dir: str) -> rd.Dataset:
+def nodes(
+    sf_dir: str,
+    *,
+    term: str | None = None,
+    max_conversations: int | None = None,
+    top_entities: int = config.TOP_ENTITIES,
+    top_cuis: int = config.TOP_CUIS,
+    score_min: float = config.SCORE_MIN,
+) -> rd.Dataset:
     """Deduplicated node table (canonical_id, node_label, name, definition)."""
-    return _node_union(graph_tables(mention_rows(sf_dir)), transcripts(sf_dir, ["conv_id"]))
+    scope = conv_scope_ids(sf_dir, term, max_conversations)
+    t = graph_tables(
+        mention_rows(sf_dir, scope=scope),
+        top_entities=top_entities, top_cuis=top_cuis, score_min=score_min,
+    )
+    return _node_union(t, _scope_conv_ids_ds(sf_dir, scope), term=term)
 
 
 # ---------------------------------------------------------------------------
 # Consuming entry point: resumable build
 # ---------------------------------------------------------------------------
 
-def build_graph(sf_dir: str, out_dir: str) -> dict:
+def build_graph(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    term: str | None = None,
+    max_conversations: int | None = None,
+    top_entities: int = config.TOP_ENTITIES,
+    top_cuis: int = config.TOP_CUIS,
+    score_min: float = config.SCORE_MIN,
+) -> dict:
     """Run the full pipeline and materialize mentions/nodes/edges Parquet.
 
     Stage 1 (mentions) runs PER INPUT SHARD with manifest lineage — a
     restarted job skips shards whose output is committed.  Stages 2+ are
     global (selection needs corpus-wide counts), stream from the committed
     mention Parquet, and commit atomically.  Returns summary metrics.
+
+    Knobs (JobRequest analogs of manager.py:131-191 / fetch_ncbi.py:50-51):
+    term scopes the corpus, max_conversations caps it, the top/score knobs
+    parameterize concept selection.  Knobs are recorded in the manifest;
+    resuming with DIFFERENT knobs raises (committed partitions would mix
+    semantics) — delete the output dir to rebuild.
     """
     man = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+    knobs = {
+        "term": term, "max_conversations": max_conversations,
+        "top_entities": top_entities, "top_cuis": top_cuis, "score_min": score_min,
+    }
+    prior_scope = [e for e in man.entries() if e["stage"] == "knobs"]
+    if prior_scope:
+        if prior_scope[-1].get("knobs") != knobs:
+            raise ValueError(
+                f"resume with different knobs ({prior_scope[-1].get('knobs')} → "
+                f"{knobs}); delete {out_dir} to rebuild"
+            )
+    else:
+        man.record("knobs", "knobs", "done", knobs=knobs)
+    scope = conv_scope_ids(sf_dir, term, max_conversations)
     shards = readers.transcript_files(sf_dir)
 
     def _nrows(path: str) -> int:
@@ -347,6 +534,8 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        if scope is not None:
+            ds = filter_convs(ds, scope)
         det = mentions.detect_mentions(ds, keep_shard=True)
         tmp = os.path.join(out_dir, "mentions.tmp")
         import shutil
@@ -378,7 +567,9 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
         f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
     mention_ds = rd.read_parquet(mention_files)
-    t = graph_tables(mention_ds)
+    t = graph_tables(
+        mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
+    )
 
     def _commit(stage: str, ds: rd.Dataset) -> int:
         prior = man.completed(stage)
@@ -397,6 +588,12 @@ def build_graph(sf_dir: str, out_dir: str) -> dict:
         man.record(stage, stage, "done", rows_out=n, output_path=out)
         return n
 
-    n_edges = _commit("edges", _edge_union(t))
-    n_nodes = _commit("nodes", _node_union(t, transcripts(sf_dir, ["conv_id"])))
+    n_edges = _commit(
+        "edges",
+        _edge_union(
+            t, term=term,
+            conv_ids=_scope_conv_ids_ds(sf_dir, scope) if term is not None else None,
+        ),
+    )
+    n_nodes = _commit("nodes", _node_union(t, _scope_conv_ids_ds(sf_dir, scope), term=term))
     return {"n_turns": n_turns, "n_edges": n_edges, "n_nodes": n_nodes, "out_dir": out_dir}

@@ -70,3 +70,53 @@ def test_run_job_partial_ner_only(tmp_path, sf_dir):
     out = jobs.run_job(job)
     assert out["n_mentions"] > 0 and out["n_links"] > 0
     assert "n_edges" not in out
+
+
+def test_score_min_and_topk_knobs_change_selection(sf_dir):
+    """A stricter score_min / smaller top-k must shrink the selected-CUI
+    chain (the knobs actually reach graph_tables, not config constants)."""
+    from medknowledgegraph_ray.pipelines import kg
+
+    m = kg.mention_rows(sf_dir).materialize()
+    base = kg.graph_tables(m)
+    strict = kg.graph_tables(m, top_entities=5, top_cuis=1, score_min=0.95)
+    n_base = base["selected"].count()
+    n_strict = strict["selected"].count()
+    assert 0 < n_strict < n_base
+    assert n_strict <= 5  # ≤ top_entities(5) surfaces × top_cuis(1)
+
+
+def test_max_conversations_cap(sf_dir):
+    from medknowledgegraph_ray.pipelines import kg
+
+    ids = kg.conv_scope_ids(sf_dir, None, 7)
+    assert len(ids) == 7 and ids == sorted(ids)
+    all_ids = kg.conv_scope_ids(sf_dir, None, 10**9)
+    assert ids == all_ids[:7]
+
+
+def test_term_scoping_seeds_searchterm(sf_dir):
+    from medknowledgegraph_ray.pipelines import kg
+
+    term = "xelorvan"
+    scope = kg.conv_scope_ids(sf_dir, term, 20)
+    assert 0 < len(scope) <= 20
+    edges = kg.edges(sf_dir, term=term, max_conversations=20).take_all()
+    nodes = kg.nodes(sf_dir, term=term, max_conversations=20).take_all()
+    st_edges = [e for e in edges if e["subj"] == f"SearchTerm:{term}"]
+    assert {e["obj"] for e in st_edges} == {f"Conversation:{c}" for c in scope}
+    conv_subj = {e["subj"].split(":", 1)[1] for e in edges if e["subj"].startswith("Conversation:")}
+    assert conv_subj <= set(scope)  # every mention edge comes from in-scope convs
+    assert any(n["canonical_id"] == f"SearchTerm:{term}" for n in nodes)
+    conv_nodes = {n["canonical_id"].split(":", 1)[1] for n in nodes
+                  if n["node_label"] == "Conversation"}
+    assert conv_nodes == set(scope)
+
+
+def test_build_graph_knob_mismatch_on_resume_raises(tmp_path, sf_dir):
+    from medknowledgegraph_ray.pipelines import kg
+
+    out = str(tmp_path / "knobbed")
+    kg.build_graph(sf_dir, out, top_cuis=2)
+    with pytest.raises(ValueError, match="different knobs"):
+        kg.build_graph(sf_dir, out, top_cuis=3)
