@@ -59,6 +59,45 @@ def test_mention_detector_casing_boundaries_and_dedup():
     assert len(out) == 2
 
 
+def test_mention_detector_vocab_scale_flat():
+    """Detection cost must be ~flat in |vocab| (the alias-automaton
+    property): 50× more aliases may not cost anywhere near 50× the time."""
+    import time
+
+    def vocab(n):
+        return pa.table(
+            {
+                "alias": [f"zqalias{i} form{i % 7}" for i in range(n)],
+                "sem_label": ["DISEASE"] * n,
+            }
+        )
+
+    texts = [
+        f"the patient mentioned zqalias{i % 37} form{(i % 37) % 7} during visit {i}"
+        for i in range(400)
+    ]
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))], pa.string()),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def timed(n):
+        det = mentions.MentionDetector(vocab(n))
+        det(batch)  # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = det(batch)
+        return (time.perf_counter() - t0) / 3, out
+
+    t_small, out_small = timed(1_000)
+    t_big, out_big = timed(50_000)
+    assert out_small.num_rows == out_big.num_rows == 400  # same matches
+    assert t_big < t_small * 8, f"vocab scaling not flat: {t_small:.4f}s → {t_big:.4f}s"
+
+
 def test_surface_linker_exact_and_fuzzy():
     catalog = pa.table(
         {
