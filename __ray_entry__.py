@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_links_fuzzy": _kg_links_fuzzy,
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
+        # role / tool / ts transcript-metadata operators
+        "kg_mentions_user": kg.user_mentions,
+        "kg_tool_counts": kg.tool_counts,
+        "kg_tool_edges": kg.tool_edges,
+        "kg_mentions_hourly": kg.hourly_mentions,
         # ---- windowed / ordered-log operators (events) ----
         "ev_tumbling": _ev_tumbling,
         "ev_sliding": _ev_sliding,
@@ -396,6 +401,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_cuis_strict": _kg_sql(
             "SELECT norm_surface, cui, score, name, definition, label FROM g_top4",
             top_entities=8, top_cuis=2, score_min=0.9,
+        ),
+        "kg_mentions_user": _kg_sql(
+            "SELECT DISTINCT t.conv_id, t.turn_idx, v.alias AS norm_surface, "
+            "v.sem_label AS label FROM g_transcripts t JOIN g_vocab v "
+            "ON regexp_matches(lower(t.text), '\\b' || v.alias || '\\b') "
+            "WHERE t.role = 'user'"
+        ),
+        "kg_tool_counts": _kg_sql(
+            "SELECT tool, CAST(count(*) AS BIGINT) AS n_uses, "
+            "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+            "FROM g_transcripts WHERE tool <> '' GROUP BY tool"
+        ),
+        "kg_tool_edges": _kg_sql(
+            "SELECT DISTINCT 'Conversation:' || conv_id AS subj, "
+            f"'{config.PRED}' AS pred, 'Tool:' || tool AS obj "
+            "FROM g_transcripts WHERE tool <> ''"
+        ),
+        "kg_mentions_hourly": _kg_sql(
+            "SELECT epoch_us(t.ts) // 3600000000 AS hour_bucket, m.label, "
+            "CAST(count(*) AS BIGINT) AS n_mentions "
+            "FROM g_mentions m JOIN g_transcripts t USING (conv_id, turn_idx) "
+            "GROUP BY 1, 2"
         ),
         "kg_genes": _kg_sql("SELECT source, gene FROM g_genes"),
         "kg_snomed": _kg_sql("SELECT source, saui, snomed_text, scui, sab FROM g_snomed"),

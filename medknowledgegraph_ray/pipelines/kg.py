@@ -28,7 +28,7 @@ import ray.data as rd
 
 from .. import config, schemas
 from ..sources import readers
-from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions
+from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions, turnmeta
 from ..state.manifest import Manifest, atomic_write_parquet
 
 
@@ -116,6 +116,27 @@ def mention_rows(sf_dir: str, *, scope: list[str] | None = None) -> rd.Dataset:
     if scope is not None:
         ds = filter_convs(ds, scope)
     return mentions.detect_mentions(ds)
+
+
+def user_mentions(sf_dir: str, role: str = "user") -> rd.Dataset:
+    """Role-scoped mention detection (role column, previously unused)."""
+    return turnmeta.role_mentions(
+        transcripts(sf_dir, ["conv_id", "turn_idx", "role", "text"]), role=role
+    )
+
+
+def tool_counts(sf_dir: str) -> rd.Dataset:
+    return turnmeta.tool_counts(transcripts(sf_dir, ["conv_id", "tool"]))
+
+
+def tool_edges(sf_dir: str) -> rd.Dataset:
+    return turnmeta.tool_edges(transcripts(sf_dir, ["conv_id", "tool"]))
+
+
+def hourly_mentions(sf_dir: str) -> rd.Dataset:
+    return turnmeta.hourly_mention_counts(
+        transcripts(sf_dir, ["conv_id", "turn_idx", "text", "ts"])
+    )
 
 
 def conv_entities(sf_dir: str) -> rd.Dataset:

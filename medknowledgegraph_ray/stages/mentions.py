@@ -97,15 +97,6 @@ class MentionDetector:
         import pyarrow.compute as pc
 
         texts = pc.utf8_lower(batch["text"]).to_pylist()
-        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-        tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        # optional provenance column (input shard id) carried through for
-        # the resumable per-shard partitioned write
-        shard = (
-            np.asarray(batch["shard"].to_pylist(), dtype=object)
-            if "shard" in batch.column_names
-            else None
-        )
         out_idx, out_surface, out_label = [], [], []
         for i, txt in enumerate(texts):
             if not txt:
@@ -117,25 +108,22 @@ class MentionDetector:
             out_idx.append(np.full(len(hits), i))
             out_surface.append(np.array([h[0] for h in hits], dtype=object))
             out_label.append(np.array([h[1] for h in hits], dtype=object))
+        # every non-text input column (conv_id, turn_idx, plus optional
+        # passthrough like `shard` provenance or `ts`) is carried via an
+        # Arrow take — type-preserving, no per-column special cases
+        base = batch.drop_columns(["text"])
         if out_idx:
             idx = np.concatenate(out_idx)
-            cols = {
-                "conv_id": pa.array(conv[idx], pa.string()),
-                "turn_idx": pa.array(tidx[idx], pa.int32()),
-                "norm_surface": pa.array(np.concatenate(out_surface), pa.string()),
-                "label": pa.array(np.concatenate(out_label), pa.string()),
-            }
-            if shard is not None:
-                cols["shard"] = pa.array(shard[idx], pa.string())
+            taken = base.take(pa.array(idx, pa.int64()))
+            surface = pa.array(np.concatenate(out_surface), pa.string())
+            label = pa.array(np.concatenate(out_label), pa.string())
         else:
-            cols = {
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "norm_surface": pa.array([], pa.string()),
-                "label": pa.array([], pa.string()),
-            }
-            if shard is not None:
-                cols["shard"] = pa.array([], pa.string())
+            taken = base.slice(0, 0)
+            surface = pa.array([], pa.string())
+            label = pa.array([], pa.string())
+        cols = {name: taken[name] for name in taken.column_names}
+        cols["norm_surface"] = surface
+        cols["label"] = label
         return pa.table(cols)
 
 
@@ -161,6 +149,7 @@ def detect_mentions(
     batch_size: int = config.DETECT_BATCH_SIZE,
     concurrency=None,
     keep_shard: bool = False,
+    passthrough: list[str] | None = None,
     stateful: str = "task",
 ) -> rd.Dataset:
     """turns → mentions(conv_id, turn_idx, norm_surface, label), distinct per turn.
@@ -180,6 +169,7 @@ def detect_mentions(
     """
     vocab_ref = ray.put(alias_catalog())
     cols = ["conv_id", "turn_idx", "text"] + (["shard"] if keep_shard else [])
+    cols += [c for c in (passthrough or []) if c not in cols]
     sel = turns.select_columns(cols)
     if stateful == "actor":
         return sel.map_batches(
