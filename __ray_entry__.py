@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
         # role / tool / ts transcript-metadata operators
+        "kg_abbrev_defs": kg.abbrev_definitions,
+        "kg_mentions_resolved": kg.mentions_resolved,
         "kg_mentions_user": kg.user_mentions,
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
@@ -401,6 +403,35 @@ def oracle_sql() -> dict[str, str]:
         "kg_top_cuis_strict": _kg_sql(
             "SELECT norm_surface, cui, score, name, definition, label FROM g_top4",
             top_entities=8, top_cuis=2, score_min=0.9,
+        ),
+        "kg_abbrev_defs": _kg_sql(
+            "SELECT DISTINCT conv_id, "
+            "regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, "
+            "regexp_extract(frag, '^([a-z]+ [a-z]+)', 1) AS lf "
+            "FROM (SELECT t.conv_id, unnest(regexp_extract_all(lower(t.text), "
+            "'[a-z]+ [a-z]+ \\([a-z0-9]+\\)')) AS frag FROM g_transcripts t) "
+            "WHERE substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 1), 1, 1) || "
+            "substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 2), 1, 1) "
+            "= substr(regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1), 1, 2)"
+        ),
+        "kg_mentions_resolved": _kg_sql(
+            "SELECT conv_id, turn_idx, norm_surface, label FROM g_mentions "
+            "UNION "
+            "SELECT DISTINCT t.conv_id, t.turn_idx, d.lf AS norm_surface, "
+            "v.sem_label AS label "
+            "FROM g_transcripts t "
+            "JOIN (SELECT DISTINCT conv_id, "
+            "  regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, "
+            "  regexp_extract(frag, '^([a-z]+ [a-z]+)', 1) AS lf "
+            "  FROM (SELECT t2.conv_id, unnest(regexp_extract_all(lower(t2.text), "
+            "  '[a-z]+ [a-z]+ \\([a-z0-9]+\\)')) AS frag FROM g_transcripts t2) "
+            "  WHERE substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 1), 1, 1) || "
+            "  substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 2), 1, 1) "
+            "  = substr(regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1), 1, 2)"
+            ") d ON t.conv_id = d.conv_id "
+            "JOIN g_vocab v ON v.alias = d.lf "
+            "WHERE d.sf NOT IN (SELECT alias FROM g_vocab) "
+            "AND regexp_matches(lower(t.text), '\\b' || d.sf || '\\b')"
         ),
         "kg_mentions_user": _kg_sql(
             "SELECT DISTINCT t.conv_id, t.turn_idx, v.alias AS norm_surface, "

@@ -86,11 +86,17 @@ def sf_name(sf_dir: str) -> str:
     return base
 
 
+# Bump when datagen semantics change: generated corpora are cached on disk
+# under a versioned root, so a version bump atomically invalidates stale
+# caches (oracle SQL and Ray pipelines read the same versioned paths).
+CORPUS_VERSION = 2
+
+
 def gen_dir(sf_dir: str) -> str:
     """Directory holding the generated transcript shards for a testdata dir."""
-    return os.path.join(GEN_ROOT, sf_name(sf_dir), "transcripts")
+    return os.path.join(GEN_ROOT, f"v{CORPUS_VERSION}", sf_name(sf_dir), "transcripts")
 
 
 def kb_dir() -> str:
     """Directory holding the (scale-independent) knowledge-base tables."""
-    return os.path.join(GEN_ROOT, "kb")
+    return os.path.join(GEN_ROOT, f"v{CORPUS_VERSION}", "kb")

@@ -241,6 +241,14 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
     """Yield (shard_idx, pyarrow.Table) per shard of conversations."""
     kb = _kb_tables()
     alias_tab = kb["aliases"]
+    umls = kb["umls_kb"]
+    # two-word DISEASE names for conversation-local abbreviation planting
+    # ("long form (SF)" definitions — entityrecognition.py:25-27 analog)
+    disease_names = sorted(
+        n
+        for n, l in zip(umls["canonical_name"].to_pylist(), umls["sem_label"].to_pylist())
+        if l == "DISEASE" and len(n.split()) == 2
+    )
     # distinct surfaces, weighted: hot surface ~30% of slots, rest Zipf.
     surfaces = sorted(set(alias_tab["alias"].to_pylist()))
     rng0 = random.Random(seed ^ 0xA5A5)
@@ -263,12 +271,26 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
             rng = random.Random((seed << 20) ^ ci)  # per-conversation stream
             conv_id = f"conv~{ci:06d}"
             n_turns = rng.randint(120, 200) if rng.random() < 0.02 else rng.randint(4, 24)
+            # conversation-local abbreviation: defined once as "LF (SF)",
+            # then used by its short form in later turns.  The 'q' infix
+            # keeps SFs disjoint from the KB's global abbreviation aliases
+            # (initials + digits) and from the filler vocabulary.
+            abbrev = None
+            if rng.random() < 0.15:
+                lf = disease_names[rng.randrange(len(disease_names))]
+                sf = "".join(t[0] for t in lf.split()) + "q" + str(ci % 10)
+                abbrev = (lf, sf)
             for ti in range(n_turns):
                 role = _ROLES[ti % 3] if rng.random() < 0.9 else rng.choice(_ROLES)
                 tool = rng.choice(_TOOLS[:-1]) if role == "tool" else ""
                 text = " ".join(
                     _sentence(rng, surfaces, weights) for _ in range(rng.randint(1, 3))
                 )
+                if abbrev is not None:
+                    if ti == 0:
+                        text = f"Initial review notes {abbrev[0]} ({abbrev[1]}) in history. " + text
+                    elif rng.random() < 0.25:
+                        text = text + f" Continue monitoring {abbrev[1]} closely."
                 conv_ids.append(conv_id)
                 turn_idxs.append(ti)
                 roles.append(role)

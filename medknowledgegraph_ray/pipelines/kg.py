@@ -139,6 +139,36 @@ def hourly_mentions(sf_dir: str) -> rd.Dataset:
     )
 
 
+def abbrev_definitions(sf_dir: str) -> rd.Dataset:
+    """Conversation-local 'long form (SF)' definition pairs."""
+    from ..stages import abbrev
+
+    return abbrev.definitions(transcripts(sf_dir, ["conv_id", "text"]))
+
+
+def mentions_resolved(sf_dir: str) -> rd.Dataset:
+    """Mention table with abbreviation resolution: base detection plus
+    short-form usages resolved to their long form (entityrecognition.py:
+    25-27 `resolve_abbreviations=True`)."""
+    from ..stages import abbrev
+    from ..stages.distinct import distinct as _dd
+
+    t = transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    res = abbrev.resolved_mentions(t, mentions.alias_catalog())
+    out = _dd(
+        mention_rows(sf_dir).union(res),
+        ["conv_id", "turn_idx", "norm_surface", "label"],
+    )
+
+    # Ray's aggregate reduce (the distinct edge-repair path) promotes int32
+    # keys to int64; restore the transcript turn_idx type
+    def _fix(tb: pa.Table) -> pa.Table:
+        i = tb.schema.get_field_index("turn_idx")
+        return tb.set_column(i, "turn_idx", pc.cast(tb["turn_idx"], pa.int32()))
+
+    return out.map_batches(_fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def conv_entities(sf_dir: str) -> rd.Dataset:
     return mentions.conv_entities(mention_rows(sf_dir))
 

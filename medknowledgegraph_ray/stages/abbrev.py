@@ -1,0 +1,170 @@
+"""Abbreviation detection + resolution — the scispaCy
+`abbreviation_detector` / `resolve_abbreviations=True` analog
+(/root/reference/pymedgraph/dataextraction/entityrecognition.py:25-27).
+
+A conversation can define a local short form — "xelorvan syndrome (xsq3)"
+— and then use `xsq3` alone; without resolution those mentions are lost
+(the SF is not in the global alias KB).  Semantics (shared verbatim with
+the DuckDB oracle):
+
+- a DEFINITION is any fragment matching `[a-z]+ [a-z]+ \\([a-z0-9]+\\)` in
+  the lowercased text whose short form starts with the two long-form word
+  initials (Schwartz-Hearst-lite, deterministic);
+- a definition is VALID iff the long form IS a KB alias and the short form
+  is NOT (if it were, plain detection already finds it);
+- a RESOLVED mention is any turn in the defining conversation whose text
+  matches `\\b<sf>\\b`; it emits the LONG form as its norm_surface (the
+  reference replaces the span text with the long form before linking), so
+  downstream linking/selection work unchanged.
+
+Scale shape: definitions are extracted with one vectorized `str.findall`
+pass; resolution co-locates each conversation's turns with its (few)
+definitions via one `groupby(conv_id)` exchange — conversations are the
+natural partition unit and are bounded in size.  Only the KB alias set is
+broadcast (vocabulary-bounded, the established KB pattern).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .distinct import distinct as _distinct
+
+_DEF_FRAG = re.compile(r"[a-z]+ [a-z]+ \([a-z0-9]+\)")
+_LF = re.compile(r"^([a-z]+ [a-z]+)")
+_SF = re.compile(r"\(([a-z0-9]+)\)")
+
+
+def definitions(turns: rd.Dataset) -> rd.Dataset:
+    """Distinct (conv_id, sf, lf) definition pairs found in any turn."""
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch["text"].fillna("").str.lower()
+        frags = low.str.findall(_DEF_FRAG)
+        n_per = frags.map(len).to_numpy()
+        if n_per.sum() == 0:
+            return pd.DataFrame({
+                "conv_id": pd.array([], dtype="str"),
+                "sf": pd.array([], dtype="str"),
+                "lf": pd.array([], dtype="str"),
+            })
+        conv = np.repeat(batch["conv_id"].to_numpy(), n_per)
+        flat = [f for fs in frags for f in fs]
+        lf = np.array([_LF.match(f).group(1) for f in flat], dtype=object)
+        sf = np.array([_SF.search(f).group(1) for f in flat], dtype=object)
+        initials = np.array(
+            [w1[0] + w2[0] for w1, w2 in (l.split(" ", 1) for l in lf)], dtype=object
+        )
+        keep = np.array([s[:2] == i for s, i in zip(sf, initials)], dtype=bool)
+        return pd.DataFrame({"conv_id": conv[keep], "sf": sf[keep], "lf": lf[keep]})
+
+    raw = turns.map_batches(extract, batch_format="pandas")
+    return _distinct(raw, ["conv_id", "sf", "lf"])
+
+
+def resolved_mentions(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
+    """Mentions recovered through abbreviation resolution:
+    (conv_id, turn_idx, norm_surface=<long form>, label), distinct.
+
+    `vocab` is the (alias, sem_label) catalog (mentions.alias_catalog())."""
+    alias_label = dict(zip(vocab["alias"].to_pylist(), vocab["sem_label"].to_pylist()))
+    vocab_ref = ray.put(alias_label)
+
+    defs = definitions(turns)
+
+    def validate(batch: pd.DataFrame) -> pd.DataFrame:
+        al = ray.get(vocab_ref)
+        keep = batch["lf"].isin(al.keys()) & ~batch["sf"].isin(al.keys())
+        out = batch[keep].copy()
+        out["label"] = out["lf"].map(al)
+        return out
+
+    valid = defs.map_batches(validate, batch_format="pandas")
+
+    # prune the conv-keyed exchange to DEFINING conversations only (a small
+    # corpus fraction): ids-only broadcast semi-join, same pattern as the
+    # minhash candidate filter — def conv ids are bytes each, the text
+    # payload of def-less conversations never enters the shuffle
+    def_ids = sorted({r["conv_id"] for r in _distinct(
+        valid.select_columns(["conv_id"]), ["conv_id"]).take_all()})
+    if not def_ids:
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "norm_surface": pa.array([], pa.string()),
+            "label": pa.array([], pa.string()),
+        }))
+    ids_ref = ray.put(pa.array(def_ids, pa.string()))
+    turns = turns.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["conv_id"], value_set=ray.get(ids_ref))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # co-locate turns with their conversation's definitions: tag both row
+    # kinds, one conv-keyed exchange, per-conversation resolution
+    def tag_turns(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "text": t["text"],
+            "sf": pa.array([""] * len(t), pa.string()),
+            "lf": pa.array([""] * len(t), pa.string()),
+            "label": pa.array([""] * len(t), pa.string()),
+        })
+
+    def tag_defs(t: pd.DataFrame) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "conv_id": pa.array(t["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array([-1] * n, pa.int32()),
+            "text": pa.array([""] * n, pa.string()),
+            "sf": pa.array(t["sf"].tolist(), pa.string()),
+            "lf": pa.array(t["lf"].tolist(), pa.string()),
+            "label": pa.array(t["label"].tolist(), pa.string()),
+        })
+
+    tagged = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        tag_turns, batch_format="pyarrow", zero_copy_batch=True
+    ).union(valid.map_batches(tag_defs, batch_format="pandas"))
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "norm_surface": pa.array([], pa.string()),
+            "label": pa.array([], pa.string()),
+        })
+        is_def = g["turn_idx"].to_numpy() == -1
+        defs_g = g[is_def]
+        if len(defs_g) == 0:
+            return empty
+        rows = g[~is_def]
+        low = rows["text"].fillna("").str.lower()
+        conv_np = rows["conv_id"].to_numpy()
+        tidx_np = rows["turn_idx"].to_numpy()
+        out_conv, out_tidx, out_surf, out_label = [], [], [], []
+        for sf, lf, label in zip(defs_g["sf"], defs_g["lf"], defs_g["label"]):
+            pat = re.compile(r"\b" + re.escape(sf) + r"\b")
+            hit = low.str.contains(pat, regex=True).to_numpy()
+            if hit.any():
+                out_conv.append(conv_np[hit])
+                out_tidx.append(tidx_np[hit])
+                out_surf.append(np.repeat(lf, int(hit.sum())))
+                out_label.append(np.repeat(label, int(hit.sum())))
+        if not out_conv:
+            return empty
+        return pa.table({
+            "conv_id": pa.array(np.concatenate(out_conv), pa.string()),
+            "turn_idx": pa.array(np.concatenate(out_tidx), pa.int32()),
+            "norm_surface": pa.array(np.concatenate(out_surf), pa.string()),
+            "label": pa.array(np.concatenate(out_label), pa.string()),
+        })
+
+    resolved = tagged.groupby("conv_id").map_groups(resolve, batch_format="pandas")
+    return _distinct(resolved, ["conv_id", "turn_idx", "norm_surface", "label"])

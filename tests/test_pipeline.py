@@ -30,7 +30,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
-    sql = _entry.oracle_sql()[name].replace("/tmp/graft_kg/sf0.01/", f"/tmp/graft_kg/{sf_dir.rstrip('/').split('/')[-1]}/")
+    sf_name = sf_dir.rstrip("/").split("/")[-1]
+    sql = _entry.oracle_sql()[name].replace("/sf0.01/", f"/{sf_name}/")
     con = duckdb.connect()
     try:
         return con.sql(sql).df()
@@ -67,7 +68,9 @@ def test_per_turn_text_equality(sf_dir):
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
-    src_files = sorted(glob.glob(f"/tmp/graft_kg/{sf_dir.rstrip('/').split('/')[-1]}/transcripts/*.parquet"))
+    from medknowledgegraph_ray import config as _cfg
+
+    src_files = sorted(glob.glob(_cfg.gen_dir(sf_dir) + "/*.parquet"))
     want = (
         pd.concat([pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas() for f in src_files])
         .sort_values(["conv_id", "turn_idx"])

@@ -120,6 +120,43 @@ def test_surface_linker_exact_and_fuzzy():
     assert out2["score"][0].as_py() < 0.95  # damped by trigram similarity
 
 
+def test_abbreviation_resolution_links_sf_to_lf_cui():
+    """'long form (SF)' defined once; later bare-SF turns must emit the
+    LONG form (entityrecognition.py:25-27 resolve_abbreviations analog),
+    which then links to the LF's CUI."""
+    from medknowledgegraph_ray import datagen
+    from medknowledgegraph_ray.stages import abbrev
+
+    umls = datagen._kb_tables()["umls_kb"]
+    lf = sorted(
+        n
+        for n, l in zip(umls["canonical_name"].to_pylist(), umls["sem_label"].to_pylist())
+        if l == "DISEASE" and len(n.split()) == 2
+    )[0]
+    sf = "".join(w[0] for w in lf.split()) + "q9"
+    vocab = pa.table({"alias": [lf], "sem_label": ["DISEASE"]})
+    ds = _turns(
+        [
+            ("c1", 0, f"History shows {lf} ({sf}) per chart."),
+            ("c1", 1, f"Discussed {sf} medication options."),
+            ("c1", 2, "No mention here."),
+            ("c2", 0, f"{sf} without a definition in this conversation."),
+        ]
+    )
+    defs = abbrev.definitions(ds).to_pandas()
+    assert set(map(tuple, defs.values.tolist())) == {("c1", sf, lf)}
+    res = abbrev.resolved_mentions(ds, vocab).to_pandas()
+    got = set(map(tuple, res.values.tolist()))
+    # c1 turns 0 and 1 contain the SF; c2 has no local definition → nothing
+    assert got == {("c1", 0, lf, "DISEASE"), ("c1", 1, lf, "DISEASE")}
+    # and the resolved surface links to the LF's CUI through the normal path
+    from medknowledgegraph_ray.stages import linker
+
+    links = linker.link_table([lf]).to_pandas()
+    assert len(links) >= 1 and (links["norm_surface"] == lf).all()
+    assert links.sort_values("score", ascending=False)["score"].iloc[0] == 1.0
+
+
 def test_top_entities_deterministic_tiebreak():
     counts = rd.from_items(
         [
