@@ -225,7 +225,12 @@ def _mm_frames(sf_dir: str):
 def _doc_embed_ann(sf_dir: str):
     # feature-extract → similarity search, end to end: embed the documents
     # with the hashing trick, then brute-force top-k against fixed queries
-    emb = ann.embed_texts(_docs(sf_dir)).rename_columns({"doc_id": "vec_id"})
+    emb = ann.embed_texts(_docs(sf_dir)).map_batches(
+        lambda t: t.rename_columns(
+            ["vec_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
     return ann.brute_force_topk(emb, ann.fixed_queries(64), k=_ANN_K)
 
 
