@@ -10,6 +10,28 @@ by bench.py / the test fixture / the external driver.
 
 __version__ = "0.1.0"
 
+# Concurrent Dataset executions (e.g. the parallel edge/node sink commits)
+# race inside Ray's per-call `from fsspec.implementations.http import
+# HTTPFileSystem` probe (ray/data/datasource/path_util.py:_is_http_filesystem):
+# the import FAILS here (no aiohttp), is retried on every path resolution,
+# and two threads failing the same import concurrently can surface as an
+# uncaught `ImportError: cannot import name ...` instead of the caught
+# ModuleNotFoundError.  Pre-seed a stub module so the probe import succeeds
+# deterministically; the stub class matches no real filesystem, so the
+# isinstance check correctly returns False.
+try:  # pragma: no cover - environment-dependent
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFileSystem  # noqa: F401
+except Exception:  # ModuleNotFoundError(aiohttp) in this environment
+    import sys as _sys
+    import types as _types
+
+    class _NoHTTPFileSystem:
+        pass
+
+    _mod = _types.ModuleType("fsspec.implementations.http")
+    _mod.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _mod
+
 # NOTE on shuffle strategy: Ray 2.49's HASH_SHUFFLE strategy was measured
 # 3–100× SLOWER than the default sort-based pull shuffle on this engine's
 # keyed exchanges (conv-entity distinct 17 s → 54 s, count aggregate

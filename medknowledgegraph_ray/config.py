@@ -34,6 +34,14 @@ DEFAULT_SEED = 20260817
 # scheduling cost ~6 s; 32768 (~10 MB of turn text, trivially within worker
 # heap × pool size) cuts that 8×.  Shrink for large-payload columns.
 DETECT_BATCH_SIZE = 32768
+
+# Input-layout contract: transcript shard files are CONVERSATION-LOCAL
+# (each conversation's turns live in one shard file — the standard layout
+# for document corpora, and what our datagen emits).  When true, per-
+# conversation distincts use the exchange-free clustered path
+# (distinct.group_local_distinct); set GRAFT_CONV_LOCAL=0 for arbitrary
+# layouts to fall back to the sort-exchange distinct.
+CONV_LOCAL_SHARDS = os.environ.get("GRAFT_CONV_LOCAL", "1") == "1"
 SALT_BUCKETS = 16             # salt fan-out for two-phase aggregation on hot keys
 MENTION_BUCKETS = 64          # resume-unit buckets for the mention stage write
 
@@ -78,6 +86,37 @@ def shuffle_blocks() -> int:
     return max(8, min(64, cpus))
 
 
+def read_blocks(n_files: int) -> int:
+    """Target block count for many-file reads.
+
+    One block per shard file (the Ray default) schedules one task per file
+    — at 1,800 sf3 shards that is ~4 s of serial task dispatch per pass,
+    a parallelism-independent term that caps scaling efficiency.  Coalesce
+    to ~4 blocks per CPU (good work-stealing granularity, bounded task
+    count); never more blocks than files is needed since Ray can also
+    split large files."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(n_files, max(64, 4 * cpus)))
+
+
+def sort_blocks() -> int:
+    """Target block count for sort-exchange inputs.
+
+    A Ray range sort creates #map_blocks × #reduce_blocks shuffle objects;
+    with a many-file input (e.g. 300 shard reads) the exchange cost is
+    dominated by that quadratic object count, not data volume — measured
+    6.5 s → 1.7 s for the same 2M-row distinct by coalescing 123 blocks to
+    32 before the sort.  Pre-exchange data is already partially
+    deduplicated/aggregated (small), so the narrow repartition is cheap.
+    Scales with the cluster: ~1 block per CPU, clamped to [8, 256]."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, min(256, cpus))
+
+
 def sf_name(sf_dir: str) -> str:
     """Map a testdata dir like /root/testdata/sf0.01 → 'sf0.01'."""
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -89,7 +128,7 @@ def sf_name(sf_dir: str) -> str:
 # Bump when datagen semantics change: generated corpora are cached on disk
 # under a versioned root, so a version bump atomically invalidates stale
 # caches (oracle SQL and Ray pipelines read the same versioned paths).
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3  # v3 = v2 content with 2000-conv shard files
 
 
 def gen_dir(sf_dir: str) -> str:

@@ -261,7 +261,13 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
         weights.append(0.30 if s == hot else 0.70 * zipf[others.index(s)] / ztot)
 
     base_ts = _dt.datetime(2026, 1, 1)
-    shard_size = 250
+    # ~2000 conversations (~34k turns, ~6 MB) per shard file: the realistic
+    # many-MB-file layout.  250-conv shards made sf3 an 1,800-file read
+    # whose serial driver-side footer prefetch alone cost ~3.5 s — a
+    # parallelism-independent term that capped scaling efficiency.  Content
+    # is a pure function of (seed, conv index); sharding only sets file
+    # boundaries.
+    shard_size = 2000
     n_shards = (n_convs + shard_size - 1) // shard_size
     for shard in range(n_shards):
         conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []

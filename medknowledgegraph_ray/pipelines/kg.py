@@ -70,9 +70,12 @@ def conv_scope_ids(
             return t.filter(keep).select(["conv_id"])
 
         ds = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
-    from ..stages.distinct import distinct as _dd
+    from ..stages.distinct import distinct as _dd, group_local_distinct as _gld
 
-    ids_ds = _dd(ds, ["conv_id"])
+    if config.CONV_LOCAL_SHARDS:
+        ids_ds = _gld(ds, ["conv_id"], "conv_id")
+    else:
+        ids_ds = _dd(ds, ["conv_id"])
     if max_conversations is not None:
         n = int(max_conversations)
 
@@ -272,9 +275,12 @@ def graph_tables(
     cap scaling efficiency.  The driver-side ops share their emit/ordering
     logic with the streaming variants (enrich.*_table / linker.link_table),
     so both paths are row-identical."""
-    # materialized deliberately: distinct() pins its flagged intermediate,
-    # but leaving ce lazy makes each of its three consumers re-run the
-    # filter/union tail over it — measured +20 s at sf3/32 vs this copy
+    # pinned once: ce feeds three consumers (counts, the edge sink, the
+    # node sink); each re-running even the cheap post-repair tail costs a
+    # measured ~1.7 s of execution overhead per consumer, more than the
+    # single extra copy of the (mention-scale÷turns, conv×vocab-bounded)
+    # table.  At 100 TB this pin is the one candidate for the Parquet
+    # spill fallback (see atomic_write_parquet) rather than a design change.
     ce = mentions.conv_entities(mention_ds).materialize()    # ≤ convs × vocab
     # distinct surfaces derive from ce (vocab ⊆ ce keys) — no second scan of
     # the corpus-scale mention table
@@ -302,9 +308,24 @@ def graph_tables(
     pr = enrich.proteins_table(gn["gene"].to_pylist())
     go = enrich.go_table(pr["entry"].to_pylist())
 
+    # entity node family derived from the vocabulary-bounded counts table
+    # (distinct (norm_surface, label) by construction) — saves the node sink
+    # a dedup exchange over the corpus-scale conv-entity table
+    entity_nodes_tab = pa.table(
+        {
+            "canonical_id": pa.array(
+                (counts["label"] + ":" + counts["norm_surface"]).tolist(), pa.string()
+            ),
+            "node_label": pa.array(counts["label"].tolist(), pa.string()),
+            "name": pa.array(counts["norm_surface"].tolist(), pa.string()),
+            "definition": pa.array([""] * len(counts), pa.string()),
+        }
+    )
+
     wrap = rd.from_arrow
     return {
         "links": wrap(lk_tab),
+        "entity_nodes": wrap(entity_nodes_tab),
         "conv_entities": ce,
         "selected": wrap(pa.table({"cui": pa.array(sel, pa.string())})),
         "genes": wrap(gn),
@@ -381,19 +402,28 @@ def _node_union(
     the entity family is vocabulary-bounded after the per-block partial,
     and everything KB-derived fits one reduce partition."""
     # conversation nodes: name/definition are the id itself, so this family
-    # needs only a distinct over conv_id — the parallel sort-based distinct,
-    # not the pack-min aggregate (whose exchange is serial in Ray 2.49)
-    from ..stages.distinct import distinct as _dd
+    # needs only a distinct over conv_id — exchange-free under the
+    # conversation-local shard contract, sort-based otherwise
+    from ..stages.distinct import distinct as _dd, group_local_distinct as _gld
 
-    conv_nodes = _dd(conv_ids, ["conv_id"]).map_batches(
+    if config.CONV_LOCAL_SHARDS:
+        conv_distinct = _gld(conv_ids, ["conv_id"], "conv_id")
+    else:
+        conv_distinct = _dd(conv_ids, ["conv_id"])
+    conv_nodes = conv_distinct.map_batches(
         lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    entity_nodes = graph.dedup_nodes(
-        t["conv_entities"].map_batches(
-            lambda b: graph.node_rows(b, "label", "norm_surface", "norm_surface", None),
-            batch_format="pyarrow", zero_copy_batch=True),
-    )
+    if "entity_nodes" in t:
+        # vocabulary-bounded family precomputed from the counts table —
+        # distinct by construction, no exchange needed
+        entity_nodes = t["entity_nodes"]
+    else:
+        entity_nodes = graph.dedup_nodes(
+            t["conv_entities"].map_batches(
+                lambda b: graph.node_rows(b, "label", "norm_surface", "norm_surface", None),
+                batch_format="pyarrow", zero_copy_batch=True),
+        )
     small_parts = [
         t["links"].map_batches(
             lambda b: graph.node_rows(b, "UMLS", "cui", "name", "definition"),
@@ -512,6 +542,15 @@ def build_graph(
     resuming with DIFFERENT knobs raises (committed partitions would mix
     semantics) — delete the output dir to rebuild.
     """
+    import time
+
+    _trace = os.environ.get("GRAFT_TIMING") == "1"
+    _t0 = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        if _trace:
+            print(f"[timing] {stage}: {time.perf_counter() - _t0:.2f}s", flush=True)
+
     man = Manifest(os.path.join(out_dir, "manifest.jsonl"))
     knobs = {
         "term": term, "max_conversations": max_conversations,
@@ -527,6 +566,7 @@ def build_graph(
     else:
         man.record("knobs", "knobs", "done", knobs=knobs)
     scope = conv_scope_ids(sf_dir, term, max_conversations)
+    _mark("scope")
     shards = readers.transcript_files(sf_dir)
 
     def _nrows(path: str) -> int:
@@ -570,10 +610,15 @@ def build_graph(
         # output partitions are preserved via a hive-partitioned write on
         # the carried provenance column, so resume granularity is intact.
         pat_buckets = {os.path.basename(p): b for b, paths in pending for p in paths}
+        pending_files = [p for _, paths in pending for p in paths]
         ds = rd.read_parquet(
-            [p for _, paths in pending for p in paths],
+            pending_files,
             columns=["conv_id", "turn_idx", "text"],
             include_paths=True,
+            # one task per shard file (~1,800 at sf3) costs seconds of
+            # serial dispatch; the per-row path column keeps the bucket
+            # mapping exact across coalesced blocks
+            override_num_blocks=config.read_blocks(len(pending_files)),
         ).map_batches(
             lambda t: t.append_column(
                 "shard",
@@ -593,6 +638,7 @@ def build_graph(
 
         shutil.rmtree(tmp, ignore_errors=True)
         det.write_parquet(tmp, partition_cols=["shard"])
+        _mark("mention_write")
         os.makedirs(os.path.join(out_dir, "mentions"), exist_ok=True)
         for part, shard_paths in pending:
             src = os.path.join(tmp, f"shard={part}")
@@ -610,6 +656,7 @@ def build_graph(
             mention_dirs.append(dst)
             n_turns += rows_in
         shutil.rmtree(tmp, ignore_errors=True)
+        _mark("mention_commit")
 
     # stream the committed Parquet (single downstream consumer; pinning the
     # mention table in the object store alongside the sort exchange measured
@@ -621,6 +668,7 @@ def build_graph(
     t = graph_tables(
         mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
     )
+    _mark("graph_tables")
 
     def _commit(stage: str, ds: rd.Dataset) -> int:
         prior = man.completed(stage)
@@ -639,12 +687,21 @@ def build_graph(
         man.record(stage, stage, "done", rows_out=n, output_path=out)
         return n
 
-    n_edges = _commit(
-        "edges",
-        _edge_union(
-            t, term=term,
-            conv_ids=_scope_conv_ids_ds(sf_dir, scope) if term is not None else None,
-        ),
+    # the two sinks share the materialized mention-derived inputs and write
+    # to distinct directories — run their Ray executions CONCURRENTLY so
+    # launch latency and the per-plan serial phases overlap (the streaming
+    # executor interleaves both job's tasks on the same CPU pool)
+    from concurrent.futures import ThreadPoolExecutor
+
+    edge_ds = _edge_union(
+        t, term=term,
+        conv_ids=_scope_conv_ids_ds(sf_dir, scope) if term is not None else None,
     )
-    n_nodes = _commit("nodes", _node_union(t, _scope_conv_ids_ds(sf_dir, scope), term=term))
+    node_ds = _node_union(t, _scope_conv_ids_ds(sf_dir, scope), term=term)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_edges = ex.submit(_commit, "edges", edge_ds)
+        f_nodes = ex.submit(_commit, "nodes", node_ds)
+        n_edges = f_edges.result()
+        n_nodes = f_nodes.result()
+    _mark("edges_nodes_commit")
     return {"n_turns": n_turns, "n_edges": n_edges, "n_nodes": n_nodes, "out_dir": out_dir}

@@ -27,7 +27,9 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None) -> rd.Datase
     """
     gen = datagen.ensure_transcripts(sf_dir)
     files = sorted(glob.glob(os.path.join(gen, "*.parquet")))
-    return rd.read_parquet(files, columns=columns)
+    return rd.read_parquet(
+        files, columns=columns, override_num_blocks=config.read_blocks(len(files))
+    )
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:

@@ -20,8 +20,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
-
 from .. import config
 from . import distinct as _distinct
 
@@ -34,9 +32,17 @@ def entity_counts(conv_entities: rd.Dataset) -> rd.Dataset:
         g = batch.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")])
         return rename_after_groupby(g, ["norm_surface", "label"], ["conv_id"], ["count"], ["n_convs"])
 
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["norm_surface", "label"]).aggregate([("n_convs", "sum")])
+        return rename_after_groupby(g, ["norm_surface", "label"], ["n_convs"], ["sum"], ["n_convs"])
+
     partials = conv_entities.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = partials.groupby(["norm_surface", "label"]).aggregate(Sum("n_convs", alias_name="n_convs"))
-    return out
+    # final combine is VOCABULARY-bounded (≤ |vocab| rows per input block
+    # after the partial), so one tiny Arrow combine block beats a full
+    # groupby exchange by an order of magnitude
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def top_entities(counts: rd.Dataset, *, label: str = "DISEASE", k: int = config.TOP_ENTITIES) -> rd.Dataset:

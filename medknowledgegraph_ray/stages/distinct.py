@@ -25,11 +25,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from .. import config
 
-_N = "__distinct_n"
 _EDGE = "__edge"
 
 
@@ -67,16 +65,61 @@ def _consecutive_dedup_and_flag(keys: list[str]):
 
 
 def _small_distinct(ds: rd.Dataset, keys: list[str], blocks: int) -> rd.Dataset:
-    """Aggregate-based distinct for small inputs (the Count column is
-    dropped after).  Fine when the exchange is at most thousands of rows."""
-    agg = ds.map_batches(
-        _block_distinct(keys), batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(
-        keys if len(keys) > 1 else keys[0], num_partitions=blocks
-    ).aggregate(Count(alias_name=_N))
-    return agg.map_batches(
-        lambda t: t.drop_columns([_N]), batch_format="pyarrow", zero_copy_batch=True
+    """Single-block distinct for small inputs: per-block partial, coalesce
+    to one block, one vectorized Arrow combine.  Strictly cheaper than a
+    groupby exchange whenever the post-partial data fits one block
+    (thousands of rows) — and it keeps an AllToAll operator out of every
+    enclosing plan."""
+    assert blocks == 1, "single-block combine is only exact with blocks=1"
+    return (
+        ds.map_batches(_block_distinct(keys), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .repartition(blocks)
+        .map_batches(
+            _block_distinct(keys),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
     )
+
+
+def group_local_distinct(
+    ds: rd.Dataset, keys: list[str], group_key: str
+) -> rd.Dataset:
+    """Exact distinct WITHOUT any exchange, for group-clustered inputs.
+
+    Contract (config.CONV_LOCAL_SHARDS): rows of one `group_key` value are
+    CONTIGUOUS in the dataset's row stream — true when shard files are
+    conversation-local (each conversation's rows live in one file, the
+    standard layout for document corpora) and reads coalesce whole files.
+    Under that contract a group spans at most ADJACENT batches, so:
+
+      1. per-batch vectorized distinct (Arrow group_by),
+      2. rows whose group equals the batch's first or last group value are
+         flagged (only those can repeat in a neighboring batch),
+      3. interior rows are final; the tiny edge set gets one single-block
+         combine.
+
+    `group_key` must be one of `keys`.  Compare stages/distinct.distinct:
+    same interior/edge shape, but clustering replaces the global sort —
+    the exchange cost drops from O(data) to zero.
+    """
+    assert group_key in keys
+
+    def block_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            empty = t.select(keys)
+            return empty.append_column(_EDGE, pa.array([], pa.bool_()))
+        g = t.select(keys).group_by(keys).aggregate([])
+        first = t[group_key][0]
+        last = t[group_key][t.num_rows - 1]
+        edge = pc.or_(pc.equal(g[group_key], first), pc.equal(g[group_key], last))
+        return g.append_column(_EDGE, edge)
+
+    flagged = ds.map_batches(
+        block_pass, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # small (post-dedup); consumed by interior + edge repair
+    return _resolve_edge_repair(flagged, keys)
 
 
 def distinct(ds: rd.Dataset, keys: list[str], *, blocks: int | None = None) -> rd.Dataset:
@@ -89,16 +132,37 @@ def distinct(ds: rd.Dataset, keys: list[str], *, blocks: int | None = None) -> r
         return _small_distinct(ds, keys, 1)
 
     pre = ds.map_batches(
-        _block_distinct(keys), batch_format="pyarrow", zero_copy_batch=True
+        _block_distinct(keys), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    # coalesce before the sort: the range exchange creates #map × #reduce
+    # shuffle objects, so a many-block input (one block per source file)
+    # pays quadratic overhead for tiny per-block data (config.sort_blocks)
+    pre = pre.repartition(config.sort_blocks())
     flagged = pre.sort(keys).map_batches(
-        _consecutive_dedup_and_flag(keys), batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # two consumers below; without this the sort runs twice
+        _consecutive_dedup_and_flag(keys), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None
+    ).materialize()  # pinned once; consumed by interior + edge repair
+    return _resolve_edge_repair(flagged, keys)
 
+
+def _resolve_edge_repair(flagged: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Interior rows stay a lazy filter over the pinned flagged dataset;
+    the edge rows (≤ 2 key groups per block — bounded by blocks, never by
+    data) are gathered ONCE, combined driver-side, and appended as a single
+    literal block.  Resolving eagerly keeps the all-to-all repartition and
+    the second full scan out of every CONSUMER's plan — a distinct output
+    read N times pays the repair once, and each read is one cheap filter."""
     interior = flagged.filter(expr=f"{_EDGE} == False").map_batches(
         lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow", zero_copy_batch=True
     )
-    edges = flagged.filter(expr=f"{_EDGE} == True").map_batches(
-        lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return interior.union(_small_distinct(edges, keys, 1))
+    schema = flagged.schema(fetch_if_missing=True)
+    if schema is None:  # empty input
+        return interior
+    edge_tab = pa.Table.from_pylist(
+        flagged.filter(expr=f"{_EDGE} == True").take_all(),
+        schema=schema.base_schema,
+    ).drop_columns([_EDGE])
+    deduped = edge_tab.group_by(keys).aggregate([])
+    if len(deduped) == 0:
+        return interior
+    return interior.union(rd.from_arrow(deduped))

@@ -20,7 +20,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from .. import config
 from .distinct import distinct
@@ -137,12 +136,24 @@ def dedup_nodes(nodes: rd.Dataset, *, blocks: int | None = None) -> rd.Dataset:
             }
         )
 
-    merged = (
-        nodes.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(blocks or config.shuffle_blocks())  # post-partial data is tiny
-        .groupby("canonical_id")
-        .aggregate(Min("packed", alias_name="packed"))
-    )
+    packed_ds = nodes.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    if blocks == 1:
+        # KB-bounded family: one tiny Arrow combine block, no exchange
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("canonical_id").aggregate([("packed", "min")])
+            from .groupagg import rename_after_groupby
+
+            return rename_after_groupby(g, ["canonical_id"], ["packed"], ["min"], ["packed"])
+
+        merged = packed_ds.repartition(1).map_batches(
+            combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    else:
+        # corpus/vocab-scale family: algebraic min on the parallel sorted
+        # exchange (stages/groupagg.py) — no per-group reducer
+        from .groupagg import grouped_agg
+
+        merged = grouped_agg(packed_ds, ["canonical_id"], [("packed", "min", "packed")])
     return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 

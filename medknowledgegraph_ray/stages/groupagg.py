@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from .. import config
+
 _COMBINE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 _EDGE = "__edge"
 
@@ -76,20 +78,26 @@ def grouped_agg(
         edge = np.array([row == first or row == last for row in gk], dtype=bool)
         return g.append_column(_EDGE, pa.array(edge))
 
-    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # coalesce the (already partially-aggregated, small) exchange input —
+    # see config.sort_blocks for the quadratic shuffle-object rationale
+    pre = pre.repartition(config.sort_blocks())
     flagged = (
         pre.sort(keys)
-        .map_batches(combine_and_flag, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize()  # two consumers
+        .map_batches(combine_and_flag, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .materialize()  # pinned once; consumed by interior + edge repair
     )
     interior = flagged.filter(expr=f"{_EDGE} == False").map_batches(
         lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow", zero_copy_batch=True
     )
-    edges = (
-        flagged.filter(expr=f"{_EDGE} == True")
-        .map_batches(lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    return interior.union(edges)
+    # edge groups are ≤ 2 per block — gather once, combine driver-side, and
+    # append as a literal block, keeping the all-to-all repartition out of
+    # every consumer's plan (see distinct._resolve_edge_repair)
+    edge_tab = pa.Table.from_pylist(
+        flagged.filter(expr=f"{_EDGE} == True").take_all(),
+        schema=flagged.schema().base_schema,
+    ).drop_columns([_EDGE])
+    if edge_tab.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(combine(edge_tab)))

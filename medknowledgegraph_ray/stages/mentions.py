@@ -196,9 +196,16 @@ def conv_entities(mentions: rd.Dataset) -> rd.Dataset:
     """Distinct (conv_id, norm_surface, label) — the reference's per-document
     entity set (entityrecognition.py:54-64).
 
-    The shuffle key is the COMPOSITE (norm_surface, conv_id): the hot surface
-    (~30% of mentions) is spread across conversations, so no single reducer
-    sees the hot key — conv_id acts as the salt.  A per-block local distinct
-    runs first so the exchange moves pre-deduped rows only.
+    With conversation-local shards (config.CONV_LOCAL_SHARDS) a
+    conversation's mention rows are contiguous in the stream, so the
+    distinct needs NO exchange at all: per-batch vectorized dedup + a tiny
+    batch-edge repair (distinct.group_local_distinct).  The fallback for
+    arbitrary layouts is the sorted exchange keyed on the COMPOSITE
+    (norm_surface, conv_id) — conv_id salts the hot surface so no single
+    reducer sees it.
     """
+    if config.CONV_LOCAL_SHARDS:
+        return distinct.group_local_distinct(
+            mentions, ["norm_surface", "conv_id", "label"], "conv_id"
+        )
     return distinct.distinct(mentions, ["norm_surface", "conv_id", "label"])

@@ -25,8 +25,11 @@ import shutil
 
 class Manifest:
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self._entries: list[dict] = []
+        self._lock = threading.Lock()  # commits may run from worker threads
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
@@ -36,10 +39,11 @@ class Manifest:
 
     def record(self, stage: str, partition: str, status: str, **info) -> None:
         entry = {"stage": stage, "partition": partition, "status": status, **info}
-        self._entries.append(entry)
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(entry, sort_keys=True) + "\n")
+        with self._lock:
+            self._entries.append(entry)
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(entry, sort_keys=True) + "\n")
 
     def completed(self, stage: str) -> dict[str, dict]:
         """partition → latest `done` entry whose output still exists."""
