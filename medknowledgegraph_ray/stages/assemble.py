@@ -58,23 +58,72 @@ def _merge_fragments(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _block_fragments_local(t: pd.DataFrame) -> pd.DataFrame:
+    """Fragment pass for CONV-LOCAL input: blocks hold whole conversations
+    (a conversation can straddle only a block's stream edges), so no global
+    sort is needed — each block sorts its own rows by (conv_id, turn_idx).
+    Edge conversations are identified from the PRE-sort stream order."""
+    if len(t) == 0:
+        return _block_fragments(t)
+    first, last = t["conv_id"].iloc[0], t["conv_id"].iloc[-1]
+    t = t.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = t.groupby("conv_id", sort=False)
+    frag = g.agg(
+        n_turns=("turn_idx", "size"),
+        min_tidx=("turn_idx", "min"),
+        text=("text", " ".join),
+    ).reset_index()
+    frag["n_turns"] = frag["n_turns"].astype("int64")
+    frag["min_tidx"] = frag["min_tidx"].astype("int64")
+    frag["__edge"] = frag["conv_id"].isin({first, last})
+    return frag
+
+
 def conversations(turns: rd.Dataset) -> rd.Dataset:
-    """turns(conv_id, turn_idx, text, …) → conversations(conv_id, n_turns, text)."""
-    flagged = (
-        turns.select_columns(["conv_id", "turn_idx", "text"])
-        .sort(["conv_id", "turn_idx"])
-        .map_batches(_block_fragments, batch_format="pandas")
-        .materialize()  # two consumers (interior + edge repair)
-    )
+    """turns(conv_id, turn_idx, text, …) → conversations(conv_id, n_turns, text).
+
+    Under the conversation-local shard contract (config.CONV_LOCAL_SHARDS)
+    the full-text payload never crosses an exchange: per-block grouped
+    assembly + edge-conversation repair.  The fallback is the global range
+    sort on (conv_id, turn_idx) — which ships every text byte through the
+    shuffle (the price of assuming nothing about layout)."""
+    from .. import config
+
+    sel = turns.select_columns(["conv_id", "turn_idx", "text"])
+    if config.CONV_LOCAL_SHARDS:
+        flagged = sel.map_batches(
+            _block_fragments_local, batch_format="pandas", batch_size=None
+        ).materialize()
+    else:
+        flagged = (
+            sel.sort(["conv_id", "turn_idx"])
+            .map_batches(_block_fragments, batch_format="pandas", batch_size=None)
+            .materialize()  # two consumers (interior + edge repair)
+        )
     interior = flagged.filter(expr="__edge == False").map_batches(
         lambda t: t[["conv_id", "n_turns", "text"]], batch_format="pandas"
     )
-    edges = (
-        flagged.filter(expr="__edge == True")
-        .groupby("conv_id")
-        .map_groups(_merge_fragments, batch_format="pandas")
+    # edge fragments are bounded by block count (≤ 2 conversations per
+    # block) — merge them driver-side and append as one literal block
+    # (cf. distinct._resolve_edge_repair).  At extreme block counts the
+    # distributed grouped merge takes over instead of a large driver pull.
+    edge_ds = flagged.filter(expr="__edge == True")
+    if edge_ds.count() > 100_000:
+        edges = edge_ds.groupby("conv_id").map_groups(
+            _merge_fragments, batch_format="pandas"
+        )
+        return interior.union(edges)
+    edge_rows = edge_ds.to_pandas()
+    if len(edge_rows) == 0:
+        return interior
+    merged = (
+        edge_rows.sort_values(["conv_id", "min_tidx"], kind="mergesort")
+        .groupby("conv_id", sort=False)
+        .agg(n_turns=("n_turns", "sum"), text=("text", " ".join))
+        .reset_index()
     )
-    return interior.union(edges)
+    merged["n_turns"] = merged["n_turns"].astype("int64")
+    return interior.union(rd.from_pandas(merged[["conv_id", "n_turns", "text"]]))
 
 
 def _roundtrip_group(g: pd.DataFrame) -> pd.DataFrame:
