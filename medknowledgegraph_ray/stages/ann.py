@@ -25,15 +25,28 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Per-batch cosine scores + local top-k against a broadcast query matrix."""
+    """Per-batch cosine scores + local top-k against a broadcast query matrix.
+
+    The instance ships with each task holding only the ObjectRef; the query
+    matrix itself is resolved lazily from plasma (zero-copy, once per
+    worker) so a large matrix is broadcast, never serialized per task."""
 
     def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.query_ids = np.asarray(q["query_id"], dtype=np.int64)
-        self.qm = _unit(np.asarray(q["matrix"], dtype=np.float64))  # (nq, dim)
+        self._queries_ref = queries_ref
         self.k = k
+        self.query_ids = None
+        self.qm = None
+
+    def _ensure(self):
+        if self.qm is None:
+            q = self._queries_ref
+            if isinstance(q, ray.ObjectRef):
+                q = ray.get(q)
+            self.query_ids = np.asarray(q["query_id"], dtype=np.int64)
+            self.qm = _unit(np.asarray(q["matrix"], dtype=np.float64))  # (nq, dim)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        self._ensure()
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
         m = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         sims = self.qm @ m.T  # (nq, batch)
@@ -68,11 +81,9 @@ def brute_force_topk(
     is float-stable against the DuckDB list_cosine_similarity oracle."""
     qref = ray.put(queries)
     partials = embeddings.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        BruteForceScorer(queries_ref=qref, k=k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=config.pool_size(),
     )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
@@ -110,8 +121,8 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
     query_ids = np.asarray(queries["query_id"], dtype=np.int64)
 
     bucketed = embeddings.map_batches(
-        HyperplaneBucketer, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pandas", batch_size=4096, concurrency=config.pool_size(),
+        HyperplaneBucketer(dim=dim, n_planes=n_planes),
+        batch_format="pandas", batch_size=4096,
     )
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -174,8 +185,7 @@ class HashingEmbedder:
 
 def embed_texts(docs: rd.Dataset, dim: int = 64) -> rd.Dataset:
     return docs.map_batches(
-        HashingEmbedder, fn_constructor_kwargs={"dim": dim},
-        batch_format="pandas", batch_size=2048, concurrency=config.pool_size(),
+        HashingEmbedder(dim=dim), batch_format="pandas", batch_size=2048,
     )
 
 

@@ -152,8 +152,9 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
     first/last run of each block (which may continue in a neighbor block)
     goes through a per-group pass — `groupby(bucket).map_groups` would cost
     one Python call per (doc × band) bucket, ~80k at 5k docs."""
-    bands = docs.map_batches(MinHasher, fn_constructor_kwargs=kw, batch_format="pandas",
-                             batch_size=2048, concurrency=config.pool_size())
+    # tiny state (two seeded arrays) → a driver-built instance shipped
+    # with each task; an actor pool's multi-second spawn buys nothing here
+    bands = docs.map_batches(MinHasher(**kw), batch_format="pandas", batch_size=2048)
     s = bands.sort(["band_id", "band_hash", "doc_id"])
 
     def runs(df: pd.DataFrame) -> pd.DataFrame:
@@ -400,8 +401,7 @@ class SimHasher:
 
 
 def simhash_signatures(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(SimHasher, batch_format="pandas", batch_size=2048,
-                            concurrency=config.pool_size())
+    return docs.map_batches(SimHasher(), batch_format="pandas", batch_size=2048)
 
 
 def simhash_dup_groups(docs: rd.Dataset) -> rd.Dataset:
@@ -456,8 +456,7 @@ def embedding_near_dups(embeddings: rd.Dataset, threshold: float = 0.95, dim: in
         first = embeddings.take(1)[0]
         dim = len(first["embedding"])
     bucketed = embeddings.map_batches(
-        HyperplaneBucketer, fn_constructor_kwargs={"dim": dim},
-        batch_format="pandas", batch_size=4096, concurrency=config.pool_size(),
+        HyperplaneBucketer(dim=dim), batch_format="pandas", batch_size=4096,
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -25,10 +25,11 @@ _PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 
 class TextStats:
-    """Actor-pool stage: per-document token/char/punct/stopword statistics.
+    """Per-document token/char/punct/stopword statistics.
 
-    Regexes are compiled once per actor; per-batch work is vectorized
-    pandas str ops.  Output columns (shared with the oracle SQL):
+    Regexes are compiled once (driver-built instance, shipped per task —
+    state is microseconds to build, so no actor pool); per-batch work is
+    vectorized pandas str ops.  Output columns (shared with the oracle SQL):
       n_chars_calc  — length in characters
       n_tokens      — whitespace tokens
       n_punct       — punctuation characters
@@ -67,8 +68,9 @@ class TextStats:
 
 
 def doc_stats(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(TextStats, batch_format="pandas", batch_size=4096,
-                            concurrency=config.pool_size())
+    # compiled-regex state builds in microseconds: ship an instance per
+    # task instead of spawning an actor pool (multi-second startup)
+    return docs.map_batches(TextStats(), batch_format="pandas", batch_size=4096)
 
 
 def lang_id(docs: rd.Dataset) -> rd.Dataset:
@@ -160,5 +162,4 @@ class Fingerprinter:
 
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
-    return docs.map_batches(Fingerprinter, batch_format="pandas", batch_size=4096,
-                            concurrency=config.pool_size())
+    return docs.map_batches(Fingerprinter(), batch_format="pandas", batch_size=4096)
