@@ -24,7 +24,7 @@ GEN_ROOT = os.environ.get("GRAFT_KG_GEN_ROOT", "/tmp/graft_kg")
 # Scale-factor → corpus size (number of conversations).
 SF_CONVS = {
     "sf0.001": 150, "sf0.01": 1500, "sf0.1": 15000,
-    "sf1": 150000, "sf3": 450000,
+    "sf1": 150000, "sf3": 450000, "sf10": 1500000,
 }
 DEFAULT_SEED = 20260817
 

@@ -53,3 +53,24 @@ def test_kb_has_skew_ambiguity_and_ties():
     # the planted score tie exists
     tie = aliases[aliases["alias"] == "tiebreak term"]
     assert (tie["alias_score"] == 0.91).sum() == 2
+
+
+def test_kbprep_xml_roundtrip():
+    """M6 parse path: KB tables → MedGen-style XML dump → parsed back to
+    IDENTICAL tables (the offline KB-prep step runtime joins rely on)."""
+    import pytest
+
+    from medknowledgegraph_ray import datagen
+    from medknowledgegraph_ray.sources import kbprep
+
+    kb = datagen._kb_tables()
+    xml = kbprep.emit_medgen_xml(kb["gene_map"], kb["snomed_map"], kb["clinical_features"])
+    parsed = kbprep.parse_medgen_xml(xml)
+    for name in ("gene_map", "snomed_map", "clinical_features"):
+        want = kb[name].sort_by([(c, "ascending") for c in kb[name].column_names])
+        got = parsed[name].sort_by([(c, "ascending") for c in parsed[name].column_names])
+        assert got.equals(want), name
+    with pytest.raises(kbprep.KBParseError, match="root tag"):
+        kbprep.parse_medgen_xml("<WrongRoot></WrongRoot>")
+    with pytest.raises(kbprep.KBParseError, match="ConceptId"):
+        kbprep.parse_medgen_xml("<MedGenSet><DocumentSummary/></MedGenSet>")
