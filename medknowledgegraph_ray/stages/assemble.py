@@ -143,7 +143,21 @@ def _roundtrip_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def turn_roundtrip(turns: rd.Dataset) -> rd.Dataset:
-    """Assembly → explode-back identity. Oracle: SELECT conv_id, turn_idx, text."""
-    return turns.select_columns(["conv_id", "turn_idx", "text"]).groupby("conv_id").map_groups(
-        _roundtrip_group, batch_format="pandas"
+    """Assembly → explode-back identity. Oracle: SELECT conv_id, turn_idx, text.
+
+    Runs per BLOCK (pandas groupby over each block's conversations) rather
+    than through a `groupby(conv_id)` exchange: the round trip is an
+    identity per fragment, so the result is exact even for a conversation
+    split across blocks, and the per-group overhead of a 450k-conversation
+    Ray exchange (~0.4 ms each) never happens."""
+
+    def block_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        outs = [_roundtrip_group(g) for _, g in df.groupby("conv_id", sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        block_fn, batch_format="pandas", batch_size=None
     )
