@@ -199,6 +199,13 @@ def _ann_topk(sf_dir: str):
     return ann.brute_force_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
 
 
+def _ann_ivf(sf_dir: str):
+    # IVF coarse-quantizer ANN (rows-only: approximate by design; the
+    # brute-force path is the correctness baseline)
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
+
+
 def _ann_lsh(sf_dir: str):
     emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann.lsh_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
@@ -331,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _dedup_embedding,
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "mm_metadata": _mm_metadata,
         "mm_decode": _mm_decode,
         "mm_resize": _mm_resize,

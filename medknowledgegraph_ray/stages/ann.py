@@ -189,6 +189,115 @@ def embed_texts(docs: rd.Dataset, dim: int = 64) -> rd.Dataset:
     )
 
 
+def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 3, seed: int = 13) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample (unit
+    vectors, cosine ≙ dot).  Seeded init, fixed iteration count — stable
+    across processes."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    queries: dict,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_pct: int = 20,
+) -> rd.Dataset:
+    """IVF approximate top-k — the scale path beyond brute force.
+
+    1. TRAIN: a deterministic hash sample of the corpus (Knuth multiplicative
+       on vec_id — partition-independent) is pulled to the driver and
+       clustered with seeded k-means (the coarse quantizer).
+    2. ASSIGN: one map_batches pass tags every vector with its nearest
+       centroid (vectorized matmul; centroids broadcast via the instance).
+    3. PROBE: each query scores ONLY vectors whose centroid is among its
+       `nprobe` nearest — a per-batch mask + partial top-k, merged exactly
+       like brute_force_topk.  Scored work drops by ~n_clusters/nprobe;
+       recall < 1 by design (rows-only checked; brute force is the
+       correctness baseline)."""
+    qm = _unit(np.asarray(queries["matrix"], dtype=np.float64))
+    query_ids = np.asarray(queries["query_id"], dtype=np.int64)
+
+    # train on a driver-side sample: bounded by sample_pct × corpus — at
+    # 100 TB use a fixed-size reservoir instead (the quantizer needs ~100×
+    # n_clusters points, not a corpus fraction)
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(100) < sample_pct
+        return df[keep]
+
+    sample_rows = sorted(
+        embeddings.map_batches(sample_batch, batch_format="pandas").take_all(),
+        key=lambda r: r["vec_id"],  # block arrival order is not deterministic
+    )
+    sample = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]))
+    cents = _kmeans_fit(sample, n_clusters)
+
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    class IVFScorer:
+        def __init__(self, cents, probe, qm, query_ids, k):
+            self.cents, self.probe, self.qm, self.query_ids, self.k = cents, probe, qm, query_ids, k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+            m = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            assign = np.argmax(m @ self.cents.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qm)):
+                mask = np.isin(assign, self.probe[qi])
+                if not mask.any():
+                    continue
+                sims = self.qm[qi] @ m[mask].T
+                ids = vec_ids[mask]
+                kk = min(self.k, len(ids))
+                idx = np.lexsort((ids, -np.round(sims, 6)))[:kk]
+                out_q.append(np.full(kk, self.query_ids[qi]))
+                out_v.append(ids[idx])
+                out_s.append(sims[idx])
+            if not out_q:
+                return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                                     "vec_id": pd.array([], dtype="int64"),
+                                     "score": pd.array([], dtype="float64")})
+            return pd.DataFrame({
+                "query_id": pd.array(np.concatenate(out_q), dtype="int64"),
+                "vec_id": pd.array(np.concatenate(out_v), dtype="int64"),
+                "score": np.concatenate(out_s),
+            })
+
+    partials = embeddings.map_batches(
+        IVFScorer(cents, probe, qm, query_ids, k), batch_format="pandas", batch_size=4096,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(6)
+        return g.sort_values(["score", "vec_id"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    def pick_and_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = pick(g)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    from .skew import salted_grouped_topk
+
+    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
+
+
 def fixed_queries(dim: int, n: int = 3, seed: int = 5) -> dict:
     """Deterministic query matrix for benchmarks/oracles."""
     rng = np.random.RandomState(seed)

@@ -141,3 +141,28 @@ def test_tumbling_window_boundary():
     out = windows.tumbling_window(ds).to_pandas().sort_values("window_id")
     assert out["window_id"].tolist() == [0, 1]
     assert out["n_events"].tolist() == [1, 1]
+
+
+def test_ivf_topk_shape_determinism_and_recall(sf_dir):
+    """IVF ANN: deterministic output, k ranked rows per query, and recall
+    vs the exact brute-force baseline consistent with probing nprobe of
+    n_clusters partitions."""
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import ann
+
+    emb = lambda: readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])  # noqa: E731
+    q = ann.fixed_queries(64)
+    ivf1 = ann.ivf_topk(emb(), q, k=10).to_pandas()
+    ivf2 = ann.ivf_topk(emb(), q, k=10).to_pandas()
+    norm = lambda df: df.sort_values(["query_id", "rank"]).reset_index(drop=True)  # noqa: E731
+    assert norm(ivf1).equals(norm(ivf2))
+    exact = ann.brute_force_topk(emb(), q, k=10).to_pandas()
+    recalls = []
+    for qid in q["query_id"]:
+        got = set(ivf1[ivf1["query_id"] == qid]["vec_id"])
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        assert len(got) <= 10
+        recalls.append(len(got & want) / len(want))
+        sc = ivf1[ivf1["query_id"] == qid].sort_values("rank")["score"].to_numpy()
+        assert all(sc[i] >= sc[i + 1] - 1e-9 for i in range(len(sc) - 1))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
