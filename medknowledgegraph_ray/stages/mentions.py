@@ -74,20 +74,30 @@ class MentionDetector:
     def _match_turn(self, txt: str) -> set[tuple[str, str]]:
         found: set[tuple[str, str]] = set()
         n = len(txt)
+        word = self._WORD
         index = self.first_index
-        for m in self._TOKEN.finditer(txt):
-            cands = index.get(m.group())
+        # one C tokenize pass; probing DISTINCT tokens halves dict work and
+        # avoids per-token match-object allocation — candidate positions are
+        # recovered with C-level str.find only for probed aliases
+        for tok in set(self._TOKEN.findall(txt)):
+            cands = index.get(tok)
             if not cands:
                 continue
-            pos = m.start()
             for alias, label in cands:
-                end = pos + len(alias)
-                if (
-                    (alias, label) not in found
-                    and txt.startswith(alias, pos)
-                    and (end == n or txt[end] not in self._WORD)
-                ):
-                    found.add((alias, label))
+                if (alias, label) in found:
+                    continue
+                start = 0
+                while True:
+                    pos = txt.find(alias, start)
+                    if pos < 0:
+                        break
+                    end = pos + len(alias)
+                    if (pos == 0 or txt[pos - 1] not in word) and (
+                        end == n or txt[end] not in word
+                    ):
+                        found.add((alias, label))
+                        break
+                    start = pos + 1
         for alias, label, pat in self.odd:
             if pat.search(txt):
                 found.add((alias, label))
