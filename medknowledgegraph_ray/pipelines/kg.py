@@ -281,10 +281,18 @@ def graph_tables(
     # single extra copy of the (mention-scale÷turns, conv×vocab-bounded)
     # table.  At 100 TB this pin is the one candidate for the Parquet
     # spill fallback (see atomic_write_parquet) rather than a design change.
-    ce = mentions.conv_entities(mention_ds).materialize()    # ≤ convs × vocab
-    # distinct surfaces derive from ce (vocab ⊆ ce keys) — no second scan of
-    # the corpus-scale mention table
-    counts = canonicalize.entity_counts(ce).to_pandas()      # vocab-bounded
+    # The counts aggregate shares ce's pinned upstream, so it runs
+    # CONCURRENTLY with the pin instead of after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    ce_lazy = mentions.conv_entities(mention_ds)             # ≤ convs × vocab
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_ce = _ex.submit(ce_lazy.materialize)
+        _f_counts = _ex.submit(
+            lambda: canonicalize.entity_counts(ce_lazy).to_pandas()
+        )
+        ce = _f_ce.result()
+        counts = _f_counts.result()                          # vocab-bounded
     lk_tab = linker.link_table(counts["norm_surface"].unique().tolist())
     lk_df = lk_tab.to_pandas()
     top = counts[counts["label"] == "DISEASE"].sort_values(
