@@ -330,10 +330,40 @@ def graph_tables(
         }
     )
 
+    # KB-bounded edge and node families folded into SINGLE literal tables,
+    # deduplicated driver-side (dedup_triples/dedup_nodes semantics) — the
+    # sink plans then carry one literal block instead of a 6-way union plus
+    # a repartition/dedup subplan each
+    kb_edge_tab = pa.concat_tables(
+        [
+            _entity_umls_edges(lk_tab),
+            graph._edges_batch("UMLS", "source", "Gene", "gene")(gn),
+            graph._edges_batch("UMLS", "source", "SnomedConcept", "saui")(sn),
+            graph._edges_batch("UMLS", "source", "ClinicalFeature", "feat_cui")(cf),
+            graph._edges_batch("Gene", "source", "Protein", "entry")(pr),
+            graph._edges_batch("Protein", "source", "GO", "go_id")(go),
+        ]
+    )
+    kb_edge_tab = kb_edge_tab.group_by(["subj", "pred", "obj"]).aggregate([])
+    kb_node_tab = graph.dedup_nodes_table(
+        pa.concat_tables(
+            [
+                graph.node_rows(lk_tab, "UMLS", "cui", "name", "definition"),
+                graph.node_rows(gn, "Gene", "gene", "gene", None),
+                graph.node_rows(sn, "SnomedConcept", "saui", "snomed_text", None),
+                graph.node_rows(cf, "ClinicalFeature", "feat_cui", "name", "definition"),
+                graph.node_rows(pr, "Protein", "entry", "name", None),
+                graph.node_rows(go, "GO", "go_id", "go_name", None),
+            ]
+        )
+    )
+
     wrap = rd.from_arrow
     return {
         "links": wrap(lk_tab),
         "entity_nodes": wrap(entity_nodes_tab),
+        "kb_edges": wrap(kb_edge_tab),
+        "kb_nodes": wrap(kb_node_tab),
         "conv_entities": ce,
         "selected": wrap(pa.table({"cui": pa.array(sel, pa.string())})),
         "genes": wrap(gn),
@@ -361,18 +391,23 @@ def _edge_union(
     linking); their namespaces are mutually disjoint from the conversation
     family, so the final union is globally distinct."""
     ce_edges = _edges_from(t["conv_entities"], "Conversation", "conv_id", "label", "norm_surface")
-    small_parts = [
-        t["links"].map_batches(_entity_umls_edges, batch_format="pyarrow", zero_copy_batch=True),
-        _edges_from(t["genes"], "UMLS", "source", "Gene", "gene"),
-        _edges_from(t["snomed"], "UMLS", "source", "SnomedConcept", "saui"),
-        _edges_from(t["clinical_features"], "UMLS", "source", "ClinicalFeature", "feat_cui"),
-        _edges_from(t["proteins"], "Gene", "source", "Protein", "entry"),
-        _edges_from(t["go"], "Protein", "source", "GO", "go_id"),
-    ]
-    small = small_parts[0]
-    for p in small_parts[1:]:
-        small = small.union(p)
-    out = ce_edges.union(graph.dedup_triples(small, blocks=1))
+    if "kb_edges" in t:
+        # pre-deduplicated literal table from graph_tables — one block
+        small_deduped = t["kb_edges"]
+    else:
+        small_parts = [
+            t["links"].map_batches(_entity_umls_edges, batch_format="pyarrow", zero_copy_batch=True),
+            _edges_from(t["genes"], "UMLS", "source", "Gene", "gene"),
+            _edges_from(t["snomed"], "UMLS", "source", "SnomedConcept", "saui"),
+            _edges_from(t["clinical_features"], "UMLS", "source", "ClinicalFeature", "feat_cui"),
+            _edges_from(t["proteins"], "Gene", "source", "Protein", "entry"),
+            _edges_from(t["go"], "Protein", "source", "GO", "go_id"),
+        ]
+        small = small_parts[0]
+        for p in small_parts[1:]:
+            small = small.union(p)
+        small_deduped = graph.dedup_triples(small, blocks=1)
+    out = ce_edges.union(small_deduped)
     if term is not None and conv_ids is not None:
         # SearchTerm root seeding (neo4jconnector.py:244-256): one edge per
         # in-scope conversation, derived from the already-distinct conv set
@@ -432,30 +467,34 @@ def _node_union(
                 lambda b: graph.node_rows(b, "label", "norm_surface", "norm_surface", None),
                 batch_format="pyarrow", zero_copy_batch=True),
         )
-    small_parts = [
-        t["links"].map_batches(
-            lambda b: graph.node_rows(b, "UMLS", "cui", "name", "definition"),
-            batch_format="pyarrow", zero_copy_batch=True),
-        t["genes"].map_batches(
-            lambda b: graph.node_rows(b, "Gene", "gene", "gene", None),
-            batch_format="pyarrow", zero_copy_batch=True),
-        t["snomed"].map_batches(
-            lambda b: graph.node_rows(b, "SnomedConcept", "saui", "snomed_text", None),
-            batch_format="pyarrow", zero_copy_batch=True),
-        t["clinical_features"].map_batches(
-            lambda b: graph.node_rows(b, "ClinicalFeature", "feat_cui", "name", "definition"),
-            batch_format="pyarrow", zero_copy_batch=True),
-        t["proteins"].map_batches(
-            lambda b: graph.node_rows(b, "Protein", "entry", "name", None),
-            batch_format="pyarrow", zero_copy_batch=True),
-        t["go"].map_batches(
-            lambda b: graph.node_rows(b, "GO", "go_id", "go_name", None),
-            batch_format="pyarrow", zero_copy_batch=True),
-    ]
-    small = small_parts[0]
-    for p in small_parts[1:]:
-        small = small.union(p)
-    out = conv_nodes.union(entity_nodes).union(graph.dedup_nodes(small, blocks=1))
+    if "kb_nodes" in t:
+        kb_nodes = t["kb_nodes"]  # pre-deduplicated literal table
+    else:
+        small_parts = [
+            t["links"].map_batches(
+                lambda b: graph.node_rows(b, "UMLS", "cui", "name", "definition"),
+                batch_format="pyarrow", zero_copy_batch=True),
+            t["genes"].map_batches(
+                lambda b: graph.node_rows(b, "Gene", "gene", "gene", None),
+                batch_format="pyarrow", zero_copy_batch=True),
+            t["snomed"].map_batches(
+                lambda b: graph.node_rows(b, "SnomedConcept", "saui", "snomed_text", None),
+                batch_format="pyarrow", zero_copy_batch=True),
+            t["clinical_features"].map_batches(
+                lambda b: graph.node_rows(b, "ClinicalFeature", "feat_cui", "name", "definition"),
+                batch_format="pyarrow", zero_copy_batch=True),
+            t["proteins"].map_batches(
+                lambda b: graph.node_rows(b, "Protein", "entry", "name", None),
+                batch_format="pyarrow", zero_copy_batch=True),
+            t["go"].map_batches(
+                lambda b: graph.node_rows(b, "GO", "go_id", "go_name", None),
+                batch_format="pyarrow", zero_copy_batch=True),
+        ]
+        small = small_parts[0]
+        for p in small_parts[1:]:
+            small = small.union(p)
+        kb_nodes = graph.dedup_nodes(small, blocks=1)
+    out = conv_nodes.union(entity_nodes).union(kb_nodes)
     if term is not None:
         out = out.union(
             rd.from_arrow(

@@ -157,6 +157,32 @@ def dedup_nodes(nodes: rd.Dataset, *, blocks: int | None = None) -> rd.Dataset:
     return merged.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_nodes_table(tab: pa.Table) -> pa.Table:
+    """Driver-side dedup_nodes for KB-bounded literal tables: keep the
+    lexicographic-minimum packed attributes per canonical_id — identical
+    semantics to dedup_nodes, zero Ray plan operators."""
+    packed = pc.binary_join_element_wise(
+        tab["node_label"], tab["name"], tab["definition"], _SEP
+    )
+    g = (
+        pa.table({"canonical_id": tab["canonical_id"], "packed": packed})
+        .group_by("canonical_id")
+        .aggregate([("packed", "min")])
+    )
+    from .groupagg import rename_after_groupby
+
+    g = rename_after_groupby(g, ["canonical_id"], ["packed"], ["min"], ["packed"])
+    parts = pc.split_pattern(g["packed"], _SEP)
+    return pa.table(
+        {
+            "canonical_id": g["canonical_id"],
+            "node_label": pc.list_element(parts, 0),
+            "name": pc.list_element(parts, 1),
+            "definition": pc.list_element(parts, 2),
+        }
+    )
+
+
 def node_rows(batch: pa.Table, label, id_col: str, name_col: str, def_col: str | None) -> pa.Table:
     """Project a child table batch into (canonical_id, node_label, name, definition)."""
     if label in batch.column_names:  # per-row label column
