@@ -711,7 +711,9 @@ def build_graph(
     mention_files = [
         f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
-    mention_ds = rd.read_parquet(mention_files)
+    mention_ds = rd.read_parquet(
+        mention_files, override_num_blocks=config.read_blocks(len(mention_files))
+    )
     t = graph_tables(
         mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
     )
