@@ -275,24 +275,14 @@ def graph_tables(
     cap scaling efficiency.  The driver-side ops share their emit/ordering
     logic with the streaming variants (enrich.*_table / linker.link_table),
     so both paths are row-identical."""
-    # pinned once: ce feeds three consumers (counts, the edge sink, the
-    # node sink); each re-running even the cheap post-repair tail costs a
-    # measured ~1.7 s of execution overhead per consumer, more than the
-    # single extra copy of the (mention-scale÷turns, conv×vocab-bounded)
-    # table.  At 100 TB this pin is the one candidate for the Parquet
-    # spill fallback (see atomic_write_parquet) rather than a design change.
-    # The counts aggregate shares ce's pinned upstream, so it runs
-    # CONCURRENTLY with the pin instead of after it.
-    from concurrent.futures import ThreadPoolExecutor
-
-    ce_lazy = mentions.conv_entities(mention_ds)             # ≤ convs × vocab
-    with ThreadPoolExecutor(max_workers=2) as _ex:
-        _f_ce = _ex.submit(ce_lazy.materialize)
-        _f_counts = _ex.submit(
-            lambda: canonicalize.entity_counts(ce_lazy).to_pandas()
-        )
-        ce = _f_ce.result()
-        counts = _f_counts.result()                          # vocab-bounded
+    # ce's flagged intermediate is pinned ONCE inside the distinct (it has
+    # two real consumers: the counts aggregate and the edge sink); the
+    # post-repair tail is a literal-union filter, so no second full copy is
+    # materialized.  At 100 TB the flagged pin is the one candidate for a
+    # Parquet spill fallback rather than a design change (Ray's object
+    # store already spills it to disk under pressure — tests/test_spill.py).
+    ce = mentions.conv_entities(mention_ds)                  # ≤ convs × vocab
+    counts = canonicalize.entity_counts(ce).to_pandas()      # vocab-bounded
     lk_tab = linker.link_table(counts["norm_surface"].unique().tolist())
     lk_df = lk_tab.to_pandas()
     top = counts[counts["label"] == "DISEASE"].sort_values(
@@ -450,7 +440,9 @@ def _node_union(
     from ..stages.distinct import distinct as _dd, group_local_distinct as _gld
 
     if config.CONV_LOCAL_SHARDS:
-        conv_distinct = _gld(conv_ids, ["conv_id"], "conv_id")
+        # pin=False: single consumer (this sink) — re-running the cheap
+        # conv-id block pass beats pinning a copy of every conv id
+        conv_distinct = _gld(conv_ids, ["conv_id"], "conv_id", pin=False)
     else:
         conv_distinct = _dd(conv_ids, ["conv_id"])
     conv_nodes = conv_distinct.map_batches(

@@ -84,7 +84,7 @@ def _small_distinct(ds: rd.Dataset, keys: list[str], blocks: int) -> rd.Dataset:
 
 
 def group_local_distinct(
-    ds: rd.Dataset, keys: list[str], group_key: str
+    ds: rd.Dataset, keys: list[str], group_key: str, *, pin: bool = True
 ) -> rd.Dataset:
     """Exact distinct WITHOUT any exchange, for group-clustered inputs.
 
@@ -118,7 +118,12 @@ def group_local_distinct(
 
     flagged = ds.map_batches(
         block_pass, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).materialize()  # small (post-dedup); consumed by interior + edge repair
+    )
+    if pin:
+        # pin when several consumers will scan the result; with a single
+        # downstream consumer, `pin=False` re-runs the cheap block pass for
+        # the edge gather and the consumer instead of storing a copy
+        flagged = flagged.materialize()
     return _resolve_edge_repair(flagged, keys)
 
 
