@@ -155,7 +155,9 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
     # tiny state (two seeded arrays) → a driver-built instance shipped
     # with each task; an actor pool's multi-second spawn buys nothing here
     bands = docs.map_batches(MinHasher(**kw), batch_format="pandas", batch_size=2048)
-    s = bands.sort(["band_id", "band_hash", "doc_id"])
+    # coalesce before the range sort (quadratic shuffle-object cost in
+    # block count, see config.sort_blocks)
+    s = bands.repartition(config.sort_blocks()).sort(["band_id", "band_hash", "doc_id"])
 
     def runs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -222,21 +224,35 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
             )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    flagged = s.map_batches(runs, batch_format="pandas").materialize()
+    flagged = s.map_batches(runs, batch_format="pandas", batch_size=None).materialize()
     interior = flagged.filter(expr="is_edge == False").map_batches(
         lambda t: t[["doc_a", "doc_b"]], batch_format="pandas"
     )
-    edge_pairs = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t.rename(columns={"doc_a": "doc_id"})[
-            ["band_id", "band_hash", "doc_id"]], batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_pairs_from_buckets, batch_format="pandas")
+    # edge runs are ≤ 2 per block — gather once and pair driver-side (the
+    # eager edge-repair pattern, distinct._resolve_edge_repair), keeping the
+    # bucket groupby exchange out of the plan
+    edge_rows = pd.DataFrame(
+        flagged.filter(expr="is_edge == True").take_all(),
+        columns=["doc_a", "doc_b", "band_id", "band_hash", "is_edge"],
     )
-    # distinct pairs (a doc pair can collide in several bands) — vectorized
     from .distinct import distinct as _distinct
 
-    return _distinct(interior.union(edge_pairs), ["doc_a", "doc_b"])
+    if len(edge_rows) == 0:
+        return _distinct(interior, ["doc_a", "doc_b"])
+    edge_pairs = (
+        edge_rows.rename(columns={"doc_a": "doc_id"})[["band_id", "band_hash", "doc_id"]]
+        .groupby(["band_id", "band_hash"], sort=False)[["doc_id"]]
+        .apply(_pairs_from_buckets)
+        .reset_index(drop=True)
+    )
+    edge_tab = pa.table(
+        {
+            "doc_a": pa.array(edge_pairs["doc_a"].astype("int64"), pa.int64()),
+            "doc_b": pa.array(edge_pairs["doc_b"].astype("int64"), pa.int64()),
+        }
+    )
+    # distinct pairs (a doc pair can collide in several bands) — vectorized
+    return _distinct(interior.union(rd.from_arrow(edge_tab)), ["doc_a", "doc_b"])
 
 
 def _ngram_set(text: str, w: int = 3) -> set:
