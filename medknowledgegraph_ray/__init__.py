@@ -37,4 +37,4 @@ except Exception:  # ModuleNotFoundError(aiohttp) in this environment
 # keyed exchanges (conv-entity distinct 17 s → 54 s, count aggregate
 # 0.3 s → 65 s at sf1/32 CPUs), so the engine keeps the default sort
 # shuffle and bounds its cost by two-phase partial aggregation + bounded
-# reduce partition counts instead (stages/distinct.py, config.shuffle_blocks).
+# reduce partition counts instead (stages/distinct.py, config.sort_blocks).

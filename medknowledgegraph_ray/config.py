@@ -73,19 +73,6 @@ def detect_concurrency() -> tuple[int, int]:
     return (max(1, warm), hi)
 
 
-def shuffle_blocks() -> int:
-    """Reduce-side partition count for small-output shuffles (distinct /
-    dedup).  Ray's default scales block count with cluster CPUs, which for
-    vocabulary-bounded intermediates means hundreds of near-empty blocks —
-    pure scheduling overhead that WORSENS with cluster size.  Clamp to
-    [8, 64]: enough reducers to spread hot keys, few enough that task
-    overhead stays constant as the cluster grows."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(8, min(64, cpus))
-
-
 def read_blocks(n_files: int) -> int:
     """Target block count for many-file reads.
 
