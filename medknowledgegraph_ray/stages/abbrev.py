@@ -68,11 +68,129 @@ def definitions(turns: rd.Dataset) -> rd.Dataset:
     return _distinct(raw, ["conv_id", "sf", "lf"])
 
 
+def _resolve_frame(df: pd.DataFrame, alias_label: dict) -> pd.DataFrame:
+    """Resolve SF usages within a frame that contains WHOLE conversations:
+    extract definitions (vectorized), validate against the KB catalog, and
+    emit (conv_id, turn_idx, norm_surface=<lf>, label) rows.  Distinct
+    within the frame."""
+    empty = pd.DataFrame({
+        "conv_id": pd.array([], dtype="str"),
+        "turn_idx": pd.array([], dtype="int32"),
+        "norm_surface": pd.array([], dtype="str"),
+        "label": pd.array([], dtype="str"),
+    })
+    if len(df) == 0:
+        return empty
+    low = df["text"].fillna("").str.lower()
+    frags = low.str.findall(_DEF_FRAG)
+    n_per = frags.map(len).to_numpy()
+    if n_per.sum() == 0:
+        return empty
+    conv_np = df["conv_id"].to_numpy()
+    defs: set[tuple[str, str, str]] = set()
+    for conv, fs in zip(np.repeat(conv_np, n_per), (f for fs in frags for f in fs)):
+        lf = _LF.match(fs).group(1)
+        sf = _SF.search(fs).group(1)
+        w1, w2 = lf.split(" ", 1)
+        if sf[:2] != w1[0] + w2[0]:
+            continue
+        if lf in alias_label and sf not in alias_label:
+            defs.add((conv, sf, lf))
+    if not defs:
+        return empty
+    tidx_np = df["turn_idx"].to_numpy()
+    outs = []
+    for conv, sf, lf in sorted(defs):
+        in_conv = conv_np == conv
+        pat = re.compile(r"\b" + re.escape(sf) + r"\b")
+        hit = low[in_conv].str.contains(pat, regex=True).to_numpy()
+        if hit.any():
+            outs.append(pd.DataFrame({
+                "conv_id": conv_np[in_conv][hit],
+                "turn_idx": tidx_np[in_conv][hit],
+                "norm_surface": np.repeat(lf, int(hit.sum())),
+                "label": np.repeat(alias_label[lf], int(hit.sum())),
+            }))
+    if not outs:
+        return empty
+    out = pd.concat(outs, ignore_index=True)
+    return out.drop_duplicates(ignore_index=True)
+
+
+def resolved_mentions_local(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
+    """Exchange-free abbreviation resolution under the conversation-local
+    shard contract: a conversation's definitions and usages share a block,
+    so resolution is one block pass; the ≤2 edge conversations per block
+    (whose fragments may split across adjacent blocks) are gathered once
+    and resolved driver-side — the same interior/edge-repair shape as
+    distinct.group_local_distinct."""
+    alias_label = dict(zip(vocab["alias"].to_pylist(), vocab["sem_label"].to_pylist()))
+    vocab_ref = ray.put(alias_label)
+
+    def block_fn(df: pd.DataFrame) -> pa.Table:
+        al = ray.get(vocab_ref)
+        if len(df) == 0:
+            interior = _resolve_frame(df, al)
+            edge = df
+        else:
+            first, last = df["conv_id"].iloc[0], df["conv_id"].iloc[-1]
+            is_edge = df["conv_id"].isin({first, last}).to_numpy()
+            interior = _resolve_frame(df[~is_edge], al)
+            edge = df[is_edge]
+        # one output schema: resolved rows carry text=''; edge TURN rows
+        # carry their text and empty surface/label for the driver repair
+        return pa.table({
+            "conv_id": pa.array(
+                list(interior["conv_id"]) + list(edge["conv_id"]), pa.string()),
+            "turn_idx": pa.array(
+                list(interior["turn_idx"]) + list(edge["turn_idx"]), pa.int32()),
+            "norm_surface": pa.array(
+                list(interior["norm_surface"]) + [""] * len(edge), pa.string()),
+            "label": pa.array(
+                list(interior["label"]) + [""] * len(edge), pa.string()),
+            "text": pa.array([""] * len(interior) + list(edge["text"].fillna("")), pa.string()),
+            "is_edge": pa.array([False] * len(interior) + [True] * len(edge), pa.bool_()),
+        })
+
+    flagged = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        block_fn, batch_format="pandas", batch_size=None
+    ).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t.drop_columns(["text", "is_edge"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    edge_rows = pd.DataFrame(
+        flagged.filter(expr="is_edge == True").take_all(),
+        columns=["conv_id", "turn_idx", "norm_surface", "label", "text", "is_edge"],
+    )
+    if len(edge_rows) == 0:
+        return interior
+    repaired = _resolve_frame(
+        edge_rows[["conv_id", "turn_idx", "text"]].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        ),
+        alias_label,
+    )
+    edge_tab = pa.table({
+        "conv_id": pa.array(repaired["conv_id"], pa.string()),
+        "turn_idx": pa.array(repaired["turn_idx"], pa.int32()),
+        "norm_surface": pa.array(repaired["norm_surface"], pa.string()),
+        "label": pa.array(repaired["label"], pa.string()),
+    })
+    return interior.union(rd.from_arrow(edge_tab))
+
+
 def resolved_mentions(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
     """Mentions recovered through abbreviation resolution:
     (conv_id, turn_idx, norm_surface=<long form>, label), distinct.
 
-    `vocab` is the (alias, sem_label) catalog (mentions.alias_catalog())."""
+    `vocab` is the (alias, sem_label) catalog (mentions.alias_catalog()).
+    Under the conversation-local shard contract, dispatches to the
+    exchange-free `resolved_mentions_local`."""
+    from .. import config
+
+    if config.CONV_LOCAL_SHARDS:
+        return resolved_mentions_local(turns, vocab)
     alias_label = dict(zip(vocab["alias"].to_pylist(), vocab["sem_label"].to_pylist()))
     vocab_ref = ray.put(alias_label)
 
