@@ -26,6 +26,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .. import config
@@ -143,8 +144,12 @@ def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"), "doc_b": pd.array(b, dtype="int64")})
 
 
-def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
+def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> rd.Dataset:
     """LSH candidate pairs: docs sharing any band bucket (distinct pairs).
+
+    `distinct_pairs=False` skips the final distinct exchange and may emit a
+    pair once per colliding band — callers that tolerate duplicates (the
+    verify stage groups by pair anyway) save a whole sort exchange.
 
     Bucket grouping uses the sorted-runs shape (stages/distinct.py): after
     sorting by (band_id, band_hash), each bucket is a contiguous run; pairs
@@ -238,7 +243,7 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
     from .distinct import distinct as _distinct
 
     if len(edge_rows) == 0:
-        return _distinct(interior, ["doc_a", "doc_b"])
+        return _distinct(interior, ["doc_a", "doc_b"]) if distinct_pairs else interior
     edge_pairs = (
         edge_rows.rename(columns={"doc_a": "doc_id"})[["band_id", "band_hash", "doc_id"]]
         .groupby(["band_id", "band_hash"], sort=False)[["doc_id"]]
@@ -252,12 +257,167 @@ def minhash_candidates(docs: rd.Dataset, **kw) -> rd.Dataset:
         }
     )
     # distinct pairs (a doc pair can collide in several bands) — vectorized
-    return _distinct(interior.union(rd.from_arrow(edge_tab)), ["doc_a", "doc_b"])
+    unioned = interior.union(rd.from_arrow(edge_tab))
+    return _distinct(unioned, ["doc_a", "doc_b"]) if distinct_pairs else unioned
 
 
 def _ngram_set(text: str, w: int = 3) -> set:
     toks = _WORD.findall(text.lower())
     return {" ".join(toks[i : i + w]) for i in range(max(0, len(toks) - w + 1))}
+
+
+_ATTACH_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("shingles", pa.list_(pa.int64())),
+    ]
+)
+_ATTACH_OUT = _ATTACH_SCHEMA.append(pa.field("is_edge", pa.bool_()))
+
+
+def _attach_sorted(t: pa.Table, flag_edges: bool = True) -> pa.Table:
+    """Attach each pair-half's shingle set, given rows sorted by `key`.
+
+    Doc rows carry (key=doc_id, shingles); half rows carry
+    (key, doc_a, doc_b).  After a global sort a key's rows are contiguous,
+    so any key split across blocks is the block's FIRST or LAST key — those
+    rows pass through unmodified with is_edge=True for the driver-side
+    repair (where `flag_edges=False` re-runs this pass on the gathered
+    edges); interior keys resolve vectorized (searchsorted of half keys
+    into doc-row keys).  Halves whose doc has no usable shingle set are
+    dropped (unverifiable — same semantics as the reference pairwise
+    verify).  Attached rows keep their endpoint in `key` so the verify
+    stage can match each half to its pair side even when a pair occurs
+    once per colliding band (distinct_pairs=False upstream)."""
+    n = t.num_rows
+    if n == 0:
+        return _ATTACH_OUT.empty_table()
+    keys = t["key"].to_numpy(zero_copy_only=False)
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    if flag_edges:
+        edge = (keys == keys[0]) | (keys == keys[-1])
+    else:
+        edge = np.zeros(n, dtype=bool)
+    is_doc = a == -1
+    doc_mask = is_doc & ~edge
+    doc_keys = keys[doc_mask]
+    doc_sets = t["shingles"].combine_chunks().filter(pa.array(doc_mask))
+    half_mask = ~is_doc & ~edge
+    half_keys = keys[half_mask]
+    if len(doc_keys):
+        pos = np.minimum(np.searchsorted(doc_keys, half_keys), len(doc_keys) - 1)
+        set_lens = pc.list_value_length(doc_sets).to_numpy(zero_copy_only=False)
+        usable = (doc_keys[pos] == half_keys) & (set_lens[pos] > 0)
+    else:
+        pos = np.zeros(len(half_keys), dtype=np.int64)
+        usable = np.zeros(len(half_keys), dtype=bool)
+    halves = t.filter(pa.array(half_mask)).filter(pa.array(usable))
+    attached = pa.table(
+        {
+            "key": halves["key"],
+            "doc_a": halves["doc_a"],
+            "doc_b": halves["doc_b"],
+            "shingles": doc_sets.take(pa.array(pos[usable], pa.int64())),
+            "is_edge": pa.array(np.zeros(halves.num_rows, dtype=bool)),
+        },
+        schema=_ATTACH_OUT,
+    )
+    if not edge.any():
+        return attached
+    edge_rows = t.select(["key", "doc_a", "doc_b", "shingles"]).filter(pa.array(edge))
+    edge_out = edge_rows.append_column(
+        "is_edge", pa.array(np.ones(edge_rows.num_rows, dtype=bool))
+    ).cast(_ATTACH_OUT)
+    return pa.concat_tables([attached, edge_out])
+
+
+_VERIFY_OUT = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("jaccard", pa.float64()),
+        ("shingles", pa.list_(pa.int64())),
+        ("is_edge", pa.bool_()),
+    ]
+)
+
+
+def _verify_block(t: pa.Table, threshold: float, flag_edges: bool) -> pa.Table:
+    """Exact-Jaccard verification of rows sorted by (doc_a, doc_b) — after
+    the global sort a pair's attached halves form one contiguous run (a
+    pair may occur once per colliding band, so a run holds ≥1 row per
+    side); the run's two sides are matched by the `key` endpoint tag.
+    Pairs split across a block boundary (the block's first/last pair key)
+    pass through flagged for the driver-side repair.  Shingle arrays are
+    sorted-unique int64, so each intersection is one
+    `np.intersect1d(assume_unique)`."""
+    n = t.num_rows
+    if n == 0:
+        return _VERIFY_OUT.empty_table()
+    k = t["key"].to_numpy(zero_copy_only=False)
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    if flag_edges:
+        edge = ((a == a[0]) & (b == b[0])) | ((a == a[-1]) & (b == b[-1]))
+    else:
+        edge = np.zeros(n, dtype=bool)
+    sets = t["shingles"].combine_chunks()
+    offs = sets.offsets.to_numpy(zero_copy_only=False)
+    flat = sets.values.to_numpy(zero_copy_only=False)
+    pair_start = np.ones(n, dtype=bool)
+    pair_start[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(pair_start)
+    ends = np.append(starts[1:], n)
+    out_a, out_b, out_j = [], [], []
+    for st, en in zip(starts, ends):
+        if edge[st]:
+            continue
+        ia = ib = -1
+        for i in range(st, en):
+            if ia < 0 and k[i] == a[st]:
+                ia = i
+            elif ib < 0 and k[i] == b[st]:
+                ib = i
+        if ia < 0 or ib < 0:
+            continue  # a side lacked a usable shingle set → unverifiable
+        sa = flat[offs[ia] : offs[ia + 1]]
+        sb = flat[offs[ib] : offs[ib + 1]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out_a.append(a[st])
+            out_b.append(b[st])
+            out_j.append(round(j, 6))
+    verified = pa.table(
+        {
+            "key": pa.array(np.full(len(out_a), -1, dtype=np.int64), pa.int64()),
+            "doc_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+            "shingles": pa.array([[]] * len(out_a), pa.list_(pa.int64())),
+            "is_edge": pa.array(np.zeros(len(out_a), dtype=bool)),
+        },
+        schema=_VERIFY_OUT,
+    )
+    if not edge.any():
+        return verified
+    edge_rows = t.select(["key", "doc_a", "doc_b", "shingles"]).filter(pa.array(edge))
+    edge_out = pa.table(
+        {
+            "key": edge_rows["key"],
+            "doc_a": edge_rows["doc_a"],
+            "doc_b": edge_rows["doc_b"],
+            "jaccard": pa.array(np.zeros(edge_rows.num_rows), pa.float64()),
+            "shingles": edge_rows["shingles"],
+            "is_edge": pa.array(np.ones(edge_rows.num_rows, dtype=bool)),
+        },
+        schema=_VERIFY_OUT,
+    )
+    return pa.concat_tables([verified, edge_out])
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
@@ -271,30 +431,40 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
          `ray.put` — the minimal small side of the semi-join;
       2. the corpus is streamed once, candidate docs reduced to hashed
          shingle sets — a broadcast semi-join inside `map_batches`;
-      3. shingle sets meet pair-halves in a `groupby(doc_id)` exchange,
-         then pairs reassemble in a `groupby(doc_a, doc_b)` exchange that
-         computes the exact Jaccard — both shuffles move only candidate
-         rows, never the corpus text.
+      3. shingle sets meet pair-halves on a SORTED exchange keyed by doc_id
+         (vectorized per-block attach + first/last-key edge repair, the
+         stages/distinct.py shape — `groupby().map_groups` here costs
+         ~0.5 ms of per-group Python at candidate-doc cardinality, see
+         stages/groupagg.py), then attached halves pair up on a second
+         sorted exchange keyed by (doc_a, doc_b) that computes the exact
+         Jaccard — both exchanges move only candidate rows, never the
+         corpus text.
     """
     import ray
 
-    cands = minhash_candidates(docs, **kw)
+    # duplicate pairs (one per colliding band) are tolerated by the verify
+    # run-grouping, so the candidates' distinct exchange is skipped — one
+    # fewer sort + materialize on the critical path
+    cands = minhash_candidates(docs, distinct_pairs=False, **kw)
 
-    # ids-only gather (int64 per candidate doc; the shingle sets stay out)
+    # ids-only gather (int64 per candidate doc; the shingle sets stay out).
+    # The ids land on the driver regardless (they become the broadcast
+    # side), so a per-block unique + driver np.unique replaces a whole
+    # distinct exchange at identical driver volume.
     def pair_ids(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pa.concat_arrays(
-            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()])})
-
-    from .distinct import distinct as _distinct
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.unique(both), pa.int64())})
 
     empty = pa.table({
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
         "jaccard": pa.array([], pa.float64()),
     })
-    ids = np.sort(np.asarray(
-        [r["doc_id"] for r in _distinct(
-            cands.map_batches(pair_ids, batch_format="pyarrow"), ["doc_id"]
+    ids = np.unique(np.asarray(
+        [r["doc_id"] for r in cands.map_batches(
+            pair_ids, batch_format="pyarrow"
         ).take_all()],
         dtype=np.int64,
     ))
@@ -302,7 +472,7 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
         return rd.from_arrow(empty)
     id_ref = ray.put(ids)
 
-    def shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def shingle_rows(batch: pd.DataFrame) -> pa.Table:
         cand = ray.get(id_ref)  # plasma-cached, zero-copy after first batch
         doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
         pos = np.searchsorted(cand, doc_ids)
@@ -313,67 +483,85 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
                      dtype=np.uint64).astype(np.int64)
             for t in sub["text"]
         ]
-        return pd.DataFrame({
-            "key": sub["doc_id"].astype("int64").to_numpy(),
-            "doc_a": pd.array([-1] * len(sub), dtype="int64"),
-            "doc_b": pd.array([-1] * len(sub), dtype="int64"),
-            "shingles": sets,
-        })
+        k = sub["doc_id"].astype("int64").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "doc_a": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                "doc_b": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                "shingles": pa.array(list(sets), pa.list_(pa.int64())),
+            },
+            schema=_ATTACH_SCHEMA,
+        )
 
-    def pair_halves(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["doc_a"].astype("int64")
-        b = batch["doc_b"].astype("int64")
-        emptyset = np.array([], dtype=np.int64)
-        return pd.DataFrame({
-            "key": pd.concat([a, b], ignore_index=True),
-            "doc_a": pd.concat([a, a], ignore_index=True),
-            "doc_b": pd.concat([b, b], ignore_index=True),
-            "shingles": [emptyset] * (2 * len(batch)),
-        })
+    def pair_halves(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        n2 = 2 * t.num_rows
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "shingles": pa.array([[]] * n2, pa.list_(pa.int64())),
+            },
+            schema=_ATTACH_SCHEMA,
+        )
 
     shingled = docs.map_batches(shingle_rows, batch_format="pandas")
-    halves = cands.map_batches(pair_halves, batch_format="pandas")
+    halves = cands.map_batches(pair_halves, batch_format="pyarrow")
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        is_doc = (g["doc_a"].to_numpy() == -1)
-        docrows = g[is_doc]
-        pairs = g[~is_doc]
-        if len(docrows) == 0 or len(pairs) == 0:
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64"),
-                                 "shingles": []})
-        sh = docrows["shingles"].iloc[0]
-        if len(sh) == 0:  # doc too short for any shingle → pair unverifiable
-            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                                 "doc_b": pd.array([], dtype="int64"),
-                                 "shingles": []})
-        return pd.DataFrame({"doc_a": pairs["doc_a"].to_numpy(),
-                             "doc_b": pairs["doc_b"].to_numpy(),
-                             "shingles": [sh] * len(pairs)})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        none = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                             "doc_b": pd.array([], dtype="int64"),
-                             "jaccard": pd.array([], dtype="float64")})
-        if len(g) != 2:  # one half lacked a usable shingle set
-            return none
-        sa = set(np.asarray(g["shingles"].iloc[0]).tolist())
-        sb = set(np.asarray(g["shingles"].iloc[1]).tolist())
-        j = len(sa & sb) / len(sa | sb)
-        if j < threshold:
-            return none
-        return pd.DataFrame({"doc_a": g["doc_a"].iloc[:1].astype("int64").to_numpy(),
-                             "doc_b": g["doc_b"].iloc[:1].astype("int64").to_numpy(),
-                             "jaccard": pd.array([round(j, 6)], dtype="float64")})
-
-    verified = (
+    flagged = (
         shingled.union(halves)
-        .groupby("key")
-        .map_groups(attach, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(verify, batch_format="pandas")
+        .repartition(config.sort_blocks())
+        .sort(["key"])
+        .map_batches(_attach_sorted, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .materialize()  # pinned once; consumed by interior + edge repair
     )
-    return verified
+    attached_cols = ["key", "doc_a", "doc_b", "shingles"]
+    interior = flagged.filter(expr="is_edge == False").select_columns(attached_cols)
+    # edge keys are ≤ 2 per block (bounded by block count, never by data) —
+    # gather once, attach driver-side, append as a literal block (the eager
+    # edge-repair pattern, distinct._resolve_edge_repair)
+    edge_tab = pa.Table.from_pylist(
+        flagged.filter(expr="is_edge == True").take_all(),
+        schema=flagged.schema().base_schema,
+    )
+    if edge_tab.num_rows:
+        repaired = _attach_sorted(
+            edge_tab.select(list(_ATTACH_SCHEMA.names)).sort_by([("key", "ascending")]),
+            flag_edges=False,
+        ).select(attached_cols)
+        if repaired.num_rows:
+            interior = interior.union(rd.from_arrow(repaired))
+
+    verified_flagged = (
+        interior.sort(["doc_a", "doc_b"])
+        .map_batches(
+            lambda t: _verify_block(t, threshold, True),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        .materialize()
+    )
+    out_cols = ["doc_a", "doc_b", "jaccard"]
+    v_interior = verified_flagged.filter(expr="is_edge == False").select_columns(out_cols)
+    v_edge = pa.Table.from_pylist(
+        verified_flagged.filter(expr="is_edge == True").take_all(),
+        schema=verified_flagged.schema().base_schema,
+    )
+    if v_edge.num_rows == 0:
+        return v_interior
+    v_repaired = _verify_block(
+        v_edge.select(["key", "doc_a", "doc_b", "shingles"]).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ),
+        threshold,
+        False,
+    ).select(out_cols)
+    if v_repaired.num_rows == 0:
+        return v_interior
+    return v_interior.union(rd.from_arrow(v_repaired))
 
 
 # ---------------------------------------------------------------------------
