@@ -70,12 +70,7 @@ def conv_scope_ids(
             return t.filter(keep).select(["conv_id"])
 
         ds = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
-    from ..stages.distinct import distinct as _dd, group_local_distinct as _gld
-
-    if config.CONV_LOCAL_SHARDS:
-        ids_ds = _gld(ds, ["conv_id"], "conv_id")
-    else:
-        ids_ds = _dd(ds, ["conv_id"])
+    ids_ds = _conv_distinct(ds)
     if max_conversations is not None:
         n = int(max_conversations)
 
@@ -91,6 +86,22 @@ def conv_scope_ids(
             .map_batches(head_sorted, batch_format="pandas", batch_size=None)
         )
     return sorted(r["conv_id"] for r in ids_ds.take_all())
+
+
+def _conv_distinct(ds: rd.Dataset, *, pin: bool = True) -> rd.Dataset:
+    """Distinct conv_id — exchange-free under the conv-local contract,
+    guard-checked with automatic fallback to the sorted-exchange distinct
+    (distinct.ContractError can never produce a silent wrong answer)."""
+    from ..stages.distinct import ContractError, distinct as _dd, group_local_distinct as _gld
+
+    if config.CONV_LOCAL_SHARDS:
+        try:
+            return _gld(ds, ["conv_id"], "conv_id", pin=pin)
+        except ContractError as e:
+            import warnings
+
+            warnings.warn(f"{e} — falling back to the sorted-exchange distinct")
+    return _dd(ds, ["conv_id"])
 
 
 def filter_convs(ds: rd.Dataset, keep_ids: list[str]) -> rd.Dataset:
@@ -436,15 +447,10 @@ def _node_union(
     and everything KB-derived fits one reduce partition."""
     # conversation nodes: name/definition are the id itself, so this family
     # needs only a distinct over conv_id — exchange-free under the
-    # conversation-local shard contract, sort-based otherwise
-    from ..stages.distinct import distinct as _dd, group_local_distinct as _gld
-
-    if config.CONV_LOCAL_SHARDS:
-        # pin=False: single consumer (this sink) — re-running the cheap
-        # conv-id block pass beats pinning a copy of every conv id
-        conv_distinct = _gld(conv_ids, ["conv_id"], "conv_id", pin=False)
-    else:
-        conv_distinct = _dd(conv_ids, ["conv_id"])
+    # conversation-local shard contract (guard-checked, auto-fallback),
+    # sort-based otherwise.  pin=False: single consumer (this sink) —
+    # re-running the cheap conv-id block pass beats pinning a copy.
+    conv_distinct = _conv_distinct(conv_ids, pin=False)
     conv_nodes = conv_distinct.map_batches(
         lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -34,6 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from . import distinct as _dx
 from .distinct import distinct as _distinct
 
 _DEF_FRAG = re.compile(r"[a-z]+ [a-z]+ \([a-z0-9]+\)")
@@ -132,14 +133,17 @@ def resolved_mentions_local(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
         if len(df) == 0:
             interior = _resolve_frame(df, al)
             edge = df
+            first = last = None
+            interior_convs: list = []
         else:
             first, last = df["conv_id"].iloc[0], df["conv_id"].iloc[-1]
             is_edge = df["conv_id"].isin({first, last}).to_numpy()
             interior = _resolve_frame(df[~is_edge], al)
             edge = df[is_edge]
+            interior_convs = df.loc[~is_edge, "conv_id"].unique().tolist()
         # one output schema: resolved rows carry text=''; edge TURN rows
         # carry their text and empty surface/label for the driver repair
-        return pa.table({
+        out = pa.table({
             "conv_id": pa.array(
                 list(interior["conv_id"]) + list(edge["conv_id"]), pa.string()),
             "turn_idx": pa.array(
@@ -151,17 +155,41 @@ def resolved_mentions_local(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
             "text": pa.array([""] * len(interior) + list(edge["text"].fillna("")), pa.string()),
             "is_edge": pa.array([False] * len(interior) + [True] * len(edge), pa.bool_()),
         })
+        # guard summary on the first edge row (cf. distinct.check_summaries):
+        # a non-clustered layout would silently separate a conversation's
+        # definitions from its usages — detect it instead
+        if len(edge):
+            arrs = _dx.guard_arrays(
+                out.num_rows, len(interior), first, last, interior_convs
+            )
+        else:
+            arrs = [
+                pa.nulls(out.num_rows, pa.string()),
+                pa.nulls(out.num_rows, pa.string()),
+                pa.nulls(out.num_rows, pa.binary()),
+            ]
+        for name, arr in zip(_dx.GUARD_COLS, arrs):
+            out = out.append_column(name, arr)
+        return out
 
-    flagged = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
-        block_fn, batch_format="pandas", batch_size=None
-    ).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t.drop_columns(["text", "is_edge"]),
-        batch_format="pyarrow", zero_copy_batch=True,
+    with _dx._ordered_execution():
+        flagged = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+            block_fn, batch_format="pandas", batch_size=None
+        ).materialize()
+        edge_rows = pd.DataFrame(
+            flagged.filter(expr="is_edge == True").take_all(),
+            columns=["conv_id", "turn_idx", "norm_surface", "label", "text",
+                     "is_edge", *_dx.GUARD_COLS],
+        )
+    sdf = edge_rows[edge_rows["__gf"].notna()]
+    _dx.check_summaries(
+        sdf["__gf"].tolist(), sdf["__gl"].tolist(), sdf["__gkmv"].tolist(),
+        "conv_id", "abbrev.resolved_mentions_local",
     )
-    edge_rows = pd.DataFrame(
-        flagged.filter(expr="is_edge == True").take_all(),
-        columns=["conv_id", "turn_idx", "norm_surface", "label", "text", "is_edge"],
+    edge_rows = edge_rows.drop(columns=_dx.GUARD_COLS)
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t.drop_columns(["text", "is_edge", *_dx.GUARD_COLS]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     if len(edge_rows) == 0:
         return interior
@@ -186,11 +214,17 @@ def resolved_mentions(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
 
     `vocab` is the (alias, sem_label) catalog (mentions.alias_catalog()).
     Under the conversation-local shard contract, dispatches to the
-    exchange-free `resolved_mentions_local`."""
+    exchange-free `resolved_mentions_local` (guard-checked; a violated
+    layout falls back to the conv-keyed exchange path below)."""
     from .. import config
 
     if config.CONV_LOCAL_SHARDS:
-        return resolved_mentions_local(turns, vocab)
+        try:
+            return resolved_mentions_local(turns, vocab)
+        except _dx.ContractError as e:
+            import warnings
+
+            warnings.warn(f"{e} — falling back to the conv-keyed exchange path")
     alias_label = dict(zip(vocab["alias"].to_pylist(), vocab["sem_label"].to_pylist()))
     vocab_ref = ray.put(alias_label)
 

@@ -18,8 +18,11 @@ shape, ~0.4 ms each — 60 s at 150k conversations) becomes one per BLOCK.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
+
+from . import distinct as _dx
 
 
 def _block_fragments(t: pd.DataFrame) -> pd.DataFrame:
@@ -62,9 +65,17 @@ def _block_fragments_local(t: pd.DataFrame) -> pd.DataFrame:
     """Fragment pass for CONV-LOCAL input: blocks hold whole conversations
     (a conversation can straddle only a block's stream edges), so no global
     sort is needed — each block sorts its own rows by (conv_id, turn_idx).
-    Edge conversations are identified from the PRE-sort stream order."""
+    Edge conversations are identified from the PRE-sort stream order.
+    One guard summary row (stream-first/last conv + interior-conv KMV
+    sketch, cf. distinct.check_summaries) rides an edge fragment so a
+    violated layout contract is detected instead of silently splitting a
+    conversation into duplicate partial rows."""
     if len(t) == 0:
-        return _block_fragments(t)
+        out = _block_fragments(t)
+        out["__gf"] = pd.array([], dtype=object)
+        out["__gl"] = pd.array([], dtype=object)
+        out["__gkmv"] = pd.array([], dtype=object)
+        return out
     first, last = t["conv_id"].iloc[0], t["conv_id"].iloc[-1]
     t = t.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     g = t.groupby("conv_id", sort=False)
@@ -76,6 +87,14 @@ def _block_fragments_local(t: pd.DataFrame) -> pd.DataFrame:
     frag["n_turns"] = frag["n_turns"].astype("int64")
     frag["min_tidx"] = frag["min_tidx"].astype("int64")
     frag["__edge"] = frag["conv_id"].isin({first, last})
+    frag["__gf"] = None
+    frag["__gl"] = None
+    frag["__gkmv"] = None
+    sidx = int(np.flatnonzero(frag["__edge"].to_numpy())[0])
+    interior = frag.loc[~frag["__edge"], "conv_id"].tolist()
+    frag.iat[sidx, frag.columns.get_loc("__gf")] = str(first)
+    frag.iat[sidx, frag.columns.get_loc("__gl")] = str(last)
+    frag.iat[sidx, frag.columns.get_loc("__gkmv")] = _dx.guard_sketch(interior)
     return frag
 
 
@@ -84,22 +103,53 @@ def conversations(turns: rd.Dataset) -> rd.Dataset:
 
     Under the conversation-local shard contract (config.CONV_LOCAL_SHARDS)
     the full-text payload never crosses an exchange: per-block grouped
-    assembly + edge-conversation repair.  The fallback is the global range
-    sort on (conv_id, turn_idx) — which ships every text byte through the
-    shuffle (the price of assuming nothing about layout)."""
+    assembly + edge-conversation repair, with per-block guard summaries
+    checked so a non-clustered layout raises (and falls back) instead of
+    silently emitting split conversations.  The fallback is the global
+    range sort on (conv_id, turn_idx) — which ships every text byte
+    through the shuffle (the price of assuming nothing about layout)."""
     from .. import config
 
     sel = turns.select_columns(["conv_id", "turn_idx", "text"])
     if config.CONV_LOCAL_SHARDS:
+        try:
+            return _conversations_local(sel)
+        except _dx.ContractError as e:
+            import warnings
+
+            warnings.warn(f"{e} — falling back to the global-sort assembly")
+    flagged = (
+        sel.sort(["conv_id", "turn_idx"])
+        .map_batches(_block_fragments, batch_format="pandas", batch_size=None)
+        .materialize()  # two consumers (interior + edge repair)
+    )
+    return _fragment_repair(flagged)
+
+
+def _conversations_local(sel: rd.Dataset) -> rd.Dataset:
+    with _dx._ordered_execution():
         flagged = sel.map_batches(
             _block_fragments_local, batch_format="pandas", batch_size=None
         ).materialize()
-    else:
-        flagged = (
-            sel.sort(["conv_id", "turn_idx"])
-            .map_batches(_block_fragments, batch_format="pandas", batch_size=None)
-            .materialize()  # two consumers (interior + edge repair)
-        )
+        # guard summaries: one row per block, pulled via a cheap filter
+        # over the pinned fragments (never the text payload of all edges)
+        sdf = (
+            flagged.map_batches(
+                lambda df: df.loc[
+                    df["__gf"].notna(), ["__gf", "__gl", "__gkmv"]
+                ],
+                batch_format="pandas",
+                batch_size=None,
+            )
+        ).to_pandas()
+    _dx.check_summaries(
+        sdf["__gf"].tolist(), sdf["__gl"].tolist(), sdf["__gkmv"].tolist(),
+        "conv_id", "assemble.conversations",
+    )
+    return _fragment_repair(flagged)
+
+
+def _fragment_repair(flagged: rd.Dataset) -> rd.Dataset:
     interior = flagged.filter(expr="__edge == False").map_batches(
         lambda t: t[["conv_id", "n_turns", "text"]], batch_format="pandas"
     )

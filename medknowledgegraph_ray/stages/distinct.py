@@ -21,6 +21,9 @@ the output is globally sorted, which `sort` guarantees.
 
 from __future__ import annotations
 
+import hashlib
+from contextlib import contextmanager
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,6 +32,151 @@ import ray.data as rd
 from .. import config
 
 _EDGE = "__edge"
+
+# --- conv-local contract guard -------------------------------------------
+# group_local_distinct (and its siblings in assemble/abbrev) silently emit
+# duplicate interior rows if the clustering contract is violated — e.g. a
+# shuffled corpus, or committed shard files re-read in an order that splits
+# a group across non-adjacent files.  Each block therefore piggybacks ONE
+# summary row onto its (already driver-gathered) edge rows: the block's
+# first/last group key plus a KMV sketch (the GUARD_K smallest 64-bit
+# hashes of the block's INTERIOR distinct group keys — first/last
+# excluded).  The driver then checks, in O(blocks × GUARD_K) with no
+# exchange and the edge gather run under preserve_order:
+#   1. boundary contiguity — a first/last key recurring in a non-adjacent
+#      block, or in an adjacent block without being the bridge key
+#      (last(i) == first(i+1)), proves a split group;
+#   2. interior-key uniqueness — under the contract a key that is interior
+#      to a block (not its first/last) cannot occur in ANY other block, so
+#      any sketched hash present twice, or equal to another block's
+#      boundary-key hash, proves a split group.  A shuffled layout is
+#      detected with near certainty (the globally smallest hashes land in
+#      every containing block's sketch); a single split group is caught
+#      exactly when it touches a block boundary (the committed-file
+#      hazard) and probabilistically otherwise.
+GUARD_K = 256
+_GF, _GL, _GKMV = "__gf", "__gl", "__gkmv"
+GUARD_COLS = [_GF, _GL, _GKMV]
+
+
+class ContractError(ValueError):
+    """The conversation-local shard contract does not hold for this input."""
+
+
+def _key_hash(v: str) -> int:
+    # signed 64-bit so sketch values fit Arrow/pandas int64 columns;
+    # any consistent total order works for the KMV property
+    return int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big", signed=True)
+
+
+def guard_sketch(interior_keys) -> bytes:
+    """The GUARD_K smallest 64-bit key hashes, packed little-endian int64
+    (bytes survive pandas<->Arrow block conversions unmangled, unlike
+    variable-length list columns)."""
+    if len(interior_keys) == 0:
+        return b""
+    hashes = np.fromiter(
+        (_key_hash(str(k)) for k in interior_keys),
+        dtype=np.int64,
+        count=len(interior_keys),
+    )
+    return np.sort(hashes)[:GUARD_K].tobytes()
+
+
+def guard_arrays(
+    n_rows: int, summary_idx: int, first, last, interior_keys
+) -> list[pa.Array]:
+    """Arrays for the three guard columns: nulls everywhere except one
+    summary row at `summary_idx` carrying (first, last, kmv-sketch)."""
+    assert 0 <= summary_idx < n_rows
+
+    def col(value_arr: pa.Array, typ) -> pa.Array:
+        parts = []
+        if summary_idx:
+            parts.append(pa.nulls(summary_idx, typ))
+        parts.append(value_arr)
+        if n_rows - summary_idx - 1:
+            parts.append(pa.nulls(n_rows - summary_idx - 1, typ))
+        return pa.concat_arrays(parts)
+
+    return [
+        col(pa.array([str(first)], pa.string()), pa.string()),
+        col(pa.array([str(last)], pa.string()), pa.string()),
+        col(pa.array([guard_sketch(interior_keys)], pa.binary()), pa.binary()),
+    ]
+
+
+def check_summaries(
+    firsts: list, lasts: list, kmvs: list, group_key: str, where: str
+) -> None:
+    """Validate per-block guard summaries, in row-stream block order.
+    Raises ContractError on a violated conv-local contract."""
+
+    def _raise(key_repr: str, i: int, j: int):
+        raise ContractError(
+            f"conv-local shard contract violated in {where}: group "
+            f"{key_repr} ({group_key}) appears in non-contiguous row-stream "
+            f"positions (blocks {i} and {j}). The input is not clustered by "
+            f"{group_key} — re-shard the corpus, or set GRAFT_CONV_LOCAL=0 "
+            "to use the layout-independent sorted-exchange path."
+        )
+
+    # 1. boundary-key contiguity: a key recurring at block boundaries is
+    # legal only as a chain of last(i) == first(i+1) bridges
+    occ: dict[str, list[int]] = {}
+    for i, (f, l) in enumerate(zip(firsts, lasts)):
+        for k in {f, l}:
+            occ.setdefault(k, []).append(i)
+    for k, idxs in occ.items():
+        for i, j in zip(idxs, idxs[1:]):
+            if j > i + 1 or lasts[i] != k or firsts[j] != k:
+                _raise(repr(k), i, j)
+    # 2. interior-key uniqueness (sketched): interior keys exclude each
+    # block's own boundary keys, so ANY recurrence — in another sketch or
+    # as another block's boundary — is a violation
+    boundary: dict[int, int] = {}
+    for i, (f, l) in enumerate(zip(firsts, lasts)):
+        for k in {f, l}:
+            boundary.setdefault(_key_hash(k), i)
+    seen: dict[int, int] = {}
+    for i, kmv in enumerate(kmvs):
+        hashes = np.frombuffer(kmv, dtype=np.int64) if kmv else ()
+        for h in hashes:
+            h = int(h)
+            if h in seen and seen[h] != i:
+                _raise(f"hash={h:#x}", seen[h], i)
+            seen[h] = i
+            if h in boundary and boundary[h] != i:
+                _raise(f"hash={h:#x}", min(i, boundary[h]), max(i, boundary[h]))
+
+
+def check_group_contract(edge_tab: pa.Table, group_key: str, where: str) -> pa.Table:
+    """Arrow wrapper over check_summaries: validate the guard summary rows
+    gathered with the edge rows (order preserved via _ordered_execution);
+    returns `edge_tab` without the guard columns."""
+    summaries = edge_tab.filter(pc.is_valid(edge_tab[_GF]))
+    check_summaries(
+        summaries[_GF].to_pylist(),
+        summaries[_GL].to_pylist(),
+        summaries[_GKMV].to_pylist(),
+        group_key,
+        where,
+    )
+    return edge_tab.drop_columns(GUARD_COLS)
+
+
+@contextmanager
+def _ordered_execution():
+    """Run dataset executions with preserve_order=True so gathered guard
+    summary rows arrive in input-block order (the contract is about STREAM
+    adjacency; an out-of-order gather would mis-index legitimate bridges)."""
+    ctx = rd.DataContext.get_current()
+    old = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        yield
+    finally:
+        ctx.execution_options.preserve_order = old
 
 
 def _block_distinct(keys: list[str]):
@@ -109,12 +257,28 @@ def group_local_distinct(
     def block_pass(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             empty = t.select(keys)
-            return empty.append_column(_EDGE, pa.array([], pa.bool_()))
+            empty = empty.append_column(_EDGE, pa.array([], pa.bool_()))
+            for name, typ in zip(GUARD_COLS, (pa.string(), pa.string(), pa.binary())):
+                empty = empty.append_column(name, pa.nulls(0, typ))
+            return empty
         g = t.select(keys).group_by(keys).aggregate([])
         first = t[group_key][0]
         last = t[group_key][t.num_rows - 1]
         edge = pc.or_(pc.equal(g[group_key], first), pc.equal(g[group_key], last))
-        return g.append_column(_EDGE, edge)
+        g = g.append_column(_EDGE, edge)
+        # guard summary rides row 0 (always an edge row: Arrow group_by
+        # preserves first-occurrence order, so g's first group == `first`);
+        # sketch covers interior keys only — boundary keys are checked
+        # exactly via the first/last fields
+        uniq = pc.unique(t[group_key].combine_chunks())
+        interior = uniq.filter(
+            pc.and_(pc.not_equal(uniq, first), pc.not_equal(uniq, last))
+        ).to_pylist()
+        for name, arr in zip(
+            GUARD_COLS, guard_arrays(g.num_rows, 0, first, last, interior)
+        ):
+            g = g.append_column(name, arr)
+        return g
 
     flagged = ds.map_batches(
         block_pass, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -123,8 +287,11 @@ def group_local_distinct(
         # pin when several consumers will scan the result; with a single
         # downstream consumer, `pin=False` re-runs the cheap block pass for
         # the edge gather and the consumer instead of storing a copy
-        flagged = flagged.materialize()
-    return _resolve_edge_repair(flagged, keys)
+        with _ordered_execution():
+            flagged = flagged.materialize()
+    return _resolve_edge_repair(
+        flagged, keys, guard=(group_key, "group_local_distinct")
+    )
 
 
 def distinct(ds: rd.Dataset, keys: list[str], *, blocks: int | None = None) -> rd.Dataset:
@@ -150,23 +317,36 @@ def distinct(ds: rd.Dataset, keys: list[str], *, blocks: int | None = None) -> r
     return _resolve_edge_repair(flagged, keys)
 
 
-def _resolve_edge_repair(flagged: rd.Dataset, keys: list[str]) -> rd.Dataset:
+def _resolve_edge_repair(
+    flagged: rd.Dataset, keys: list[str], *, guard: tuple[str, str] | None = None
+) -> rd.Dataset:
     """Interior rows stay a lazy filter over the pinned flagged dataset;
     the edge rows (≤ 2 key groups per block — bounded by blocks, never by
     data) are gathered ONCE, combined driver-side, and appended as a single
     literal block.  Resolving eagerly keeps the all-to-all repartition and
     the second full scan out of every CONSUMER's plan — a distinct output
-    read N times pays the repair once, and each read is one cheap filter."""
+    read N times pays the repair once, and each read is one cheap filter.
+
+    `guard=(group_key, where)` marks a conv-local input carrying guard
+    summary columns: the gather runs order-preserving, the summaries are
+    contract-checked (ContractError on violation), and the guard columns
+    are stripped from both interior and edge outputs."""
+    drop = [_EDGE] + (GUARD_COLS if guard else [])
     interior = flagged.filter(expr=f"{_EDGE} == False").map_batches(
-        lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow", zero_copy_batch=True
+        lambda t: t.drop_columns(drop), batch_format="pyarrow", zero_copy_batch=True
     )
     schema = flagged.schema(fetch_if_missing=True)
     if schema is None:  # empty input
         return interior
-    edge_tab = pa.Table.from_pylist(
-        flagged.filter(expr=f"{_EDGE} == True").take_all(),
-        schema=schema.base_schema,
-    ).drop_columns([_EDGE])
+    if guard:
+        with _ordered_execution():
+            edge_rows = flagged.filter(expr=f"{_EDGE} == True").take_all()
+    else:
+        edge_rows = flagged.filter(expr=f"{_EDGE} == True").take_all()
+    edge_tab = pa.Table.from_pylist(edge_rows, schema=schema.base_schema)
+    if guard:
+        edge_tab = check_group_contract(edge_tab, guard[0], guard[1])
+    edge_tab = edge_tab.drop_columns([_EDGE])
     deduped = edge_tab.group_by(keys).aggregate([])
     if len(deduped) == 0:
         return interior

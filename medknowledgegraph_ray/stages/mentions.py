@@ -209,13 +209,19 @@ def conv_entities(mentions: rd.Dataset) -> rd.Dataset:
     With conversation-local shards (config.CONV_LOCAL_SHARDS) a
     conversation's mention rows are contiguous in the stream, so the
     distinct needs NO exchange at all: per-batch vectorized dedup + a tiny
-    batch-edge repair (distinct.group_local_distinct).  The fallback for
-    arbitrary layouts is the sorted exchange keyed on the COMPOSITE
-    (norm_surface, conv_id) — conv_id salts the hot surface so no single
-    reducer sees it.
+    batch-edge repair (distinct.group_local_distinct).  A violated layout
+    contract is detected by the per-block guard summaries and falls back
+    to the layout-independent path with a loud warning (never a silent
+    wrong answer).  The fallback for arbitrary layouts is the sorted
+    exchange keyed on the COMPOSITE (norm_surface, conv_id) — conv_id
+    salts the hot surface so no single reducer sees it.
     """
+    keys = ["norm_surface", "conv_id", "label"]
     if config.CONV_LOCAL_SHARDS:
-        return distinct.group_local_distinct(
-            mentions, ["norm_surface", "conv_id", "label"], "conv_id"
-        )
-    return distinct.distinct(mentions, ["norm_surface", "conv_id", "label"])
+        try:
+            return distinct.group_local_distinct(mentions, keys, "conv_id")
+        except distinct.ContractError as e:
+            import warnings
+
+            warnings.warn(f"{e} — falling back to the sorted-exchange distinct")
+    return distinct.distinct(mentions, keys)
