@@ -236,10 +236,8 @@ def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> r
     # edge runs are ≤ 2 per block — gather once and pair driver-side (the
     # eager edge-repair pattern, distinct._resolve_edge_repair), keeping the
     # bucket groupby exchange out of the plan
-    edge_rows = pd.DataFrame(
-        flagged.filter(expr="is_edge == True").take_all(),
-        columns=["doc_a", "doc_b", "band_id", "band_hash", "is_edge"],
-    )
+    # to_pandas, not take_all: per-row gather over pandas blocks is ~1 ms/row
+    edge_rows = flagged.filter(expr="is_edge == True").to_pandas()
     from .distinct import distinct as _distinct
 
     if len(edge_rows) == 0:
@@ -420,6 +418,16 @@ def _verify_block(t: pa.Table, threshold: float, flag_edges: bool) -> pa.Table:
     return pa.concat_tables([verified, edge_out])
 
 
+# Below this many candidate docs the verify runs DRIVER-SIDE: the gathered
+# state is bounded by ids × avg-shingle-set (~2 KB/doc → ≤100 MB at the
+# gate), and two sort exchanges + materializations of near-empty datasets
+# cost more wall-clock than the whole verification.  Above the gate the
+# fully distributed sorted-exchange path below takes over (row-identical —
+# tests/test_datapipe.py asserts it).  The gate reads len(ids), which is
+# already on the driver as the broadcast small side — no extra pass.
+SMALL_VERIFY_IDS = 50_000
+
+
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
     """Verified near-dup pairs: candidates whose exact shingle Jaccard ≥
     threshold.
@@ -462,12 +470,12 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
         "doc_b": pa.array([], pa.int64()),
         "jaccard": pa.array([], pa.float64()),
     })
-    ids = np.unique(np.asarray(
-        [r["doc_id"] for r in cands.map_batches(
-            pair_ids, batch_format="pyarrow"
-        ).take_all()],
-        dtype=np.int64,
-    ))
+    ids = np.unique(
+        cands.map_batches(pair_ids, batch_format="pyarrow")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
     if len(ids) == 0:
         return rd.from_arrow(empty)
     id_ref = ray.put(ids)
@@ -507,6 +515,9 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
             },
             schema=_ATTACH_SCHEMA,
         )
+
+    if len(ids) <= SMALL_VERIFY_IDS:
+        return _verify_driver_side(docs, cands, shingle_rows, threshold, empty)
 
     shingled = docs.map_batches(shingle_rows, batch_format="pandas")
     halves = cands.map_batches(pair_halves, batch_format="pyarrow")
@@ -562,6 +573,44 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
     if v_repaired.num_rows == 0:
         return v_interior
     return v_interior.union(rd.from_arrow(v_repaired))
+
+
+def _verify_driver_side(docs, cands, shingle_rows, threshold: float, empty):
+    """Small-side verify (≤ SMALL_VERIFY_IDS candidate docs): one corpus
+    pass reduces candidate docs to hashed shingle sets (the same
+    shingle_rows semi-join as the distributed path), gathered with the
+    pair list; Jaccard per distinct pair is a numpy intersect over
+    sorted-unique arrays.  Value-identical to the sorted-exchange path."""
+    import pandas as pd  # noqa: F811 (module-level import shadow)
+
+    # to_pandas, never take_all: row-wise gather over pandas-block datasets
+    # costs ~1 ms/row (measured 3.3 s vs 0.16 s for the same 3.7k rows)
+    set_df = docs.map_batches(shingle_rows, batch_format="pandas").to_pandas()
+    sets = {
+        k: np.asarray(s, dtype=np.int64)
+        for k, s in zip(set_df["key"], set_df["shingles"])
+    }
+    pair_df = cands.to_pandas()
+    pairs = set(zip(pair_df["doc_a"].tolist(), pair_df["doc_b"].tolist()))
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(pairs):
+        sa, sb = sets.get(a), sets.get(b)
+        if sa is None or sb is None or sa.size == 0 or sb.size == 0:
+            continue  # unverifiable side — same semantics as _attach_sorted
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    if not out_a:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "doc_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+        "doc_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+        "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+    }))
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,18 @@ def test_minhash_finds_exact_dup_and_skips_disjoint():
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_minhash_verify_paths_row_identical(sf_dir, monkeypatch):
+    """The size-gated driver-side verify and the distributed sorted-exchange
+    verify must agree exactly on the same candidate set."""
+    from medknowledgegraph_ray.sources import readers
+
+    docs = lambda: readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    small = _norm(dedupe.minhash_dedup(docs()).to_pandas())
+    monkeypatch.setattr(dedupe, "SMALL_VERIFY_IDS", -1)  # force distributed
+    big = _norm(dedupe.minhash_dedup(docs()).to_pandas())
+    assert small.equals(big)
+
+
 def test_simhash_identical_for_same_token_multiset():
     ds = _docs([(1, "foo bar baz"), (2, "baz foo bar"), (3, "entirely different words")])
     out = dedupe.simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
