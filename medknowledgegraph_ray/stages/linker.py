@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -69,20 +70,38 @@ class SurfaceLinker:
         self.fuzzy = fuzzy
         self.fuzzy_min = fuzzy_min
         if fuzzy:
-            self.alias_grams = {a: _trigrams(a) for a in self.exact}
+            # TRIGRAM INVERTED INDEX: gram → int32 array of alias ids.
+            # An unseen surface probes only its own grams' postings —
+            # per-query cost is O(Σ posting lengths), independent of the
+            # total alias count (the 10^6–10^7-row UMLS property), where a
+            # linear scan over alias gram-sets melts.
+            self.aliases = list(self.exact)
+            sizes = np.empty(len(self.aliases), dtype=np.int64)
+            postings: dict[str, list[int]] = defaultdict(list)
+            for i, alias in enumerate(self.aliases):
+                gs = _trigrams(alias)
+                sizes[i] = len(gs)
+                for g in gs:
+                    postings[g].append(i)
+            self.alias_gram_n = sizes
+            self.gram_index = {
+                g: np.asarray(ids, dtype=np.int32) for g, ids in postings.items()
+            }
 
     def _fuzzy_candidates(self, surface: str) -> list:
         grams = _trigrams(surface)
+        posts = [p for p in map(self.gram_index.get, grams) if p is not None]
+        if not posts:
+            return []
+        # posting intersection count per alias == |query grams ∩ alias grams|
+        # (each posting lists an alias once per distinct gram)
+        ids, inter = np.unique(np.concatenate(posts), return_counts=True)
+        jac = inter / (len(grams) + self.alias_gram_n[ids] - inter)
+        keep = jac >= self.fuzzy_min
         best: list = []
-        for alias, agrams in self.alias_grams.items():
-            inter = len(grams & agrams)
-            if not inter:
-                continue
-            jac = inter / (len(grams) + len(agrams) - inter)
-            if jac < self.fuzzy_min:
-                continue
-            for cui, score, name, definition, label in self.exact[alias]:
-                best.append((cui, round(score * jac, 4), name, definition, label))
+        for i, j in zip(ids[keep], jac[keep]):
+            for cui, score, name, definition, label in self.exact[self.aliases[i]]:
+                best.append((cui, round(score * float(j), 4), name, definition, label))
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -120,6 +120,59 @@ def test_surface_linker_exact_and_fuzzy():
     assert out2["score"][0].as_py() < 0.95  # damped by trigram similarity
 
 
+def test_fuzzy_linker_vocab_scale_posting_bounded():
+    """Fuzzy-link cost must be bounded by posting volume, not |vocab|: the
+    trigram inverted index probes only the query's own grams, so a query
+    sharing no grams with the catalog costs O(|query grams|) dict misses —
+    flat at 50× the aliases, where the old linear scan paid O(|vocab|) set
+    intersections even for zero matches (the 10^6–10^7-alias UMLS melt)."""
+    import time
+
+    def enc(i: int, alphabet: str) -> str:
+        # deterministic pseudo-random 8-char word over the given alphabet
+        x, out = (i * 2654435761) & 0xFFFFFFFF, []
+        for _ in range(8):
+            out.append(alphabet[x % len(alphabet)])
+            x //= len(alphabet)
+        return "".join(out)
+
+    def catalog(n):
+        return pa.table(
+            {
+                "alias": [enc(i, "abcdefghijklm") for i in range(n)],
+                "cui": [f"C{i}" for i in range(n)],
+                "score": [0.9] * n,
+                "name": [f"name{i}" for i in range(n)],
+                "definition": [""] * n,
+                "label": ["DISEASE"] * n,
+            }
+        )
+
+    # query alphabet is disjoint from the catalog's → no shared grams
+    queries = pa.table(
+        {"norm_surface": pa.array([enc(i, "nopqrstuvwxyz") for i in range(500)], pa.string())}
+    )
+
+    def timed(n):
+        lk = linker.SurfaceLinker(catalog(n), fuzzy=True, fuzzy_min=0.4)
+        lk(queries)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = lk(queries)
+            best = min(best, time.perf_counter() - t0)
+        return best, lk, out
+
+    t_small, _, out_small = timed(1_000)
+    t_big, lk_big, out_big = timed(50_000)
+    assert out_small.num_rows == out_big.num_rows == 0
+    assert t_big < t_small * 8, f"fuzzy scaling not flat: {t_small:.4f}s → {t_big:.4f}s"
+    # and a near-miss of a catalog alias still fuzzy-links in the big vocab
+    target = enc(7, "abcdefghijklm")
+    hit = lk_big(pa.table({"norm_surface": pa.array([target[:-1] + "a"], pa.string())}))
+    assert hit.num_rows >= 1 and f"C7" in hit["cui"].to_pylist()
+
+
 def test_abbreviation_resolution_links_sf_to_lf_cui():
     """'long form (SF)' defined once; later bare-SF turns must emit the
     LONG form (entityrecognition.py:25-27 resolve_abbreviations analog),
