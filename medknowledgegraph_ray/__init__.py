@@ -21,14 +21,26 @@ __version__ = "0.1.0"
 # isinstance check correctly returns False.
 try:  # pragma: no cover - environment-dependent
     from fsspec.implementations.http import HTTPFileSystem as _HTTPFileSystem  # noqa: F401
-except Exception:  # ModuleNotFoundError(aiohttp) in this environment
+except ModuleNotFoundError as _e:
+    # Scope the workaround to the exact known failure (missing aiohttp) so a
+    # genuinely broken fsspec install still raises normally elsewhere.
+    if _e.name not in ("aiohttp", "fsspec.implementations.http"):
+        raise
     import sys as _sys
     import types as _types
 
     class _NoHTTPFileSystem:
-        pass
+        """Sentinel stub: matches no real filesystem; http:// paths that
+        reach an isinstance check resolve as non-HTTP rather than racing a
+        repeated failing import."""
 
     _mod = _types.ModuleType("fsspec.implementations.http")
+    _mod.__doc__ = (
+        "STUB installed by medknowledgegraph_ray.__init__ because aiohttp is "
+        "absent: Ray Data's per-path HTTPFileSystem import probe races under "
+        "concurrent Dataset executions when the import fails repeatedly. "
+        "Install aiohttp to get the real module."
+    )
     _mod.HTTPFileSystem = _NoHTTPFileSystem
     _sys.modules["fsspec.implementations.http"] = _mod
 

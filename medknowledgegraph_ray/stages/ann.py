@@ -243,6 +243,11 @@ def ivf_topk(
         embeddings.map_batches(sample_batch, batch_format="pandas").take_all(),
         key=lambda r: r["vec_id"],  # block arrival order is not deterministic
     )
+    if not sample_rows:
+        # tiny corpus / unlucky id distribution: no id passed the hash gate —
+        # train on the first rows instead of crashing (quantizer just needs
+        # SOME points; recall is approximate by design either way)
+        sample_rows = embeddings.limit(max(8 * n_clusters, 64)).take_all()
     sample = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]))
     cents = _kmeans_fit(sample, n_clusters)
 

@@ -29,7 +29,10 @@ def role_mentions(turns: rd.Dataset, role: str = "user") -> rd.Dataset:
     """Mentions detected over one role's turns only (conv_id, turn_idx,
     norm_surface, label).  The role predicate runs before detection, so
     the detector scans only the scoped rows."""
-    scoped = turns.filter(expr=f"role == '{role}'")
+    def pick(t: pa.Table) -> pa.Table:  # vectorized equality — no expression
+        return t.filter(pc.equal(t["role"], role))  # string interpolation
+
+    scoped = turns.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     return _mentions.detect_mentions(scoped)
 
 

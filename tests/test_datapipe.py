@@ -178,3 +178,15 @@ def test_ivf_topk_shape_determinism_and_recall(sf_dir):
         sc = ivf1[ivf1["query_id"] == qid].sort_values("rank")["score"].to_numpy()
         assert all(sc[i] >= sc[i + 1] - 1e-9 for i in range(len(sc) - 1))
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivf_topk_empty_sample_falls_back(sf_dir):
+    """sample_pct=0 lets no id through the hash gate; the quantizer must
+    train on a head fallback instead of crashing on an empty np.stack."""
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import ann
+
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = ann.fixed_queries(64)
+    out = ann.ivf_topk(emb, q, k=5, sample_pct=0).to_pandas()
+    assert len(out) > 0 and set(out.columns) == {"query_id", "vec_id", "score", "rank"}
