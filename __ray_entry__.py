@@ -325,27 +325,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
-        # ---- training-data pipeline operators (documents/embeddings) ----
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _lang_id,
-        "doc_quality": _quality,
-        "doc_fingerprints": _fingerprints,
-        "doc_tokens_bpe": _tokens_bpe,
-        "doc_sample": _doc_sample,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_embedding": _dedup_embedding,
-        "ann_topk": _ann_topk,
-        "ann_lsh": _ann_lsh,
-        "ann_ivf": _ann_ivf,
-        "mm_metadata": _mm_metadata,
-        "mm_decode": _mm_decode,
-        "mm_resize": _mm_resize,
-        "mm_frame_sample": _mm_frames,
-        "doc_embed_ann": _doc_embed_ann,
-        "dedup_simhash_groups": _dedup_simhash_groups,
-        "kg_links_fuzzy": _kg_links_fuzzy,
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
         # role / tool / ts transcript-metadata operators
@@ -355,6 +334,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
         "kg_mentions_hourly": kg.hourly_mentions,
+        # ---- training-data pipeline operators (documents/embeddings) ----
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_quality": _quality,
+        "doc_tokens_bpe": _tokens_bpe,
+        "doc_sample": _doc_sample,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "ann_topk": _ann_topk,
+        "mm_metadata": _mm_metadata,
         # ---- windowed / ordered-log operators (events) ----
         "ev_tumbling": _ev_tumbling,
         "ev_sliding": _ev_sliding,
@@ -367,6 +356,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_orders_by_status": analytics.orders_by_status,
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
         "join_region_counts": analytics.nation_region_counts,
+        # ---- rows-only entries (no DuckDB oracle by design: approximate
+        # recall, rolling hashes, stub decode dims) — kept LAST so a driver
+        # that caps its CORRECTNESS file never drops an oracle-checked row
+        "doc_fingerprints": _fingerprints,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_groups": _dedup_simhash_groups,
+        "dedup_embedding": _dedup_embedding,
+        "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
+        "doc_embed_ann": _doc_embed_ann,
+        "kg_links_fuzzy": _kg_links_fuzzy,
+        "mm_decode": _mm_decode,
+        "mm_resize": _mm_resize,
+        "mm_frame_sample": _mm_frames,
     }
 
 
