@@ -73,6 +73,13 @@ def run_bench() -> dict:
         kg.mention_rows(sf_dir).count()
         queries["mentions"] = round(time.time() - t0, 3)
 
+    if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
+        # the actor-pool detector path (production slot for a heavy model);
+        # includes the pool spawn the task-cache path avoids
+        t0 = time.time()
+        kg.mention_rows(sf_dir, stateful="actor").count()
+        queries["mentions_actor"] = round(time.time() - t0, 3)
+
     if mode == "full":
         t0 = time.time()
         kg.conversations(sf_dir).count()

@@ -125,11 +125,13 @@ def turn_roundtrip(sf_dir: str) -> rd.Dataset:
     return assemble.turn_roundtrip(transcripts(sf_dir, ["conv_id", "turn_idx", "text"]))
 
 
-def mention_rows(sf_dir: str, *, scope: list[str] | None = None) -> rd.Dataset:
+def mention_rows(
+    sf_dir: str, *, scope: list[str] | None = None, stateful: str = "task"
+) -> rd.Dataset:
     ds = transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     if scope is not None:
         ds = filter_convs(ds, scope)
-    return mentions.detect_mentions(ds)
+    return mentions.detect_mentions(ds, stateful=stateful)
 
 
 def user_mentions(sf_dir: str, role: str = "user") -> rd.Dataset:

@@ -125,3 +125,14 @@ def test_failed_stage_is_recorded_in_manifest(tmp_path, sf_dir, monkeypatch):
     monkeypatch.setattr(kgmod, "atomic_write_parquet", real)
     res = kgmod.build_graph(sf_dir, out)
     assert res["n_edges"] > 0 and res["n_nodes"] > 0
+
+
+def test_actor_pool_detector_parity(sf_dir):
+    """The actor-pool detector path (the production slot for a
+    minutes-to-load NER model — reference manager.py:22-24) must emit
+    exactly the task-cache path's rows."""
+    from medknowledgegraph_ray.pipelines import kg as kgmod
+
+    task = kgmod.mention_rows(sf_dir).to_pandas()
+    actor = kgmod.mention_rows(sf_dir, stateful="actor").to_pandas()
+    assert _norm(task).equals(_norm(actor))
