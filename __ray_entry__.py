@@ -134,6 +134,33 @@ def _kg_sql(body: str, sf_dir: str = _SF001, **knobs) -> str:
     return _kg_ctes(sf_dir, **knobs) + body
 
 
+def _abbrev_defs_subquery() -> str:
+    """Distinct (conv_id, sf, lf) abbreviation definitions — the SQL twin of
+    stages/abbrev.py:_parse_frag (Schwartz-Hearst right-to-left initials,
+    1-4-word long forms, largest matching suffix wins)."""
+
+    def lfm(m: int) -> str:
+        return f"trim(regexp_extract(frag, '((?:[a-z]+ ){{{m}}})\\(', 1))"
+
+    def inits(m: int) -> str:
+        return " || ".join(
+            f"substr(split_part({lfm(m)}, ' ', {i}), 1, 1)" for i in range(1, m + 1)
+        )
+
+    cases = " ".join(
+        f"WHEN {lfm(m)} <> '' AND {inits(m)} = substr(sf, 1, {m}) THEN {lfm(m)}"
+        for m in (4, 3, 2, 1)
+    )
+    return (
+        "SELECT DISTINCT conv_id, sf, lf FROM ("
+        f"SELECT conv_id, sf, CASE {cases} END AS lf "
+        "FROM (SELECT conv_id, regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, frag "
+        "FROM (SELECT t.conv_id, unnest(regexp_extract_all(lower(t.text), "
+        "'(?:[a-z]+ ){1,4}\\([a-z0-9]+\\)')) AS frag FROM g_transcripts t))"
+        ") WHERE lf IS NOT NULL"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline: transcript shards → deduplicated triple set."""
     return kg.edges("/root/testdata/sf0.001")
@@ -420,30 +447,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT norm_surface, cui, score, name, definition, label FROM g_top4",
             top_entities=8, top_cuis=2, score_min=0.9,
         ),
-        "kg_abbrev_defs": _kg_sql(
-            "SELECT DISTINCT conv_id, "
-            "regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, "
-            "regexp_extract(frag, '^([a-z]+ [a-z]+)', 1) AS lf "
-            "FROM (SELECT t.conv_id, unnest(regexp_extract_all(lower(t.text), "
-            "'[a-z]+ [a-z]+ \\([a-z0-9]+\\)')) AS frag FROM g_transcripts t) "
-            "WHERE substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 1), 1, 1) || "
-            "substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 2), 1, 1) "
-            "= substr(regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1), 1, 2)"
-        ),
+        "kg_abbrev_defs": _kg_sql(_abbrev_defs_subquery()),
         "kg_mentions_resolved": _kg_sql(
             "SELECT conv_id, turn_idx, norm_surface, label FROM g_mentions "
             "UNION "
             "SELECT DISTINCT t.conv_id, t.turn_idx, d.lf AS norm_surface, "
             "v.sem_label AS label "
             "FROM g_transcripts t "
-            "JOIN (SELECT DISTINCT conv_id, "
-            "  regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, "
-            "  regexp_extract(frag, '^([a-z]+ [a-z]+)', 1) AS lf "
-            "  FROM (SELECT t2.conv_id, unnest(regexp_extract_all(lower(t2.text), "
-            "  '[a-z]+ [a-z]+ \\([a-z0-9]+\\)')) AS frag FROM g_transcripts t2) "
-            "  WHERE substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 1), 1, 1) || "
-            "  substr(split_part(regexp_extract(frag, '^([a-z]+ [a-z]+)', 1), ' ', 2), 1, 1) "
-            "  = substr(regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1), 1, 2)"
+            f"JOIN ({_abbrev_defs_subquery()}"
             ") d ON t.conv_id = d.conv_id "
             "JOIN g_vocab v ON v.alias = d.lf "
             "WHERE d.sf NOT IN (SELECT alias FROM g_vocab) "

@@ -115,7 +115,7 @@ def sf_name(sf_dir: str) -> str:
 # Bump when datagen semantics change: generated corpora are cached on disk
 # under a versioned root, so a version bump atomically invalidates stale
 # caches (oracle SQL and Ray pipelines read the same versioned paths).
-CORPUS_VERSION = 3  # v3 = v2 content with 2000-conv shard files
+CORPUS_VERSION = 4  # v4 = 1-4-word abbreviation long forms (+KB multi-word aliases)
 
 
 def gen_dir(sf_dir: str) -> str:

@@ -89,6 +89,20 @@ def _build_kb(rng: random.Random):
         if rng.random() < 0.8:
             variant = f"{toks[0]} variant {i % 23}"
             aliases.append((variant, cui, round(rng.uniform(0.70, 0.98), 2), label))
+        # 3- and 4-word all-alphabetic long-form aliases so abbreviation
+        # planting covers 1-4-word Schwartz-Hearst spans
+        # (entityrecognition.py:25-27).  Index-deterministic (no rng draws)
+        # so every pre-existing KB row and rng-derived value is unchanged.
+        if label == "DISEASE" and len(toks) > 1:
+            if i % 3 == 0:
+                aliases.append(
+                    (f"chronic {name}", cui, round(0.70 + (i % 25) * 0.01, 2), label)
+                )
+            if i % 4 == 1:
+                aliases.append(
+                    (f"acquired chronic {name}", cui,
+                     round(0.70 + (i % 23) * 0.01, 2), label)
+                )
         return cui
 
     cuis_disease, cuis_chem = [], []
@@ -242,12 +256,14 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
     kb = _kb_tables()
     alias_tab = kb["aliases"]
     umls = kb["umls_kb"]
-    # two-word DISEASE names for conversation-local abbreviation planting
-    # ("long form (SF)" definitions — entityrecognition.py:25-27 analog)
+    # 1-4-word all-alphabetic aliases for conversation-local abbreviation
+    # planting ("long form (SF)" definitions — entityrecognition.py:25-27
+    # analog); covers single-word chemicals, two-word disease names and the
+    # 3/4-word "chronic ..."/"acquired chronic ..." long forms
     disease_names = sorted(
-        n
-        for n, l in zip(umls["canonical_name"].to_pylist(), umls["sem_label"].to_pylist())
-        if l == "DISEASE" and len(n.split()) == 2
+        a
+        for a in set(alias_tab["alias"].to_pylist())
+        if a.replace(" ", "").isalpha() and 1 <= len(a.split()) <= 4
     )
     # distinct surfaces, weighted: hot surface ~30% of slots, rest Zipf.
     surfaces = sorted(set(alias_tab["alias"].to_pylist()))

@@ -7,9 +7,12 @@ A conversation can define a local short form — "xelorvan syndrome (xsq3)"
 (the SF is not in the global alias KB).  Semantics (shared verbatim with
 the DuckDB oracle):
 
-- a DEFINITION is any fragment matching `[a-z]+ [a-z]+ \\([a-z0-9]+\\)` in
-  the lowercased text whose short form starts with the two long-form word
-  initials (Schwartz-Hearst-lite, deterministic);
+- a DEFINITION is any fragment matching `(?:[a-z]+ ){1,4}\\([a-z0-9]+\\)`
+  in the lowercased text; the long form is the LARGEST suffix of 1..4
+  words preceding the parenthesis whose word initials equal the short
+  form's prefix of the same length (Schwartz-Hearst right-to-left initial
+  matching, deterministic — handles "chronic obstructive pulmonary
+  disease (copd)" as well as one-word forms);
 - a definition is VALID iff the long form IS a KB alias and the short form
   is NOT (if it were, plain detection already finds it);
 - a RESOLVED mention is any turn in the defining conversation whose text
@@ -37,9 +40,22 @@ import ray.data as rd
 from . import distinct as _dx
 from .distinct import distinct as _distinct
 
-_DEF_FRAG = re.compile(r"[a-z]+ [a-z]+ \([a-z0-9]+\)")
-_LF = re.compile(r"^([a-z]+ [a-z]+)")
+_DEF_FRAG = re.compile(r"(?:[a-z]+ ){1,4}\([a-z0-9]+\)")
 _SF = re.compile(r"\(([a-z0-9]+)\)")
+
+
+def _parse_frag(frag: str) -> tuple[str, str] | None:
+    """(sf, lf) for a definition fragment, or None if no suffix matches.
+
+    lf = the largest m-word suffix (m in 4..1) of the words preceding the
+    parenthesis whose initials equal sf[:m] — byte-identical to the CASE
+    ladder in the DuckDB oracle (__ray_entry__._abbrev_frag_sql)."""
+    sf = _SF.search(frag).group(1)
+    ws = frag[: frag.index("(")].split()
+    for m in (4, 3, 2, 1):
+        if len(ws) >= m and "".join(w[0] for w in ws[-m:]) == sf[:m]:
+            return sf, " ".join(ws[-m:])
+    return None
 
 
 def definitions(turns: rd.Dataset) -> rd.Dataset:
@@ -56,13 +72,10 @@ def definitions(turns: rd.Dataset) -> rd.Dataset:
                 "lf": pd.array([], dtype="str"),
             })
         conv = np.repeat(batch["conv_id"].to_numpy(), n_per)
-        flat = [f for fs in frags for f in fs]
-        lf = np.array([_LF.match(f).group(1) for f in flat], dtype=object)
-        sf = np.array([_SF.search(f).group(1) for f in flat], dtype=object)
-        initials = np.array(
-            [w1[0] + w2[0] for w1, w2 in (l.split(" ", 1) for l in lf)], dtype=object
-        )
-        keep = np.array([s[:2] == i for s, i in zip(sf, initials)], dtype=bool)
+        parsed = [_parse_frag(f) for fs in frags for f in fs]
+        keep = np.array([p is not None for p in parsed], dtype=bool)
+        sf = np.array([p[0] if p else "" for p in parsed], dtype=object)
+        lf = np.array([p[1] if p else "" for p in parsed], dtype=object)
         return pd.DataFrame({"conv_id": conv[keep], "sf": sf[keep], "lf": lf[keep]})
 
     raw = turns.map_batches(extract, batch_format="pandas")
@@ -90,11 +103,10 @@ def _resolve_frame(df: pd.DataFrame, alias_label: dict) -> pd.DataFrame:
     conv_np = df["conv_id"].to_numpy()
     defs: set[tuple[str, str, str]] = set()
     for conv, fs in zip(np.repeat(conv_np, n_per), (f for fs in frags for f in fs)):
-        lf = _LF.match(fs).group(1)
-        sf = _SF.search(fs).group(1)
-        w1, w2 = lf.split(" ", 1)
-        if sf[:2] != w1[0] + w2[0]:
+        parsed = _parse_frag(fs)
+        if parsed is None:
             continue
+        sf, lf = parsed
         if lf in alias_label and sf not in alias_label:
             defs.add((conv, sf, lf))
     if not defs:

@@ -210,6 +210,44 @@ def test_abbreviation_resolution_links_sf_to_lf_cui():
     assert links.sort_values("score", ascending=False)["score"].iloc[0] == 1.0
 
 
+def test_abbreviation_multiword_long_forms():
+    """1-4-word long forms (Schwartz-Hearst right-to-left initials): the
+    LARGEST word-suffix whose initials prefix the SF wins — 'chronic
+    obstructive pulmonary disease (copd)' class cases, VERDICT r2 item 5."""
+    from medknowledgegraph_ray.stages import abbrev
+
+    vocab = pa.table({
+        "alias": pa.array(
+            ["altravone", "chronic xelorvan syndrome",
+             "acquired chronic miratrex pathia"], pa.string()),
+        "sem_label": pa.array(["CHEMICAL", "DISEASE", "DISEASE"], pa.string()),
+    })
+    ds = _turns([
+        ("c1", 0, "Initial review notes altravone (aq7) in history."),
+        ("c1", 1, "Continue monitoring aq7 closely."),
+        ("c2", 0, "Notes chronic xelorvan syndrome (cxsq1) per chart."),
+        ("c2", 1, "Managing cxsq1 with therapy."),
+        ("c3", 0, "History of acquired chronic miratrex pathia (acmpq2) noted."),
+        ("c3", 1, "The acmpq2 plan is unchanged."),
+    ])
+    defs = abbrev.definitions(ds).to_pandas()
+    assert set(map(tuple, defs.values.tolist())) == {
+        ("c1", "aq7", "altravone"),
+        ("c2", "cxsq1", "chronic xelorvan syndrome"),
+        ("c3", "acmpq2", "acquired chronic miratrex pathia"),
+    }
+    res = abbrev.resolved_mentions(ds, vocab).to_pandas()
+    got = set(map(tuple, res.values.tolist()))
+    assert got == {
+        ("c1", 0, "altravone", "CHEMICAL"),
+        ("c1", 1, "altravone", "CHEMICAL"),
+        ("c2", 0, "chronic xelorvan syndrome", "DISEASE"),
+        ("c2", 1, "chronic xelorvan syndrome", "DISEASE"),
+        ("c3", 0, "acquired chronic miratrex pathia", "DISEASE"),
+        ("c3", 1, "acquired chronic miratrex pathia", "DISEASE"),
+    }
+
+
 def test_top_entities_deterministic_tiebreak():
     counts = rd.from_items(
         [
