@@ -268,12 +268,105 @@ def _entity_umls_edges(t: pa.Table) -> pa.Table:
     )
 
 
+def _graph_tables_streaming(
+    mention_ds: rd.Dataset,
+    *,
+    top_entities: int,
+    top_cuis: int,
+    score_min: float,
+    vocab_size: int,
+) -> dict[str, rd.Dataset]:
+    """graph_tables for a LARGE alias vocabulary (> config.VOCAB_FUNNEL_MAX,
+    the production 10^6-10^7-alias UMLS case): the vocabulary-scale tables
+    (entity counts, links, entity/UMLS node and edge families) stay
+    DISTRIBUTED on the sorted-exchange paths; only the k-bounded selection
+    chain (top-k surfaces → top CUIs → KB enrichment, ≤ top_entities ×
+    top_cuis rows) is pulled driver-side.  Row-identical to the funnel path
+    (tests/test_pipeline.py::test_graph_tables_streaming_parity)."""
+    ce = mentions.conv_entities(mention_ds)
+    counts = canonicalize.entity_counts(ce, vocab_hint=vocab_size)  # Dataset
+    links_ds = linker.link_surfaces(mention_ds)                     # Dataset
+    # per-block partial top-k makes this pull ≤ k rows regardless of vocab
+    top = canonicalize.top_entities(counts, k=top_entities).to_pandas()
+    lk_df = linker.link_table(top["norm_surface"].tolist()).to_pandas()
+    cand = lk_df[lk_df["score"] > score_min]
+    top_links = (
+        cand.sort_values(["score", "cui"], ascending=[False, True], kind="mergesort")
+        .groupby("norm_surface", sort=False)
+        .head(top_cuis)
+    )
+    sel = sorted(set(top_links["cui"]))
+
+    gn = enrich.genes_table(sel)
+    sn = enrich.snomed_table(sel)
+    cf = enrich.clinical_features_table(sel)
+    pr = enrich.proteins_table(gn["gene"].to_pylist())
+    go = enrich.go_table(pr["entry"].to_pylist())
+
+    # vocab-scale families stay distributed: counts is distinct
+    # (norm_surface, label) by construction → entity nodes need no dedup;
+    # links is distinct per (surface, cui) → entity→UMLS edges need no
+    # dedup; UMLS nodes dedup on cui via the sorted exchange (many
+    # surfaces → one cui)
+    entity_nodes = counts.map_batches(
+        lambda b: graph.node_rows(b, "label", "norm_surface", "norm_surface", None),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    umls_edges = links_ds.map_batches(
+        _entity_umls_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    umls_nodes = graph.dedup_nodes(
+        links_ds.map_batches(
+            lambda b: graph.node_rows(b, "UMLS", "cui", "name", "definition"),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    # KB-bounded families (driven by the ≤ k×k CUI selection) stay literal
+    kb_edge_tab = pa.concat_tables(
+        [
+            graph._edges_batch("UMLS", "source", "Gene", "gene")(gn),
+            graph._edges_batch("UMLS", "source", "SnomedConcept", "saui")(sn),
+            graph._edges_batch("UMLS", "source", "ClinicalFeature", "feat_cui")(cf),
+            graph._edges_batch("Gene", "source", "Protein", "entry")(pr),
+            graph._edges_batch("Protein", "source", "GO", "go_id")(go),
+        ]
+    ).group_by(["subj", "pred", "obj"]).aggregate([])
+    kb_node_tab = graph.dedup_nodes_table(
+        pa.concat_tables(
+            [
+                graph.node_rows(gn, "Gene", "gene", "gene", None),
+                graph.node_rows(sn, "SnomedConcept", "saui", "snomed_text", None),
+                graph.node_rows(cf, "ClinicalFeature", "feat_cui", "name", "definition"),
+                graph.node_rows(pr, "Protein", "entry", "name", None),
+                graph.node_rows(go, "GO", "go_id", "go_name", None),
+            ]
+        )
+    )
+    wrap = rd.from_arrow
+    return {
+        "links": links_ds,
+        "entity_nodes": entity_nodes,
+        "umls_edges": umls_edges,
+        "umls_nodes": umls_nodes,
+        "kb_edges": wrap(kb_edge_tab),
+        "kb_nodes": wrap(kb_node_tab),
+        "conv_entities": ce,
+        "selected": wrap(pa.table({"cui": pa.array(sel, pa.string())})),
+        "genes": wrap(gn),
+        "snomed": wrap(sn),
+        "clinical_features": wrap(cf),
+        "proteins": wrap(pr),
+        "go": wrap(go),
+    }
+
+
 def graph_tables(
     mention_ds: rd.Dataset,
     *,
     top_entities: int = config.TOP_ENTITIES,
     top_cuis: int = config.TOP_CUIS,
     score_min: float = config.SCORE_MIN,
+    vocab_size: int | None = None,
 ) -> dict[str, rd.Dataset]:
     """All downstream tables from a (materialized or Parquet-backed) mention
     table.
@@ -287,7 +380,19 @@ def graph_tables(
     avoided mini-job removes fixed scheduling latency that would otherwise
     cap scaling efficiency.  The driver-side ops share their emit/ordering
     logic with the streaming variants (enrich.*_table / linker.link_table),
-    so both paths are row-identical."""
+    so both paths are row-identical.
+
+    Above config.VOCAB_FUNNEL_MAX aliases (production UMLS scale) the
+    vocabulary-bounded assumption breaks — the funnel would pull GBs to the
+    driver — so dispatch to the streaming variant instead."""
+    from ..sources import readers as _readers
+
+    n_vocab = _readers.kb_num_aliases() if vocab_size is None else vocab_size
+    if n_vocab > config.VOCAB_FUNNEL_MAX:
+        return _graph_tables_streaming(
+            mention_ds, top_entities=top_entities, top_cuis=top_cuis,
+            score_min=score_min, vocab_size=n_vocab,
+        )
     # ce's flagged intermediate is pinned ONCE inside the distinct (it has
     # two real consumers: the counts aggregate and the edge sink); the
     # post-repair tail is a literal-union filter, so no second full copy is
@@ -397,6 +502,11 @@ def _edge_union(
     if "kb_edges" in t:
         # pre-deduplicated literal table from graph_tables — one block
         small_deduped = t["kb_edges"]
+        if "umls_edges" in t:
+            # streaming (large-vocab) mode: the entity→UMLS family is
+            # vocab-scale and distinct by construction (links is distinct
+            # per surface) — union it distributed, namespaces disjoint
+            small_deduped = t["umls_edges"].union(small_deduped)
     else:
         small_parts = [
             t["links"].map_batches(_entity_umls_edges, batch_format="pyarrow", zero_copy_batch=True),
@@ -469,6 +579,10 @@ def _node_union(
         )
     if "kb_nodes" in t:
         kb_nodes = t["kb_nodes"]  # pre-deduplicated literal table
+        if "umls_nodes" in t:
+            # streaming (large-vocab) mode: UMLS node family deduped on the
+            # sorted exchange (vocab-scale), unioned distributed
+            kb_nodes = t["umls_nodes"].union(kb_nodes)
     else:
         small_parts = [
             t["links"].map_batches(

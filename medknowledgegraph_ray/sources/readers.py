@@ -58,6 +58,14 @@ def kb_table(name: str):
     return pq.read_table(os.path.join(config.kb_dir(), f"{name}.parquet"))
 
 
+def kb_num_aliases() -> int:
+    """Alias-catalog cardinality from Parquet footer metadata only — the
+    driver-funnel gate (config.VOCAB_FUNNEL_MAX) needs the count, not the
+    data, so don't deserialize the table to decide."""
+    datagen.ensure_kb()
+    return pq.read_metadata(os.path.join(config.kb_dir(), "aliases.parquet")).num_rows
+
+
 def transcript_files(sf_dir: str) -> list[str]:
     """Shard file list (the resume/manifest unit)."""
     gen = datagen.ensure_transcripts(sf_dir)

@@ -24,9 +24,24 @@ from .. import config
 from . import distinct as _distinct
 
 
-def entity_counts(conv_entities: rd.Dataset) -> rd.Dataset:
-    """(norm_surface, label) → n_convs, via partial-count pre-aggregation."""
-    from .groupagg import rename_after_groupby
+def entity_counts(conv_entities: rd.Dataset, *, vocab_hint: int | None = None) -> rd.Dataset:
+    """(norm_surface, label) → n_convs, via partial-count pre-aggregation.
+
+    `vocab_hint` is the caller's distinct-surface upper bound (the alias
+    catalog size).  Below config.VOCAB_FUNNEL_MAX the partials coalesce
+    into ONE combine block (each partial is ≤ |vocab| rows, so the single
+    block is tiny and beats a full exchange); above it — a production
+    10^6-10^7-alias catalog — that block would receive |vocab| × blocks
+    rows, so the count runs on the sorted-exchange `grouped_agg` instead.
+    Both paths are row-identical (tests/test_stages.py)."""
+    from .groupagg import grouped_agg, rename_after_groupby
+
+    if vocab_hint is not None and vocab_hint > config.VOCAB_FUNNEL_MAX:
+        return grouped_agg(
+            conv_entities.select_columns(["norm_surface", "label", "conv_id"]),
+            ["norm_surface", "label"],
+            [("conv_id", "count", "n_convs")],
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")])
@@ -37,9 +52,6 @@ def entity_counts(conv_entities: rd.Dataset) -> rd.Dataset:
         return rename_after_groupby(g, ["norm_surface", "label"], ["n_convs"], ["sum"], ["n_convs"])
 
     partials = conv_entities.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    # final combine is VOCABULARY-bounded (≤ |vocab| rows per input block
-    # after the partial), so one tiny Arrow combine block beats a full
-    # groupby exchange by an order of magnitude
     return partials.repartition(1).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
@@ -53,15 +65,17 @@ def top_entities(counts: rd.Dataset, *, label: str = "DISEASE", k: int = config.
     """
     filtered = counts.filter(expr=f"label == '{label}'")
 
-    # The counts table is vocabulary-bounded (tiny), so coalescing to ONE
-    # block is free — and required: a per-block head(k) + limit(k) would
-    # depend on arbitrary block order.  The total order (n_convs desc,
-    # norm_surface asc) makes the top-k exact and deterministic.
+    # Per-block partial top-k FIRST: the global top-k under a total order
+    # (n_convs desc, norm_surface asc) equals the top-k of the union of
+    # per-block top-ks, so the single combine block receives ≤ k × #blocks
+    # rows no matter how large the counts table (10^7-alias safe); the
+    # final coalesced pick supplies the deterministic total order.
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["n_convs", "norm_surface"], ascending=[False, True], kind="mergesort")
         return df.head(k)
 
-    return filtered.repartition(1).map_batches(pick, batch_format="pandas", batch_size=None)
+    partial = filtered.map_batches(pick, batch_format="pandas", batch_size=None)
+    return partial.repartition(1).map_batches(pick, batch_format="pandas", batch_size=None)
 
 
 def top_cuis_per_surface(
