@@ -112,6 +112,12 @@ def sort_blocks() -> int:
 # a repartition(1)/to_pandas() pull (VERDICT r2 "What's wrong" #4).
 VOCAB_FUNNEL_MAX = int(os.environ.get("GRAFT_VOCAB_FUNNEL_MAX", "50000"))
 
+# Term-scope gate: an UNCAPPED term scope with more matching conversations
+# than this stays a distributed predicate (stages/scope.py) instead of a
+# take_all() + is_in broadcast of the id set (VERDICT r2 "What's wrong" #5
+# — a hot term over 100 TB would otherwise OOM the driver).
+SCOPE_BROADCAST_MAX = int(os.environ.get("GRAFT_SCOPE_BROADCAST_MAX", "2000000"))
+
 
 def sf_name(sf_dir: str) -> str:
     """Map a testdata dir like /root/testdata/sf0.01 → 'sf0.01'."""

@@ -46,17 +46,32 @@ def transcripts(sf_dir: str, columns=None) -> rd.Dataset:
 # the term, capped at max_articles, in a deterministic order)
 # ---------------------------------------------------------------------------
 
+class TermScope:
+    """An uncapped term scope too large to broadcast as an id list: carries
+    the lowercased term so consumers evaluate the per-conversation
+    predicate distributed (stages/scope.py) — no driver-side id set."""
+
+    def __init__(self, term_low: str):
+        self.term = term_low
+
+    def __repr__(self) -> str:  # aids manifest/debug output
+        return f"TermScope({self.term!r})"
+
+
 def conv_scope_ids(
     sf_dir: str, term: str | None = None, max_conversations: int | None = None
-) -> list[str] | None:
-    """conv_ids in scope, or None when the whole corpus is in scope.
+) -> list[str] | TermScope | None:
+    """conv_ids in scope, or None when the whole corpus is in scope, or a
+    TermScope predicate marker when the uncapped matching-id set exceeds
+    config.SCOPE_BROADCAST_MAX.
 
     Term scoping = conversations where any turn's lowercased text contains
     the term (the reference's per-term corpus).  The cap keeps the first N
     conv_ids ascending — our deterministic stand-in for PubMed's relevance
     order (fetch_ncbi.py:53).  The id list is a broadcast-semi-join small
-    side: capped runs are ≤ N ids by construction, and a focused term
-    selects a small corpus fraction; ids are 10s of bytes each.
+    side: capped runs are ≤ N ids by construction; a hot term UNCAPPED can
+    match an unbounded conversation count, so above the threshold the scope
+    stays a predicate instead of a driver-materialized list.
     """
     if not term and max_conversations is None:
         return None
@@ -85,6 +100,11 @@ def conv_scope_ids(
             .repartition(1)
             .map_batches(head_sorted, batch_format="pandas", batch_size=None)
         )
+    elif term:
+        # uncapped term scope: gate the driver pull on the matching-id
+        # cardinality (the count is a scalar; ids stay distributed)
+        if ids_ds.count() > config.SCOPE_BROADCAST_MAX:
+            return TermScope(str(term).lower())
     return sorted(r["conv_id"] for r in ids_ds.take_all())
 
 
@@ -104,11 +124,16 @@ def _conv_distinct(ds: rd.Dataset, *, pin: bool = True) -> rd.Dataset:
     return _dd(ds, ["conv_id"])
 
 
-def filter_convs(ds: rd.Dataset, keep_ids: list[str]) -> rd.Dataset:
+def filter_convs(ds: rd.Dataset, keep_ids: list[str] | TermScope) -> rd.Dataset:
     """Broadcast semi-join: keep rows whose conv_id is in the scope set
-    (shipped once via ray.put, read zero-copy per task)."""
+    (shipped once via ray.put, read zero-copy per task).  A TermScope
+    dispatches to the distributed predicate filter instead — no id set."""
     import ray
 
+    if isinstance(keep_ids, TermScope):
+        from ..stages import scope as _scope
+
+        return _scope.filter_convs_by_term(ds, keep_ids.term)
     ref = ray.put(pa.array(sorted(keep_ids), pa.string()))
 
     def f(t: pa.Table) -> pa.Table:
@@ -627,9 +652,20 @@ def _node_union(
     )
 
 
-def _scope_conv_ids_ds(sf_dir: str, scope: list[str] | None) -> rd.Dataset:
+def _scope_conv_ids_ds(sf_dir: str, scope: list[str] | TermScope | None) -> rd.Dataset:
     if scope is None:
         return transcripts(sf_dir, ["conv_id"])
+    if isinstance(scope, TermScope):
+        # matching conv ids as a DATASET (consumers run their own distinct)
+        t_low = scope.term
+
+        def match(t: pa.Table) -> pa.Table:
+            keep = pc.match_substring(pc.utf8_lower(t["text"]), t_low)
+            return t.filter(keep).select(["conv_id"])
+
+        return transcripts(sf_dir, ["conv_id", "text"]).map_batches(
+            match, batch_format="pyarrow", zero_copy_batch=True
+        )
     return rd.from_arrow(pa.table({"conv_id": pa.array(scope, pa.string())}))
 
 

@@ -71,6 +71,40 @@ def test_graph_tables_streaming_parity(sf_dir):
     )
 
 
+def test_term_scope_predicate_parity(sf_dir, monkeypatch):
+    """Above SCOPE_BROADCAST_MAX matching ids, an uncapped term scope stays
+    a distributed predicate (TermScope); the filtered row set must equal
+    the broadcast is_in semi-join's, on both the conv-local and the
+    sorted fallback paths (VERDICT r2 item 8)."""
+    from medknowledgegraph_ray import config
+
+    term = "xelorvan"
+
+    def rows(ds):
+        return sorted(map(tuple, ds.to_pandas().astype(str).values.tolist()))
+
+    t = lambda: kg.transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
+    scope_list = kg.conv_scope_ids(sf_dir, term, None)
+    assert isinstance(scope_list, list) and scope_list
+    want = rows(kg.filter_convs(t(), scope_list))
+
+    monkeypatch.setattr(config, "SCOPE_BROADCAST_MAX", 0)
+    scope_pred = kg.conv_scope_ids(sf_dir, term, None)
+    assert isinstance(scope_pred, kg.TermScope)
+    assert rows(kg.filter_convs(t(), scope_pred)) == want
+    # the scope-ids dataset (SearchTerm edge seeding) matches the list
+    from medknowledgegraph_ray.stages.distinct import distinct as _dd
+
+    ids = sorted(
+        r["conv_id"]
+        for r in _dd(kg._scope_conv_ids_ds(sf_dir, scope_pred), ["conv_id"]).take_all()
+    )
+    assert ids == scope_list
+    # layout-independent fallback (sort first, then the same block pass)
+    monkeypatch.setattr(config, "CONV_LOCAL_SHARDS", False)
+    assert rows(kg.filter_convs(t(), kg.TermScope(term))) == want
+
+
 def test_entity_counts_streaming_large_vocab():
     """A 10^5-surface vocabulary takes the sorted-exchange count path and
     matches the funnel path row-for-row; top_entities' per-block partial
