@@ -28,7 +28,7 @@ import ray.data as rd
 
 from .. import config, schemas
 from ..sources import readers
-from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions, turnmeta
+from ..stages import assemble, canonicalize, enrich, graph, intersect, linker, mentions, mwrite, turnmeta
 from ..state.manifest import Manifest, atomic_write_parquet
 
 
@@ -585,9 +585,11 @@ def _node_union(
     # conversation nodes: name/definition are the id itself, so this family
     # needs only a distinct over conv_id — exchange-free under the
     # conversation-local shard contract (guard-checked, auto-fallback),
-    # sort-based otherwise.  pin=False: single consumer (this sink) —
-    # re-running the cheap conv-id block pass beats pinning a copy.
-    conv_distinct = _conv_distinct(conv_ids, pin=False)
+    # sort-based otherwise.  pin=True: the flagged conv-id table is tiny
+    # (one row per conversation), and pinning halves the transcript scans —
+    # the edge gather and the sink otherwise EACH re-run the read + block
+    # pass (two full passes over the corpus's conv_id column).
+    conv_distinct = _conv_distinct(conv_ids, pin=True)
     conv_nodes = conv_distinct.map_batches(
         lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -801,11 +803,17 @@ def build_graph(
         else:
             pending.append((part, buckets[part]))
 
+    import shutil
+
+    tmp = os.path.join(out_dir, "mentions.tmp")
+    det_stream = None
     if pending:
         # ONE pipelined execution over every pending bucket (per-bucket
         # sequential runs would pay actor-pool startup per bucket); bucket
-        # output partitions are preserved via a hive-partitioned write on
-        # the carried provenance column, so resume granularity is intact.
+        # output partitions are written DIRECTLY from the detection tasks
+        # (stages/mwrite.bucket_writer) — parallel per-block Parquet
+        # appends, no hive-partition machinery (measured +3-6 s at sf3) —
+        # so resume granularity is intact.
         pat_buckets = {os.path.basename(p): b for b, paths in pending for p in paths}
         pending_files = [p for _, paths in pending for p in paths]
         ds = rd.read_parquet(
@@ -830,22 +838,37 @@ def build_graph(
         if scope is not None:
             ds = filter_convs(ds, scope)
         det = mentions.detect_mentions(ds, keep_shard=True)
-        tmp = os.path.join(out_dir, "mentions.tmp")
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
-        det.write_parquet(tmp, partition_cols=["shard"])
-        _mark("mention_write")
+        det_stream = det.map_batches(
+            mwrite.bucket_writer(tmp, bucket_col="shard", order_cols=["conv_id", "turn_idx"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    def _commit_mentions() -> None:
+        """Rename written bucket dirs into place + record lineage.  Callable
+        only after the detection execution has run (writes are complete)."""
+        nonlocal n_turns
         os.makedirs(os.path.join(out_dir, "mentions"), exist_ok=True)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=16) as _ex:  # footer-only reads, I/O bound
+            nrows_in = dict(
+                zip(
+                    (p for _, paths in pending for p in paths),
+                    _ex.map(_nrows, (p for _, paths in pending for p in paths)),
+                )
+            )
         for part, shard_paths in pending:
-            src = os.path.join(tmp, f"shard={part}")
+            src = os.path.join(tmp, part)
             dst = os.path.join(out_dir, "mentions", part)
             shutil.rmtree(dst, ignore_errors=True)
             if os.path.exists(src):
                 os.rename(src, dst)
             else:  # bucket produced zero mentions
                 os.makedirs(dst, exist_ok=True)
-            rows_in, rows_out = sum(_nrows(p) for p in shard_paths), _nrows(dst)
+            rows_in, rows_out = sum(nrows_in[p] for p in shard_paths), _nrows(dst)
             man.record(
                 "mentions", part, "done",
                 input_shards=shard_paths, rows_in=rows_in, rows_out=rows_out, output_path=dst,
@@ -855,19 +878,45 @@ def build_graph(
         shutil.rmtree(tmp, ignore_errors=True)
         _mark("mention_commit")
 
-    # stream the committed Parquet (single downstream consumer; pinning the
-    # mention table in the object store alongside the sort exchange measured
-    # SLOWER than re-reading it — the store and the sort share memory bw)
-    mention_files = [
+    n_vocab = readers.kb_num_aliases()
+    if pending and n_vocab > config.VOCAB_FUNNEL_MAX:
+        # large-vocab mode re-scans the mention table (links + ce are both
+        # corpus-scale consumers) — commit it to Parquet FIRST and stream
+        # the committed files into each consumer, as a 100-TB run should
+        det_stream.count()  # streams detection + bucket writes (no pin)
+        _mark("mention_write")
+        _commit_mentions()
+        det_stream = None
+
+    committed_files = [
         f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
-    mention_ds = rd.read_parquet(
-        mention_files, override_num_blocks=config.read_blocks(len(mention_files))
-    )
+    parts = []
+    if committed_files:
+        parts.append(
+            rd.read_parquet(
+                committed_files, override_num_blocks=config.read_blocks(len(committed_files))
+            )
+        )
+    if det_stream is not None:
+        # small-vocab mode: the ONLY corpus-scale consumer of the mention
+        # table is the conv-entity distinct, whose pin materializes just the
+        # tiny flagged table — so detection, the bucket write, and the ce
+        # block pass FUSE into one streaming execution (no mention re-read,
+        # no extra plan launch).  Committed buckets (resume) are unioned in
+        # as a Parquet read; bucket conv sets are disjoint, so conv-local
+        # contiguity holds across the union.
+        parts.append(det_stream)
+    mention_ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     t = graph_tables(
-        mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
+        mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min,
+        vocab_size=n_vocab,
     )
     _mark("graph_tables")
+    if pending and det_stream is not None:
+        # ce's pin inside graph_tables executed the fused plan — the bucket
+        # files are on disk; commit them before the sinks run
+        _commit_mentions()
 
     def _commit(stage: str, ds: rd.Dataset) -> int:
         prior = man.completed(stage)
