@@ -426,6 +426,20 @@ def graph_tables(
     # store already spills it to disk under pressure — tests/test_spill.py).
     ce = mentions.conv_entities(mention_ds)                  # ≤ convs × vocab
     counts = canonicalize.entity_counts(ce).to_pandas()      # vocab-bounded
+    lit = _funnel_tables(
+        counts, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
+    )
+    out = {k: rd.from_arrow(v) for k, v in lit.items()}
+    out["conv_entities"] = ce
+    return out
+
+
+def _funnel_tables(
+    counts, *, top_entities: int, top_cuis: int, score_min: float
+) -> dict[str, pa.Table]:
+    """The driver-side selection/enrichment funnel over a vocabulary-bounded
+    counts DataFrame (norm_surface, label, n_convs) — shared by graph_tables
+    and the fused build path.  Returns literal Arrow tables."""
     lk_tab = linker.link_table(counts["norm_surface"].unique().tolist())
     lk_df = lk_tab.to_pandas()
     top = counts[counts["label"] == "DISEASE"].sort_values(
@@ -491,19 +505,17 @@ def graph_tables(
         )
     )
 
-    wrap = rd.from_arrow
     return {
-        "links": wrap(lk_tab),
-        "entity_nodes": wrap(entity_nodes_tab),
-        "kb_edges": wrap(kb_edge_tab),
-        "kb_nodes": wrap(kb_node_tab),
-        "conv_entities": ce,
-        "selected": wrap(pa.table({"cui": pa.array(sel, pa.string())})),
-        "genes": wrap(gn),
-        "snomed": wrap(sn),
-        "clinical_features": wrap(cf),
-        "proteins": wrap(pr),
-        "go": wrap(go),
+        "links": lk_tab,
+        "entity_nodes": entity_nodes_tab,
+        "kb_edges": kb_edge_tab,
+        "kb_nodes": kb_node_tab,
+        "selected": pa.table({"cui": pa.array(sel, pa.string())}),
+        "genes": gn,
+        "snomed": sn,
+        "clinical_features": cf,
+        "proteins": pr,
+        "go": go,
     }
 
 
@@ -715,6 +727,162 @@ def nodes(
 
 
 # ---------------------------------------------------------------------------
+# Fused stage-2 summary: ONE streaming pass over the mention stream emits
+# everything the small-vocab build needs — the Conversation→entity edge
+# family goes STRAIGHT to Parquet from the map tasks (never pinned through
+# the object store; at 100 TB the conv-entity table is TB-scale), and the
+# only materialized output is vocabulary-bounded: per-block partial entity
+# counts, the ≤ 2-convs-per-block edge rows, and the contract-guard
+# summaries.  Semantics are identical to conv_entities → entity_counts →
+# _edges_from (same per-conv distinct, same guard, same repair).
+# ---------------------------------------------------------------------------
+
+_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("__kind", pa.string()),       # "edge" | "partial" | "guard"
+        ("norm_surface", pa.string()),
+        ("label", pa.string()),
+        ("conv_id", pa.string()),      # edge rows only
+        ("n_convs", pa.int64()),       # partial rows only
+        ("__gf", pa.string()),         # guard row only (see stages/distinct.py)
+        ("__gl", pa.string()),
+        ("__gkmv", pa.binary()),
+    ]
+)
+
+
+def _fused_summary_pass(edge_dir: str | None):
+    """map_batches fn (batch_size=None) over mention blocks.
+
+    Per block: per-conv distinct (surface, conv, label); interior convs'
+    Conversation→entity triples are written to `edge_dir` (skipped when
+    None, e.g. edges already committed); emits edge-conv ce rows + partial
+    counts over interior convs + one guard summary row."""
+    import pyarrow.parquet as pq
+
+    from ..stages import distinct as _dx
+    from ..stages.groupagg import rename_after_groupby
+
+    def _cat(*parts: pa.Array) -> pa.Array:
+        return pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+        )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUMMARY_SCHEMA.empty_table()
+        keys = ["norm_surface", "conv_id", "label"]
+        g = t.select(keys).group_by(keys).aggregate([])
+        first = t["conv_id"][0]
+        last = t["conv_id"][t.num_rows - 1]
+        edge_mask = pc.or_(pc.equal(g["conv_id"], first), pc.equal(g["conv_id"], last))
+        interior = g.filter(pc.invert(edge_mask))
+        edge = g.filter(edge_mask)
+        if edge_dir is not None and interior.num_rows:
+            triples = pa.table(
+                {
+                    "subj": pc.binary_join_element_wise(
+                        pa.scalar("Conversation:"), interior["conv_id"], ""
+                    ),
+                    "pred": pa.array([config.PRED] * interior.num_rows, pa.string()),
+                    "obj": pc.binary_join_element_wise(
+                        interior["label"], pa.scalar(":"), interior["norm_surface"], ""
+                    ),
+                }
+            )
+            os.makedirs(edge_dir, exist_ok=True)
+            # deterministic in the block's content: a retried task overwrites
+            # its own file; (first, last, n) is unique across disjoint blocks
+            stem = (
+                f"{interior['conv_id'][0].as_py()}_"
+                f"{interior['conv_id'][interior.num_rows - 1].as_py()}_{interior.num_rows}"
+            )
+            pq.write_table(triples, os.path.join(edge_dir, f"{stem}.parquet"))
+        partial = interior.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")])
+        partial = rename_after_groupby(
+            partial, ["norm_surface", "label"], ["conv_id"], ["count"], ["n_convs"]
+        )
+        uniq = pc.unique(t["conv_id"].combine_chunks())
+        interior_convs = uniq.filter(
+            pc.and_(pc.not_equal(uniq, first), pc.not_equal(uniq, last))
+        ).to_pylist()
+        n_e, n_p = edge.num_rows, partial.num_rows
+        return pa.table(
+            {
+                "__kind": pa.array(["edge"] * n_e + ["partial"] * n_p + ["guard"], pa.string()),
+                "norm_surface": _cat(edge["norm_surface"], partial["norm_surface"], pa.nulls(1, pa.string())),
+                "label": _cat(edge["label"], partial["label"], pa.nulls(1, pa.string())),
+                "conv_id": _cat(edge["conv_id"], pa.nulls(n_p + 1, pa.string())),
+                "n_convs": _cat(pa.nulls(n_e, pa.int64()), pc.cast(partial["n_convs"].combine_chunks(), pa.int64()), pa.nulls(1, pa.int64())),
+                "__gf": _cat(pa.nulls(n_e + n_p, pa.string()), pa.array([str(first)], pa.string())),
+                "__gl": _cat(pa.nulls(n_e + n_p, pa.string()), pa.array([str(last)], pa.string())),
+                "__gkmv": _cat(pa.nulls(n_e + n_p, pa.binary()), pa.array([_dx.guard_sketch(interior_convs)], pa.binary())),
+            },
+            schema=_SUMMARY_SCHEMA,
+        )
+
+    return fn
+
+
+def _fused_graph_summary(mention_ds: rd.Dataset, edge_dir: str | None):
+    """Run the fused pass; returns (counts_df, repaired_edge_triples).
+
+    Raises stages.distinct.ContractError when the conv-local contract is
+    violated — the caller falls back to the layout-independent path (the
+    edge files written by the failed attempt must be discarded: interior
+    dedup is only exact under the contract)."""
+    from ..stages import distinct as _dx
+    from ..stages.groupagg import rename_after_groupby
+
+    fused = mention_ds.map_batches(
+        _fused_summary_pass(edge_dir),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    with _dx._ordered_execution():  # guard rows must arrive in stream order
+        rows = fused.take_all()
+    tab = pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
+    guard = tab.filter(pc.equal(tab["__kind"], "guard"))
+    _dx.check_summaries(
+        guard["__gf"].to_pylist(),
+        guard["__gl"].to_pylist(),
+        guard["__gkmv"].to_pylist(),
+        "conv_id",
+        "build_graph fused summary",
+    )
+    edge = (
+        tab.filter(pc.equal(tab["__kind"], "edge"))
+        .select(["norm_surface", "conv_id", "label"])
+        .group_by(["norm_surface", "conv_id", "label"])
+        .aggregate([])
+    )
+    edge_counts = edge.group_by(["norm_surface", "label"]).aggregate([("conv_id", "count")])
+    edge_counts = rename_after_groupby(
+        edge_counts, ["norm_surface", "label"], ["conv_id"], ["count"], ["n_convs"]
+    )
+    partial = tab.filter(pc.equal(tab["__kind"], "partial")).select(
+        ["norm_surface", "label", "n_convs"]
+    )
+    combined = (
+        pa.concat_tables([partial, edge_counts])
+        .group_by(["norm_surface", "label"])
+        .aggregate([("n_convs", "sum")])
+    )
+    counts_df = rename_after_groupby(
+        combined, ["norm_surface", "label"], ["n_convs"], ["sum"], ["n_convs"]
+    ).to_pandas()
+    repaired = pa.table(
+        {
+            "subj": pc.binary_join_element_wise(pa.scalar("Conversation:"), edge["conv_id"], ""),
+            "pred": pa.array([config.PRED] * edge.num_rows, pa.string()),
+            "obj": pc.binary_join_element_wise(edge["label"], pa.scalar(":"), edge["norm_surface"], ""),
+        }
+    )
+    return counts_df, repaired
+
+
+# ---------------------------------------------------------------------------
 # Consuming entry point: resumable build
 # ---------------------------------------------------------------------------
 
@@ -888,35 +1056,25 @@ def build_graph(
         _commit_mentions()
         det_stream = None
 
-    committed_files = [
-        f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
-    ]
-    parts = []
-    if committed_files:
-        parts.append(
-            rd.read_parquet(
-                committed_files, override_num_blocks=config.read_blocks(len(committed_files))
+    def _mention_union() -> rd.Dataset:
+        committed_files = [
+            f for d in mention_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        parts = []
+        if committed_files:
+            parts.append(
+                rd.read_parquet(
+                    committed_files, override_num_blocks=config.read_blocks(len(committed_files))
+                )
             )
-        )
-    if det_stream is not None:
-        # small-vocab mode: the ONLY corpus-scale consumer of the mention
-        # table is the conv-entity distinct, whose pin materializes just the
-        # tiny flagged table — so detection, the bucket write, and the ce
-        # block pass FUSE into one streaming execution (no mention re-read,
-        # no extra plan launch).  Committed buckets (resume) are unioned in
-        # as a Parquet read; bucket conv sets are disjoint, so conv-local
-        # contiguity holds across the union.
-        parts.append(det_stream)
-    mention_ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-    t = graph_tables(
-        mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min,
-        vocab_size=n_vocab,
-    )
-    _mark("graph_tables")
-    if pending and det_stream is not None:
-        # ce's pin inside graph_tables executed the fused plan — the bucket
-        # files are on disk; commit them before the sinks run
-        _commit_mentions()
+        if det_stream is not None:
+            # small-vocab mode: detection, the bucket write, and the stage-2
+            # block pass FUSE into one streaming execution (no mention
+            # re-read, no extra plan launch).  Committed buckets (resume)
+            # union in as a Parquet read; bucket conv sets are disjoint, so
+            # conv-local contiguity holds across the union.
+            parts.append(det_stream)
+        return parts[0] if len(parts) == 1 else parts[0].union(parts[1])
 
     def _commit(stage: str, ds: rd.Dataset) -> int:
         prior = man.completed(stage)
@@ -935,12 +1093,106 @@ def build_graph(
         man.record(stage, stage, "done", rows_out=n, output_path=out)
         return n
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    mention_ds = _mention_union()
+
+    if term is None and n_vocab <= config.VOCAB_FUNNEL_MAX:
+        # FUSED stage 2: one corpus-scale pass (detection → mention bucket
+        # write → per-conv distinct → conv-edge Parquet + count partials),
+        # then a driver-side funnel and two small commits.  The conv-id
+        # distinct for the node sink (an independent transcript scan) runs
+        # CONCURRENTLY with the fused pass.
+        from ..stages.distinct import ContractError
+
+        edges_prior = man.completed("edges")
+        nodes_prior = man.completed("nodes")
+        edge_tmp = os.path.join(out_dir, "edges.tmp.fused")
+        shutil.rmtree(edge_tmp, ignore_errors=True)
+        counts_df = repaired_tab = None
+        with ThreadPoolExecutor(max_workers=1) as ex0:
+            f_conv = (
+                ex0.submit(_conv_distinct, _scope_conv_ids_ds(sf_dir, scope))
+                if "nodes" not in nodes_prior
+                else None
+            )
+            try:
+                counts_df, repaired_tab = _fused_graph_summary(
+                    mention_ds, None if "edges" in edges_prior else edge_tmp
+                )
+            except ContractError as e:
+                import warnings
+
+                warnings.warn(
+                    f"{e} — rebuilding stage 2 from committed mentions on the "
+                    "layout-independent path"
+                )
+                shutil.rmtree(edge_tmp, ignore_errors=True)
+            if pending and det_stream is not None:
+                # the fused plan ran (even on ContractError, which is a
+                # driver-side verdict) — bucket files are on disk
+                _commit_mentions()
+                det_stream = None
+            if counts_df is not None:
+                lit = _funnel_tables(
+                    counts_df, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min
+                )
+                _mark("graph_tables")
+                if "edges" in edges_prior:
+                    n_edges = edges_prior["edges"].get("rows_out", 0)
+                else:
+                    small = pa.concat_tables(
+                        [repaired_tab, lit["kb_edges"]]
+                    ).cast(schemas.TRIPLES)
+                    import pyarrow.parquet as pq
+
+                    os.makedirs(edge_tmp, exist_ok=True)
+                    pq.write_table(small, os.path.join(edge_tmp, "kb_and_bridge.parquet"))
+                    out_edges = os.path.join(out_dir, "edges")
+                    try:
+                        shutil.rmtree(out_edges, ignore_errors=True)
+                        os.rename(edge_tmp, out_edges)
+                        n_edges = _nrows(out_edges)
+                    except BaseException as e:
+                        man.record("edges", "edges", "failed", error=repr(e)[:500])
+                        raise
+                    man.record("edges", "edges", "done", rows_out=n_edges, output_path=out_edges)
+                if "nodes" in nodes_prior:
+                    n_nodes = nodes_prior["nodes"].get("rows_out", 0)
+                else:
+                    conv_nodes = f_conv.result().map_batches(
+                        lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                    )
+                    node_ds = conv_nodes.union(
+                        rd.from_arrow(pa.concat_tables([lit["entity_nodes"], lit["kb_nodes"]]))
+                    ).map_batches(
+                        graph.schema_gate(schemas.NODES), batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    n_nodes = _commit("nodes", node_ds)
+                _mark("edges_nodes_commit")
+                return {
+                    "n_turns": n_turns, "n_edges": n_edges, "n_nodes": n_nodes, "out_dir": out_dir
+                }
+        # ContractError fallback: mentions are committed; stage 2 re-runs
+        # from the committed Parquet below (its internal guards dispatch to
+        # the sorted-exchange paths on the same violation)
+        mention_ds = _mention_union()
+
+    t = graph_tables(
+        mention_ds, top_entities=top_entities, top_cuis=top_cuis, score_min=score_min,
+        vocab_size=n_vocab,
+    )
+    _mark("graph_tables")
+    if pending and det_stream is not None:
+        # ce's pin inside graph_tables executed the fused plan — the bucket
+        # files are on disk; commit them before the sinks run
+        _commit_mentions()
+
     # the two sinks share the materialized mention-derived inputs and write
     # to distinct directories — run their Ray executions CONCURRENTLY so
     # launch latency and the per-plan serial phases overlap (the streaming
     # executor interleaves both job's tasks on the same CPU pool)
-    from concurrent.futures import ThreadPoolExecutor
-
     edge_ds = _edge_union(
         t, term=term,
         conv_ids=_scope_conv_ids_ds(sf_dir, scope) if term is not None else None,
