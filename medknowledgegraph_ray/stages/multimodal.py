@@ -60,10 +60,38 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
 class MediaDecoder:
     """Actor-pool decode stage.  Small batch_size is intentional: payload
     bytes × batch × concurrency must fit the worker heap (the guide's
-    large-binary-row rule)."""
+    large-binary-row rule).
 
-    def __init__(self):
-        self.decode = _decode_stub  # real impl: load codecs/models here, once
+    `real`: None (default) auto-detects a real image codec — PIL when
+    importable, the deterministic stub otherwise; True requires PIL (raises
+    ImportError where codecs are absent, never a silent stub); False forces
+    the stub.  With a real codec, an undecodable image payload raises — the
+    never-silently-skip policy above."""
+
+    def __init__(self, real: bool | None = None):
+        self._pil = None
+        if real is not False:
+            try:
+                from PIL import Image  # codec loaded ONCE per actor
+
+                self._pil = Image
+            except ImportError:
+                if real:
+                    raise
+        self.decode = self._decode_real if self._pil is not None else _decode_stub
+
+    def _decode_real(self, payload: bytes, media_type: str) -> dict:
+        if media_type != "image":
+            return _decode_stub(payload, media_type)  # no audio/video codec dep
+        import io
+
+        with self._pil.open(io.BytesIO(payload)) as im:  # raises on bad bytes
+            return {
+                "digest": hashlib.md5(payload).hexdigest(),
+                "width": im.width,
+                "height": im.height,
+                "frames": getattr(im, "n_frames", 1),
+            }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()

@@ -61,8 +61,11 @@ def test_mention_detector_casing_boundaries_and_dedup():
 
 def test_mention_detector_vocab_scale_flat():
     """Detection cost must be ~flat in |vocab| (the alias-automaton
-    property): 50× more aliases may not cost anywhere near 50× the time."""
-    import time
+    property).  Asserted via the algorithmic invariant — the automaton's
+    candidate work (first-token dict probe hits) is IDENTICAL for a 50×
+    larger vocabulary, because candidates are indexed by first token and
+    only the mentioned aliases' tokens occur in the texts — rather than a
+    wall-clock ratio, which flakes on a loaded host (ADVICE r2)."""
 
     def vocab(n):
         return pa.table(
@@ -84,18 +87,23 @@ def test_mention_detector_vocab_scale_flat():
         }
     )
 
-    def timed(n):
-        det = mentions.MentionDetector(vocab(n))
-        det(batch)  # warm
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = det(batch)
-        return (time.perf_counter() - t0) / 3, out
+    def candidate_work(det) -> int:
+        # total alias candidates examined across all texts — the automaton's
+        # actual per-batch work, O(tokens), independent of |vocab|
+        return sum(
+            len(det.first_index.get(tok, ()))
+            for txt in texts
+            for tok in set(mentions.MentionDetector._TOKEN.findall(txt.lower()))
+        )
 
-    t_small, out_small = timed(1_000)
-    t_big, out_big = timed(50_000)
-    assert out_small.num_rows == out_big.num_rows == 400  # same matches
-    assert t_big < t_small * 8, f"vocab scaling not flat: {t_small:.4f}s → {t_big:.4f}s"
+    det_small = mentions.MentionDetector(vocab(1_000))
+    det_big = mentions.MentionDetector(vocab(50_000))
+    assert det_small(batch).num_rows == det_big(batch).num_rows == 400  # same matches
+    work_small, work_big = candidate_work(det_small), candidate_work(det_big)
+    assert work_big == work_small, (
+        f"vocab scaling not flat: candidate work {work_small} → {work_big}"
+    )
+    assert not det_big.odd  # no per-alias regex fallbacks for \w-leading aliases
 
 
 def test_surface_linker_exact_and_fuzzy():
@@ -281,3 +289,38 @@ def test_go_parse():
     assert parsed == [("0000001", "biological process term a"), ("0000002", "molecular function b")]
     assert textfn.parse_go_field("") == []
     assert textfn.parse_go_field("junk without id") == []
+
+
+def test_media_decoder_modes():
+    """Stub / auto / real decode modes (VERDICT r2 item 10): auto falls back
+    to the deterministic stub where PIL is absent; real=True is LOUD about
+    missing codecs (never a silent stub); both stub modes agree."""
+    import pytest
+
+    from medknowledgegraph_ray.stages import multimodal
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "media_type": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array([b"not-an-image", b"pcm-bytes"], pa.binary()),
+        }
+    )
+    stub = multimodal.MediaDecoder(real=False)(batch)
+    assert stub.column_names == [
+        "doc_id", "media_type", "n_bytes", "digest", "width", "height", "frames"
+    ]
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # real codec path: undecodable image bytes must raise loudly
+        with pytest.raises(Exception):
+            multimodal.MediaDecoder(real=True)(batch)
+    else:
+        assert multimodal.MediaDecoder()(batch).equals(stub)  # auto → stub
+        with pytest.raises(ImportError):
+            multimodal.MediaDecoder(real=True)
