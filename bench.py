@@ -141,7 +141,7 @@ def run_scaling() -> dict:
     # stages (detection, conv-entity distinct, triple dedup) in the
     # majority; BASELINE.md numbers were recorded at this setting.
     #
-    # CPU pair: N and 4N (per the criterion).  Default 4→16 of the 32
+    # CPU pair: N and 4N (per the criterion).  Default 2→8 of the 32
     # hardware cores: on ONE box, the hi config must stay well below the
     # shared memory-bus/object-store saturation point or the measurement
     # reports the box's bandwidth ceiling, not the engine (at 8→32 even a
@@ -156,7 +156,7 @@ def run_scaling() -> dict:
     # and the best time per config is used — drift then hits both configs
     # symmetrically.
     scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf3")
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 
     def once(ncpu: int) -> dict:

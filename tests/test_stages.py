@@ -1,5 +1,6 @@
 """Unit tests for individual stages on tiny in-memory datasets."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -324,3 +325,69 @@ def test_media_decoder_modes():
         assert multimodal.MediaDecoder()(batch).equals(stub)  # auto → stub
         with pytest.raises(ImportError):
             multimodal.MediaDecoder(real=True)
+
+
+def test_intersection_sorted_exchange_matches_bruteforce():
+    """intersection() must equal the brute-force pairwise |set_a ∩ set_b|
+    even when a node's run splits across sorted-exchange blocks (many tiny
+    input blocks force node runs onto block boundaries)."""
+    import itertools
+
+    from medknowledgegraph_ray.stages import intersect
+
+    rng = np.random.RandomState(7)
+    terms = [f"t{i}" for i in range(6)]
+    rows = []
+    for node in range(40):
+        for t in rng.choice(terms, size=rng.randint(1, 5), replace=False):
+            rows.append({"term": str(t), "node": f"n{node:03d}"})
+            if rng.rand() < 0.3:  # duplicates must not inflate counts
+                rows.append({"term": str(t), "node": f"n{node:03d}"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(16)
+    got = (
+        intersect.intersection(ds)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        sets.setdefault(r["term"], set()).add(r["node"])
+    want = pd.DataFrame(
+        [
+            {"term_a": a, "term_b": b, "n_common": len(sets[a] & sets[b])}
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b])
+        ]
+    ).sort_values(["term_a", "term_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_top_cuis_sorted_exchange_many_surfaces():
+    """Unrestricted top_cuis_per_surface (vocab-scale group count) must be
+    exact under any block split of the sorted exchange — same rows as a
+    single-frame pandas top-k."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for si in range(60):
+        for ci in rng.choice(20, size=rng.randint(1, 8), replace=False):
+            rows.append({
+                "norm_surface": f"s{si:02d}", "cui": f"C{ci:02d}",
+                "score": round(0.7 + 0.3 * rng.rand(), 4),
+                "name": "", "definition": "", "label": "DISEASE",
+            })
+    df = pd.DataFrame(rows)
+    got = (
+        canonicalize.top_cuis_per_surface(rd.from_pandas(df).repartition(13), k=2)
+        .to_pandas()
+        .sort_values(["norm_surface", "cui"])
+        .reset_index(drop=True)
+    )
+    f = df[df["score"] > 0.85].sort_values(
+        ["norm_surface", "score", "cui"], ascending=[True, False, True], kind="mergesort"
+    )
+    want = (
+        f.groupby("norm_surface", sort=False).head(2)
+        .sort_values(["norm_surface", "cui"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
