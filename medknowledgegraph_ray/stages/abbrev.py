@@ -21,10 +21,12 @@ the DuckDB oracle):
   downstream linking/selection work unchanged.
 
 Scale shape: definitions are extracted with one vectorized `str.findall`
-pass; resolution co-locates each conversation's turns with its (few)
-definitions via one `groupby(conv_id)` exchange — conversations are the
-natural partition unit and are bounded in size.  Only the KB alias set is
-broadcast (vocabulary-bounded, the established KB pattern).
+pass; resolution is exchange-free under the conversation-local shard
+contract (block pass + edge repair), and otherwise co-locates each
+DEFINING conversation's turns with one parallel (conv_id, turn_idx) sort
+followed by the same vectorized block pass — never a per-group Python
+reduce.  Only the KB alias set is broadcast (vocabulary-bounded, the
+established KB pattern).
 """
 
 from __future__ import annotations
@@ -236,7 +238,7 @@ def resolved_mentions(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
         except _dx.ContractError as e:
             import warnings
 
-            warnings.warn(f"{e} — falling back to the conv-keyed exchange path")
+            warnings.warn(f"{e} — falling back to the sorted-exchange path")
     alias_label = dict(zip(vocab["alias"].to_pylist(), vocab["sem_label"].to_pylist()))
     vocab_ref = ray.put(alias_label)
 
@@ -265,70 +267,62 @@ def resolved_mentions(turns: rd.Dataset, vocab: pa.Table) -> rd.Dataset:
             "label": pa.array([], pa.string()),
         }))
     ids_ref = ray.put(pa.array(def_ids, pa.string()))
-    turns = turns.map_batches(
+    turns = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
         lambda t: t.filter(pa.compute.is_in(t["conv_id"], value_set=ray.get(ids_ref))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    # co-locate turns with their conversation's definitions: tag both row
-    # kinds, one conv-keyed exchange, per-conversation resolution
-    def tag_turns(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "conv_id": t["conv_id"],
-            "turn_idx": t["turn_idx"],
-            "text": t["text"],
-            "sf": pa.array([""] * len(t), pa.string()),
-            "lf": pa.array([""] * len(t), pa.string()),
-            "label": pa.array([""] * len(t), pa.string()),
-        })
+    # co-locate each defining conversation's turns with ONE parallel sort on
+    # (conv_id, turn_idx), then resolve interior conversations vectorized
+    # per block (`_resolve_frame` re-extracts the definitions from the text,
+    # so no def-row tagging is needed) and repair the ≤2 block-edge
+    # conversations driver-side — never `groupby(conv_id).map_groups`,
+    # whose per-group Python scales with the defining-conv count (see
+    # stages/groupagg.py).  A conversation resolves in exactly one frame
+    # (interior block or the gathered edge frame) and `_resolve_frame`
+    # dedups within the frame, so the output is distinct by construction.
+    s = turns.repartition(config.sort_blocks()).sort(["conv_id", "turn_idx"])
 
-    def tag_defs(t: pd.DataFrame) -> pa.Table:
-        n = len(t)
-        return pa.table({
-            "conv_id": pa.array(t["conv_id"].tolist(), pa.string()),
-            "turn_idx": pa.array([-1] * n, pa.int32()),
-            "text": pa.array([""] * n, pa.string()),
-            "sf": pa.array(t["sf"].tolist(), pa.string()),
-            "lf": pa.array(t["lf"].tolist(), pa.string()),
-            "label": pa.array(t["label"].tolist(), pa.string()),
-        })
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        al = ray.get(vocab_ref)
+        if len(df) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.array([], dtype="str"),
+                "turn_idx": pd.array([], dtype="int32"),
+                "norm_surface": pd.array([], dtype="str"),
+                "label": pd.array([], dtype="str"),
+                "text": pd.array([], dtype="str"),
+                "is_edge": pd.array([], dtype="bool"),
+            })
+        first, last = df["conv_id"].iloc[0], df["conv_id"].iloc[-1]
+        edge_mask = df["conv_id"].isin({first, last}).to_numpy()
+        interior = _resolve_frame(df[~edge_mask], al)
+        interior = interior.assign(text="", is_edge=False)
+        edge = df[edge_mask].assign(norm_surface="", label="", is_edge=True)
+        return pd.concat(
+            [interior, edge[["conv_id", "turn_idx", "norm_surface", "label",
+                             "text", "is_edge"]]],
+            ignore_index=True,
+        )
 
-    tagged = turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
-        tag_turns, batch_format="pyarrow", zero_copy_batch=True
-    ).union(valid.map_batches(tag_defs, batch_format="pandas"))
-
-    def resolve(g: pd.DataFrame) -> pa.Table:
-        empty = pa.table({
-            "conv_id": pa.array([], pa.string()),
-            "turn_idx": pa.array([], pa.int32()),
-            "norm_surface": pa.array([], pa.string()),
-            "label": pa.array([], pa.string()),
-        })
-        is_def = g["turn_idx"].to_numpy() == -1
-        defs_g = g[is_def]
-        if len(defs_g) == 0:
-            return empty
-        rows = g[~is_def]
-        low = rows["text"].fillna("").str.lower()
-        conv_np = rows["conv_id"].to_numpy()
-        tidx_np = rows["turn_idx"].to_numpy()
-        out_conv, out_tidx, out_surf, out_label = [], [], [], []
-        for sf, lf, label in zip(defs_g["sf"], defs_g["lf"], defs_g["label"]):
-            pat = re.compile(r"\b" + re.escape(sf) + r"\b")
-            hit = low.str.contains(pat, regex=True).to_numpy()
-            if hit.any():
-                out_conv.append(conv_np[hit])
-                out_tidx.append(tidx_np[hit])
-                out_surf.append(np.repeat(lf, int(hit.sum())))
-                out_label.append(np.repeat(label, int(hit.sum())))
-        if not out_conv:
-            return empty
-        return pa.table({
-            "conv_id": pa.array(np.concatenate(out_conv), pa.string()),
-            "turn_idx": pa.array(np.concatenate(out_tidx), pa.int32()),
-            "norm_surface": pa.array(np.concatenate(out_surf), pa.string()),
-            "label": pa.array(np.concatenate(out_label), pa.string()),
-        })
-
-    resolved = tagged.groupby("conv_id").map_groups(resolve, batch_format="pandas")
-    return _distinct(resolved, ["conv_id", "turn_idx", "norm_surface", "label"])
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    out_cols = ["conv_id", "turn_idx", "norm_surface", "label"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[out_cols], batch_format="pandas"
+    )
+    edge_df = pd.DataFrame(
+        flagged.filter(expr="is_edge == True").take_all(),
+        columns=out_cols + ["text", "is_edge"],
+    )[["conv_id", "turn_idx", "text"]].drop_duplicates(["conv_id", "turn_idx"])
+    repaired = _resolve_frame(
+        edge_df.sort_values(["conv_id", "turn_idx"], kind="mergesort"), alias_label
+    )
+    if len(repaired) == 0:
+        return interior
+    edge_tab = pa.table({
+        "conv_id": pa.array(repaired["conv_id"], pa.string()),
+        "turn_idx": pa.array(repaired["turn_idx"], pa.int32()),
+        "norm_surface": pa.array(repaired["norm_surface"], pa.string()),
+        "label": pa.array(repaired["label"], pa.string()),
+    })
+    return interior.union(rd.from_arrow(edge_tab))
