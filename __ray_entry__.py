@@ -210,6 +210,12 @@ def _dedup_minhash(sf_dir: str):
     return dedupe.minhash_dedup(_docs(sf_dir))
 
 
+def _dedup_ngram(sf_dir: str):
+    # recall-1 prefix-filter join — exactly the all-pairs oracle at any
+    # threshold (minhash needs its band-curve recall caveat; this doesn't)
+    return dedupe.ngram_jaccard_dedup(_docs(sf_dir))
+
+
 def _dedup_simhash(sf_dir: str):
     return dedupe.simhash_signatures(_docs(sf_dir))
 
@@ -369,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _doc_sample,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
+        "dedup_ngram": _dedup_ngram,
         "ann_topk": _ann_topk,
         "mm_metadata": _mm_metadata,
         # ---- windowed / ordered-log operators (events) ----
@@ -417,6 +424,32 @@ FROM (
            '\\b(the|and|of|to|a|in|is|that|for|on)\\b')) AS n_stop
   FROM documents
 )
+"""
+
+
+# Exact all-pairs word-3-shingle Jaccard at threshold 0.8 — shared by
+# dedup_minhash (recall ≈1 on the planted J≥0.98 corpus) and dedup_ngram
+# (recall exactly 1 at any threshold, per the prefix-filter theorem).
+_PAIRWISE_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """
 
 
@@ -592,28 +625,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # exact pairwise shingle-Jaccard — valid as the LSH oracle because all
         # testdata near-dup pairs sit at J≥0.98 where 16×4-band LSH recall is
-        # 1 − (1 − 0.98^4)^16 ≈ 1 − 1e-18
-        "dedup_minhash": """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-  FROM toks, UNNEST(generate_series(1, greatest(length(t) - 2, 0))) AS u(i)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = inter.doc_a
-JOIN sizes sb ON sb.doc_id = inter.doc_b
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-""",
+        # 1 − (1 − 0.98^4)^16 ≈ 1 − 1e-18.  For dedup_ngram (prefix-filter
+        # join) the same SQL is the oracle UNCONDITIONALLY: recall 1 by the
+        # prefix-filter theorem (stages/dedupe.PrefixEmitter).
+        "dedup_ngram": _PAIRWISE_JACCARD_SQL,
+        "dedup_minhash": _PAIRWISE_JACCARD_SQL,
         "ann_topk": (
             "WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qv FROM "
             + _ann_query_values_sql()

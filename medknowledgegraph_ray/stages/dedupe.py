@@ -12,8 +12,9 @@ pipeline needs.  Shapes:
   process-independent determinism.
 - SimHash: 64-bit token-hash majority vote; near-dups = identical simhash
   (bucket groupby), Hamming-checked.
-- n-gram Jaccard: exact pairwise verify inside LSH buckets only (never
-  all-pairs across the corpus).
+- n-gram Jaccard: recall-1 similarity join — prefix-filtered candidates
+  (PPJoin-style) + exact pairwise verify; never all-pairs across the
+  corpus.  The same verify also runs inside LSH buckets for minhash_dedup.
 - embedding cosine: unit-normalize → coarse LSH bucket (random-hyperplane
   signs, seeded) → within-bucket pairwise cosine ≥ threshold.
 """
@@ -144,11 +145,12 @@ def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"), "doc_b": pd.array(b, dtype="int64")})
 
 
-def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> rd.Dataset:
-    """LSH candidate pairs: docs sharing any band bucket (distinct pairs).
+def _bucket_pairs(bands: rd.Dataset, distinct_pairs: bool = True) -> rd.Dataset:
+    """Candidate pairs from a (band_id, band_hash, doc_id) bucket table:
+    docs sharing any bucket.
 
     `distinct_pairs=False` skips the final distinct exchange and may emit a
-    pair once per colliding band — callers that tolerate duplicates (the
+    pair once per colliding bucket — callers that tolerate duplicates (the
     verify stage groups by pair anyway) save a whole sort exchange.
 
     Bucket grouping uses the sorted-runs shape (stages/distinct.py): after
@@ -157,9 +159,6 @@ def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> r
     first/last run of each block (which may continue in a neighbor block)
     goes through a per-group pass — `groupby(bucket).map_groups` would cost
     one Python call per (doc × band) bucket, ~80k at 5k docs."""
-    # tiny state (two seeded arrays) → a driver-built instance shipped
-    # with each task; an actor pool's multi-second spawn buys nothing here
-    bands = docs.map_batches(MinHasher(**kw), batch_format="pandas", batch_size=2048)
     # coalesce before the range sort (quadratic shuffle-object cost in
     # block count, see config.sort_blocks)
     s = bands.repartition(config.sort_blocks()).sort(["band_id", "band_hash", "doc_id"])
@@ -257,6 +256,14 @@ def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> r
     # distinct pairs (a doc pair can collide in several bands) — vectorized
     unioned = interior.union(rd.from_arrow(edge_tab))
     return _distinct(unioned, ["doc_a", "doc_b"]) if distinct_pairs else unioned
+
+
+def minhash_candidates(docs: rd.Dataset, distinct_pairs: bool = True, **kw) -> rd.Dataset:
+    """LSH candidate pairs: docs sharing any MinHash band bucket."""
+    # tiny state (two seeded arrays) → a driver-built instance shipped
+    # with each task; an actor pool's multi-second spawn buys nothing here
+    bands = docs.map_batches(MinHasher(**kw), batch_format="pandas", batch_size=2048)
+    return _bucket_pairs(bands, distinct_pairs=distinct_pairs)
 
 
 def _ngram_set(text: str, w: int = 3) -> set:
@@ -429,11 +436,23 @@ SMALL_VERIFY_IDS = 50_000
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
-    """Verified near-dup pairs: candidates whose exact shingle Jaccard ≥
-    threshold.
+    """Verified near-dup pairs: LSH candidates whose exact shingle Jaccard
+    ≥ threshold.  Recall follows the LSH band curve (≈1 for J ≥ 0.9 at the
+    16×4 default); `ngram_jaccard_dedup` is the recall-1 variant."""
+    # duplicate pairs (one per colliding band) are tolerated by the verify
+    # run-grouping, so the candidates' distinct exchange is skipped — one
+    # fewer sort + materialize on the critical path
+    return _verified_jaccard(docs, minhash_candidates(docs, distinct_pairs=False, **kw),
+                             threshold)
 
-    Fully distributed verification (no shingle-set gather to the driver —
-    at corpus scale the candidate set grows with the corpus):
+
+def _verified_jaccard(docs: rd.Dataset, cands: rd.Dataset, threshold: float,
+                      w: int = 3) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate pairs against the corpus:
+    pairs whose word-w-shingle Jaccard ≥ threshold, (doc_a, doc_b, jaccard).
+
+    Fully distributed (no shingle-set gather to the driver — at corpus
+    scale the candidate set grows with the corpus):
 
       1. candidate-doc ids only (8 B each) are collected and broadcast via
          `ray.put` — the minimal small side of the semi-join;
@@ -449,11 +468,6 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
          corpus text.
     """
     import ray
-
-    # duplicate pairs (one per colliding band) are tolerated by the verify
-    # run-grouping, so the candidates' distinct exchange is skipped — one
-    # fewer sort + materialize on the critical path
-    cands = minhash_candidates(docs, distinct_pairs=False, **kw)
 
     # ids-only gather (int64 per candidate doc; the shingle sets stay out).
     # The ids land on the driver regardless (they become the broadcast
@@ -487,7 +501,7 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
         pos[pos >= len(cand)] = 0
         sub = batch[cand[pos] == doc_ids]
         sets = [
-            np.array(sorted({_md5_u64(s.encode()) for s in _ngram_set(t or "")}),
+            np.array(sorted({_md5_u64(s.encode()) for s in _ngram_set(t or "", w)}),
                      dtype=np.uint64).astype(np.int64)
             for t in sub["text"]
         ]
@@ -611,6 +625,72 @@ def _verify_driver_side(docs, cands, shingle_rows, threshold: float, empty):
         "doc_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
         "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (prefix-filter similarity join, recall 1)
+# ---------------------------------------------------------------------------
+
+class PrefixEmitter:
+    """Prefix-filter rows for the exact Jaccard join: for a doc whose
+    hashed shingle set has size s, emit its p = s - ceil(t*s) + 1 smallest
+    hashes as (band_id=0, band_hash=<shingle hash>, doc_id) bucket rows.
+
+    Completeness (the prefix-filter theorem, with shingles totally ordered
+    by their u64 hash): if J(A,B) ≥ t then |A∩B| ≥ t·|A| — so the smallest
+    shared element cannot sit past A's prefix (the suffix holds only
+    ⌈t·|A|⌉ − 1 elements), and symmetrically for B; the two prefixes share
+    it.  Hence every qualifying pair collides in ≥1 prefix bucket and the
+    join is exact after verification — unlike MinHash, whose recall follows
+    the band curve.  Hash order is a correct (any fixed total order works)
+    but frequency-blind prefix order; ordering by ascending global shingle
+    frequency is the production refinement that minimizes bucket sizes
+    (one extra grouped_agg counting pass).  A stop-shingle bucket past
+    MAX_BUCKET fails loudly, as in the LSH path."""
+
+    def __init__(self, threshold: float, w: int = 3):
+        self.t = threshold
+        self.w = w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes, doc_ids = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            hs = np.array(
+                sorted({_md5_u64(s.encode()) for s in _ngram_set(text, self.w)}),
+                dtype=np.uint64,
+            )
+            s = len(hs)
+            if s == 0:
+                continue
+            p = s - int(np.ceil(self.t * s)) + 1
+            hashes.append(hs[:p].astype(np.int64))
+            doc_ids.append(np.full(p, doc_id, dtype=np.int64))
+        if not hashes:
+            return pd.DataFrame({
+                "band_id": pd.array([], dtype="int32"),
+                "band_hash": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+            })
+        bh = np.concatenate(hashes)
+        return pd.DataFrame({
+            "band_id": pd.array(np.zeros(len(bh), dtype=np.int32), dtype="int32"),
+            "band_hash": pd.array(bh, dtype="int64"),
+            "doc_id": pd.array(np.concatenate(doc_ids), dtype="int64"),
+        })
+
+
+def ngram_jaccard_dedup(docs: rd.Dataset, threshold: float = 0.8, w: int = 3) -> rd.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs: every (doc_a, doc_b, jaccard)
+    with word-w-shingle Jaccard ≥ threshold — recall 1 by prefix filtering
+    (see PrefixEmitter), so the all-pairs DuckDB oracle matches at ANY
+    threshold, not only where LSH recall saturates.  Candidate pairing and
+    verification reuse the LSH machinery (_bucket_pairs sorted runs +
+    _verified_jaccard sorted-exchange attach/verify)."""
+    prefix_rows = docs.map_batches(
+        PrefixEmitter(threshold, w), batch_format="pandas", batch_size=2048
+    )
+    cands = _bucket_pairs(prefix_rows, distinct_pairs=False)
+    return _verified_jaccard(docs, cands, threshold, w)
 
 
 # ---------------------------------------------------------------------------

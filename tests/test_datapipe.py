@@ -18,7 +18,7 @@ from medknowledgegraph_ray.stages import ann, dedupe, textstats, windows
 
 SQL_CHECKED = [
     "doc_stats", "doc_lang_id", "doc_quality", "dedup_exact", "dedup_minhash",
-    "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
+    "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "doc_tokens_bpe", "doc_sample",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -70,6 +70,34 @@ def test_minhash_finds_exact_dup_and_skips_disjoint():
     out = dedupe.minhash_dedup(ds).to_pandas()
     assert set(map(tuple, out[["doc_a", "doc_b"]].values.tolist())) == {(1, 2)}
     assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_ngram_jaccard_recall_one_vs_brute_force():
+    """The prefix-filter join must find EVERY pair ≥ threshold — including
+    mid-range Jaccard (0.5–0.8) pairs where the 16×4 LSH band curve has
+    recall well below 1 — and nothing else, matching brute force exactly."""
+    import itertools
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(30)))
+            for i in range(40)]
+    rows += [
+        (100, base),
+        (101, base + " extra one two"),                       # high J
+        (102, base + " more words here now five six seven"),  # mid J
+        (103, "short"),                                       # no shingles
+    ]
+    out = dedupe.ngram_jaccard_dedup(_docs(rows), threshold=0.5).to_pandas()
+    got = sorted(zip(out["doc_a"], out["doc_b"], out["jaccard"]))
+    exp = []
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        sa, sb = dedupe._ngram_set(a), dedupe._ngram_set(b)
+        jv = len(sa & sb) / len(sa | sb) if sa and sb else 0.0
+        if jv >= 0.5:
+            exp.append((min(i, j), max(i, j), round(jv, 6)))
+    assert got == sorted(exp) and len(exp) >= 2
+    # at least one planted pair sits below LSH-saturation territory
+    assert any(j < 0.8 for _, _, j in exp)
 
 
 def test_minhash_verify_paths_row_identical(sf_dir, monkeypatch):
