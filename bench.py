@@ -100,6 +100,9 @@ def run_bench() -> dict:
         _dd.minhash_dedup(docs()).count()
         queries["dedup_minhash"] = round(time.time() - t0, 3)
         t0 = time.time()
+        _dd.ngram_jaccard_dedup(docs()).count()
+        queries["dedup_ngram"] = round(time.time() - t0, 3)
+        t0 = time.time()
         _ts.quality_score(docs()).count()
         queries["doc_quality"] = round(time.time() - t0, 3)
         t0 = time.time()
