@@ -21,7 +21,14 @@ from typing import Any
 from medknowledgegraph_ray import config, datagen
 from medknowledgegraph_ray.pipelines import analytics, kg
 from medknowledgegraph_ray.sources import readers
-from medknowledgegraph_ray.stages import ann, dedupe, multimodal, textstats, windows
+from medknowledgegraph_ray.stages import (
+    ann,
+    dedupe,
+    multimodal,
+    rangejoin,
+    textstats,
+    windows,
+)
 
 _SF001 = "/root/testdata/sf0.01"
 _ANN_DIM = 64  # embeddings table vector length
@@ -202,6 +209,61 @@ def _ev_asof(sf_dir: str):
     return windows.asof_prev(readers.read_table(sf_dir, "events"))
 
 
+def _doc_split(sf_dir: str):
+    docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return textstats.split_docs(docs)
+
+
+def _ev_range_join(sf_dir: str):
+    # range join: each event ⋈ the qualifying session interval containing it
+    # (sessions with ≥3 events; events in shorter sessions have no match) —
+    # the interval-containment join Ray Data lacks, on the sorted-merge shape
+    import pandas as _pd
+
+    ev = readers.read_table(sf_dir, "events")
+    sessions = windows.sessionize(ev).filter(expr="n_events >= 3")
+
+    def as_intervals(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "key": b["user_id"].astype("int64"),
+                "interval_id": b["session_idx"].astype("int64"),
+                "start_us": b["start_us"].astype("int64"),
+                "end_us": b["end_us"].astype("int64"),
+            }
+        )
+
+    def as_points(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "key": b["user_id"].astype("int64"),
+                "point_id": b["event_id"].astype("int64"),
+                "ts_us": b["ts"].astype("int64"),
+            }
+        )
+
+    joined = rangejoin.interval_join(
+        ev.select_columns(["user_id", "event_id", "ts"]).map_batches(
+            as_points, batch_format="pandas"
+        ),
+        sessions.map_batches(as_intervals, batch_format="pandas"),
+    )
+
+    def rename(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "user_id": b["key"],
+                "event_id": b["point_id"],
+                "ts_us": b["ts_us"],
+                "session_idx": b["interval_id"],
+                "start_us": b["start_us"],
+                "end_us": b["end_us"],
+            }
+        )
+
+    return joined.map_batches(rename, batch_format="pandas")
+
+
 def _dedup_exact(sf_dir: str):
     return dedupe.exact_dedup(_docs(sf_dir))
 
@@ -373,6 +435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _quality,
         "doc_tokens_bpe": _tokens_bpe,
         "doc_sample": _doc_sample,
+        "doc_split": _doc_split,
+        "doc_fingerprints": _fingerprints,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_groups": _dedup_simhash_groups,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
@@ -384,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
         "ev_asof_prev": _ev_asof,
+        "ev_range_join": _ev_range_join,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
         "agg_lineitem": analytics.lineitem_agg,
         "join_top_customers": analytics.top_customers,
@@ -391,11 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
         "join_region_counts": analytics.nation_region_counts,
         # ---- rows-only entries (no DuckDB oracle by design: approximate
-        # recall, rolling hashes, stub decode dims) — kept LAST so a driver
-        # that caps its CORRECTNESS file never drops an oracle-checked row
-        "doc_fingerprints": _fingerprints,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_simhash_groups": _dedup_simhash_groups,
+        # recall, stub decode dims) — kept LAST so a driver that caps its
+        # CORRECTNESS file never drops an oracle-checked row
         "dedup_embedding": _dedup_embedding,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -423,6 +487,38 @@ FROM (
          length(regexp_extract_all(lower(text),
            '\\b(the|and|of|to|a|in|is|that|for|on)\\b')) AS n_stop
   FROM documents
+)
+"""
+
+
+# SimHash in SQL, bit-for-bit the SimHasher kernel: per-(doc, unique token)
+# counts, 64-bit md5 token hash (first 16 hex chars = first 8 bytes big-endian
+# = functions.text.stable_token_hash), per-bit majority vote weighted by
+# count, bit set iff the vote is strictly positive, and the uint64 signature
+# reinterpreted as two's-complement int64 (the Arrow/pandas int64 cast).
+_SIMHASH_SIG_SQL = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, c, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM tc),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS v
+  FROM th, UNNEST(generate_series(0, 63)) AS u(b)
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS s
+  FROM votes GROUP BY 1
+),
+signed AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(s.s, 0) >= CAST('9223372036854775808' AS HUGEINT)
+              THEN CAST(coalesce(s.s, 0) AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(coalesce(s.s, 0) AS HUGEINT) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
 )
 """
 
@@ -615,6 +711,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents"
             " WHERE ((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296) % 100 < 10"
         ),
+        "doc_split": (
+            "SELECT doc_id, lang,"
+            " CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'"
+            " ELSE 'train' END AS split"
+            " FROM (SELECT doc_id, lang,"
+            "  ((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296) % 100 AS b"
+            "  FROM documents)"
+        ),
+        # Rolling polynomial fingerprint (base 1000003 mod 2^61-1) folded in
+        # HUGEINT over md5-derived 64-bit token hashes — exactly
+        # textstats.Fingerprinter (acc starts at 0 via list_prepend).
+        "doc_fingerprints": (
+            "SELECT doc_id, CAST(list_reduce("
+            " list_prepend(CAST(0 AS HUGEINT),"
+            "  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+            "   t -> CAST(CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS HUGEINT))),"
+            " (acc, h) -> (acc * 1000003 + h) % 2305843009213693951) AS BIGINT)"
+            " AS fingerprint FROM documents"
+        ),
+        "dedup_simhash": (
+            "WITH " + _SIMHASH_SIG_SQL + " SELECT doc_id, simhash FROM signed"
+        ),
+        "dedup_simhash_groups": (
+            "WITH " + _SIMHASH_SIG_SQL
+            + " SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(min(doc_id) AS BIGINT) AS min_doc"
+            " FROM signed GROUP BY 1 HAVING count(*) >= 2"
+        ),
         "ev_asof_prev": (
             "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
             " CAST(round(value * 1000000) AS BIGINT) AS value_e6,"
@@ -698,6 +822,34 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(sum(value_e6) AS BIGINT) AS value_sum_e6
 FROM sess GROUP BY 1, 2
 """,
+        # Interval-containment join (stages/rangejoin.py): event ⋈ the
+        # qualifying (≥3-event) session whose [start, end] contains its ts.
+        "ev_range_join": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+lagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+),
+sessions AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM sess GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT e.user_id, e.event_id, e.ts_us,
+       s.session_idx, s.start_us, s.end_us
+FROM e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts_us BETWEEN s.start_us AND s.end_us
+""",
         "agg_lineitem": (
             "SELECT l_returnflag, l_linestatus,"
             " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
@@ -733,8 +885,8 @@ FROM sess GROUP BY 1, 2
             " JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
         ),
         # no oracle entries (rows-only checks by design):
-        #   doc_fingerprints (rolling md5 hash — not SQL-expressible cheaply)
-        #   dedup_simhash    (64-bit md5 majority vote — same)
-        #   dedup_embedding, ann_lsh (LSH recall < 1 by construction)
-        #   mm_decode        (synthetic dims derived from hex-parsed md5)
+        #   dedup_embedding, ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
+        #   kg_links_fuzzy   (trigram-Jaccard score surface)
+        #   mm_decode/resize/frame_sample (synthetic dims from hex-parsed md5)
+        #   doc_embed_ann    (hashing-trick embedding feature space)
     }

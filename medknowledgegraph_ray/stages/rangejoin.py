@@ -1,0 +1,145 @@
+"""Range (interval-containment) join: points × keyed non-overlapping intervals.
+
+Ray Data has no range join; equi-join machinery can't express
+`p.key = i.key AND i.start <= p.ts <= i.end`.  This is the third member of
+the ordered-log family (with sessionize and as-of lag, stages/windows.py):
+
+- tag interval rows (ts = start) and point rows, UNION both sides, and run
+  ONE global range sort on (key, ts, side) — interval starts sort before
+  points at the same timestamp, making the start bound inclusive;
+- per block, one VECTORIZED pass resolves every interior key: forward-fill
+  the most recent interval row (numpy maximum.accumulate over row indices),
+  then keep points whose filled interval shares their key and has
+  end >= ts;
+- only the <=2 keys that can straddle a block edge (the block's first and
+  last key — contiguous after the sort) are re-resolved per key.
+
+PARTITIONING ASSUMPTION (documented per the custom-operator contract):
+intervals must be NON-OVERLAPPING per key, endpoints included — then the
+containing interval is exactly the one with the greatest start <= ts, which
+is what the forward-fill finds.  Session windows, tumbling windows, and
+validity/version ranges all satisfy this; overlapping intervals need the
+expansion join (flat-map each interval onto a bucket grid) instead.
+
+At 100 TB both sides stream through one sort exchange; no side is
+materialized on the driver and the per-key repair volume is bounded by
+2 × block count, independent of data size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_OUT_COLS = ["key", "point_id", "ts_us", "interval_id", "start_us", "end_us"]
+
+
+def _join_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    """Resolve a frame already sorted by (key, ts, side): inner-join each
+    point (side 1) to the interval row (side 0) containing it."""
+    n = len(df)
+    u = df["key"].to_numpy()
+    ts = df["ts"].to_numpy()
+    side = df["side"].to_numpy()
+    end = df["end_us"].to_numpy()
+    src = np.where(side == 0, np.arange(n), -1)
+    np.maximum.accumulate(src, out=src)  # latest interval row at/before each row
+    pts = np.flatnonzero(side == 1)
+    cand = src[pts]
+    cand_c = np.maximum(cand, 0)
+    ok = (cand >= 0) & (u[cand_c] == u[pts]) & (ts[pts] <= end[cand_c])
+    rows = pts[ok]
+    ival = cand[ok]
+    return pd.DataFrame(
+        {
+            "key": u[rows],
+            "point_id": df["point_id"].to_numpy()[rows],
+            "ts_us": ts[rows],
+            "interval_id": df["interval_id"].to_numpy()[ival],
+            "start_us": ts[ival],  # an interval row's ts IS its start
+            "end_us": end[ival],
+        }
+    )
+
+
+def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
+    """points(key, point_id, ts_us) ⋈ intervals(key, interval_id, start_us,
+    end_us) on `key equal AND start_us <= ts_us <= end_us` (inner join).
+
+    Output: key, point_id, ts_us, interval_id, start_us, end_us — one row
+    per contained point (non-overlap makes the match unique or absent)."""
+
+    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["key"].astype("int64"),
+                "ts": b["start_us"].astype("int64"),
+                "side": pd.array([0] * len(b), dtype="int64"),
+                "point_id": pd.array([0] * len(b), dtype="int64"),
+                "end_us": b["end_us"].astype("int64"),
+                "interval_id": b["interval_id"].astype("int64"),
+            }
+        )
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["key"].astype("int64"),
+                "ts": b["ts_us"].astype("int64"),
+                "side": pd.array([1] * len(b), dtype="int64"),
+                "point_id": b["point_id"].astype("int64"),
+                "end_us": pd.array([0] * len(b), dtype="int64"),
+                "interval_id": pd.array([0] * len(b), dtype="int64"),
+            }
+        )
+
+    merged = (
+        intervals.map_batches(tag_intervals, batch_format="pandas")
+        .union(points.map_batches(tag_points, batch_format="pandas"))
+        .sort(["key", "ts", "side"])
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = pd.DataFrame({c: pd.array([], dtype="int64") for c in _OUT_COLS})
+            out["ts"] = pd.array([], dtype="int64")
+            out["side"] = pd.array([], dtype="int64")
+            out["is_edge"] = pd.array([], dtype="bool")
+            return out
+        u = df["key"].to_numpy()
+        edge_mask = (u == u[0]) | (u == u[-1])
+        interior = _join_sorted(df[~edge_mask])
+        interior = interior.assign(
+            ts=pd.array([0] * len(interior), dtype="int64"),
+            side=pd.array([0] * len(interior), dtype="int64"),
+            is_edge=pd.array([False] * len(interior), dtype="bool"),
+        )
+        edge = df[edge_mask].assign(
+            ts_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            start_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
+        )
+        return pd.concat([interior, edge], ignore_index=True)[
+            _OUT_COLS + ["ts", "side", "is_edge"]
+        ]
+
+    flagged = merged.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[_OUT_COLS], batch_format="pandas"
+    )
+
+    def edge_join(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "side"], kind="mergesort")
+        return _join_sorted(g)
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(
+            lambda t: t[["key", "ts", "side", "point_id", "end_us", "interval_id"]],
+            batch_format="pandas",
+        )
+        .groupby("key")
+        .map_groups(edge_join, batch_format="pandas")
+    )
+    return interior.union(edges)

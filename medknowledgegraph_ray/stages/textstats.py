@@ -130,12 +130,38 @@ def sample_docs(docs: rd.Dataset, pct: int = 10) -> rd.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def split_docs(docs: rd.Dataset, val_pct: int = 10, test_pct: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test assignment — the training-corpus split
+    as a stateless map, not a `random_shuffle`: bucket = Knuth hash of
+    doc_id mod 100 (identical arithmetic to sample_docs / the SQL oracle),
+    val = bucket < val_pct, test = next test_pct buckets, train = rest.
+    The hash is independent of every stratum column (lang/source), so each
+    stratum receives the same expected fractions, and the assignment is
+    reproducible across runs, partitionings and cluster sizes — resumable
+    downstream stages can rely on a doc's split never changing."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        b = ((ids * 2654435761) % (1 << 32)) % 100
+        split = np.where(b < val_pct, "val", np.where(b < val_pct + test_pct, "test", "train"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class Fingerprinter:
     """64-bit rolling document fingerprint over normalized tokens.
 
     Deterministic polynomial rolling hash (base 1000003, mod 2^61-1) over
     md5-derived token hashes — stable across processes (no PYTHONHASHSEED
-    dependence).  Rows-only checked (not SQL-expressible cheaply)."""
+    dependence).  Oracle-checked: the same fold runs in DuckDB as a HUGEINT
+    list_reduce over md5-hex-derived token hashes (__ray_entry__)."""
 
     MOD = (1 << 61) - 1
     BASE = 1000003

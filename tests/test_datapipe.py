@@ -14,12 +14,13 @@ spec = importlib.util.spec_from_file_location("_ray_entry_dp", "/root/repo/__ray
 _entry = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(_entry)
 
-from medknowledgegraph_ray.stages import ann, dedupe, textstats, windows
+from medknowledgegraph_ray.stages import ann, dedupe, rangejoin, textstats, windows
 
 SQL_CHECKED = [
     "doc_stats", "doc_lang_id", "doc_quality", "dedup_exact", "dedup_minhash",
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
-    "ev_sessionize", "ev_asof_prev", "doc_tokens_bpe", "doc_sample",
+    "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
+    "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
@@ -218,3 +219,80 @@ def test_ivf_topk_empty_sample_falls_back(sf_dir):
     q = ann.fixed_queries(64)
     out = ann.ivf_topk(emb, q, k=5, sample_pct=0).to_pandas()
     assert len(out) > 0 and set(out.columns) == {"query_id", "vec_id", "score", "rank"}
+
+
+def _ivals(rows):
+    return rd.from_arrow(pa.table({
+        "key": pa.array([r[0] for r in rows], pa.int64()),
+        "interval_id": pa.array([r[1] for r in rows], pa.int64()),
+        "start_us": pa.array([r[2] for r in rows], pa.int64()),
+        "end_us": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def _pts(rows):
+    return rd.from_arrow(pa.table({
+        "key": pa.array([r[0] for r in rows], pa.int64()),
+        "point_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def test_interval_join_boundaries():
+    # key 1: [10,20] and [30,40]; key 2: no intervals; interval key 3: no points
+    ivals = _ivals([(1, 1, 10, 20), (1, 2, 30, 40), (3, 1, 0, 100)])
+    pts = _pts([
+        (1, 100, 5),    # before all intervals → no match
+        (1, 101, 10),   # at start boundary → interval 1
+        (1, 102, 20),   # at end boundary → interval 1
+        (1, 103, 25),   # in the gap → no match
+        (1, 104, 33),   # inside → interval 2
+        (1, 105, 41),   # after the last end → no match
+        (2, 200, 15),   # key without intervals → no match
+    ])
+    out = rangejoin.interval_join(pts, ivals).to_pandas()
+    got = {(r.point_id, r.interval_id) for r in out.itertuples()}
+    assert got == {(101, 1), (102, 1), (104, 2)}
+    row = out[out["point_id"] == 104].iloc[0]
+    assert (row["start_us"], row["end_us"], row["key"]) == (30, 40, 1)
+
+
+def test_interval_join_matches_brute_force_many_keys():
+    rng = np.random.RandomState(7)
+    ival_rows, pt_rows = [], []
+    for k in range(40):
+        # non-overlapping intervals per key: sorted cut points
+        cuts = np.sort(rng.choice(10_000, size=8, replace=False))
+        for i in range(0, 8, 2):
+            ival_rows.append((k, i // 2 + 1, int(cuts[i]), int(cuts[i + 1])))
+        for p in range(25):
+            pt_rows.append((k, k * 1000 + p, int(rng.randint(0, 10_500))))
+    out = rangejoin.interval_join(
+        _pts(pt_rows).repartition(7), _ivals(ival_rows).repartition(3)
+    ).to_pandas()
+    expect = set()
+    for k, pid, ts in pt_rows:
+        for ik, iid, s, e in ival_rows:
+            if ik == k and s <= ts <= e:
+                expect.add((pid, iid, s, e))
+    got = {(r.point_id, r.interval_id, r.start_us, r.end_us) for r in out.itertuples()}
+    assert got == expect
+    assert len(out) == len(out[["point_id"]].drop_duplicates())  # unique match
+
+
+def test_split_docs_deterministic_and_stratified():
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(2000)], pa.string()),
+    }))
+    out = textstats.split_docs(docs).to_pandas()
+    # formula parity per row
+    b = (np.arange(2000, dtype=np.uint64) * 2654435761) % (1 << 32) % 100
+    want = np.where(b < 10, "val", np.where(b < 20, "test", "train"))
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == want).all()
+    # each stratum sees every split and roughly the configured fractions
+    frac = out.groupby(["lang", "split"]).size().unstack(fill_value=0)
+    for lang in ("en", "de"):
+        assert frac.loc[lang, "train"] > frac.loc[lang, "val"] > 0
+        assert 0.05 < frac.loc[lang, "val"] / 1000 < 0.15
