@@ -26,6 +26,7 @@ from medknowledgegraph_ray.stages import (
     dedupe,
     multimodal,
     rangejoin,
+    sketch,
     textstats,
     windows,
 )
@@ -212,6 +213,21 @@ def _ev_asof(sf_dir: str):
 def _doc_split(sf_dir: str):
     docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     return textstats.split_docs(docs)
+
+
+def _doc_vocab(sf_dir: str):
+    return sketch.distinct_token_count(_docs(sf_dir))
+
+
+def _doc_vocab_hll(sf_dir: str):
+    # shuffle-free HLL estimate of the same count (rows-only: approximate by
+    # design; tests/test_datapipe.py pins it inside the exact count's
+    # 3·(1.04/√m) error envelope)
+    return sketch.distinct_token_count_hll(_docs(sf_dir))
+
+
+def _ev_quantiles(sf_dir: str):
+    return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
 
 
 def _ev_range_join(sf_dir: str):
@@ -439,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _fingerprints,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_groups": _dedup_simhash_groups,
+        "doc_vocab": _doc_vocab,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
@@ -451,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize": _ev_sessionize,
         "ev_asof_prev": _ev_asof,
         "ev_range_join": _ev_range_join,
+        "ev_user_quantiles": _ev_quantiles,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
         "agg_lineitem": analytics.lineitem_agg,
         "join_top_customers": analytics.top_customers,
@@ -460,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- rows-only entries (no DuckDB oracle by design: approximate
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
+        "doc_vocab_hll": _doc_vocab_hll,
         "dedup_embedding": _dedup_embedding,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -738,6 +757,19 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,"
             " CAST(min(doc_id) AS BIGINT) AS min_doc"
             " FROM signed GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "doc_vocab": (
+            "SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens"
+            " FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
+            "       FROM documents)"
+        ),
+        "ev_user_quantiles": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " quantile_disc(value_e6, 0.5) AS median_value_e6,"
+            " quantile_disc(value_e6, 0.9) AS p90_value_e6"
+            " FROM (SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS value_e6"
+            "       FROM events)"
+            " GROUP BY 1"
         ),
         "ev_asof_prev": (
             "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"

@@ -1,0 +1,121 @@
+"""Mergeable-sketch operators: cardinality estimation without a shuffle.
+
+At 100 TB an exact corpus-wide distinct count (vocabulary size, unique
+users, unique URLs) costs a full all-to-all exchange of every key.  A
+HyperLogLog sketch replaces that with a MAP-ONLY pass: each block folds its
+tokens into a 2^p-byte register array, the per-block partials flow to the
+driver (block-count rows × 16 KB at p=14 — bounded by block count, not
+data), and an elementwise max merges them.  Standard error ≈ 1.04/√(2^p)
+(~0.8 % at p=14); the estimate is DETERMINISTIC (md5 token hashing, no
+seed), so runs/partitionings/cluster sizes all report the same number.
+
+The exact companion (`distinct_token_count`) runs the sorted-exchange
+distinct (stages/distinct.py) and is the DuckDB-oracle-checked baseline;
+tests assert the sketch lands within its error envelope of the exact count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import text as textfn
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; no large-range correction needed for 64-bit hashes."""
+    m = regs.size
+    e = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(e)
+
+
+class HllTokenSketch:
+    """Per-batch HLL partial over the distinct tokens of `text` rows.
+
+    Emits ONE row per batch: the 2^p uint8 register array.  Token → (register
+    index, rank) is cached per worker instance (the Fingerprinter pattern);
+    duplicate tokens within a batch cost one set lookup, not a hash."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self._cache: dict[str, tuple[int, int]] = {}
+
+    def _slot(self, tok: str) -> tuple[int, int]:
+        s = self._cache.get(tok)
+        if s is None:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            idx = h >> (64 - self.p)
+            w = h & ((1 << (64 - self.p)) - 1)
+            rho = (64 - self.p) - w.bit_length() + 1
+            s = (idx, rho)
+            self._cache[tok] = s
+        return s
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(self.m, dtype=np.uint8)
+        toks: set[str] = set()
+        for text in batch["text"].fillna(""):
+            toks.update(textfn.TOKEN_RE.findall(text.lower()))
+        for tok in toks:
+            idx, rho = self._slot(tok)
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return pd.DataFrame({"regs": [regs.astype(np.int64)]})
+
+
+def distinct_token_count_hll(docs: rd.Dataset, p: int = 14) -> pd.DataFrame:
+    """Approximate corpus vocabulary size — one map pass, no shuffle.
+
+    Returns a 1-row frame {n_distinct_tokens_hll, n_registers}; rows-only
+    checked (approximate by design) with the error-envelope pytest."""
+    partials = docs.map_batches(
+        HllTokenSketch(p=p), batch_format="pandas", batch_size=None
+    ).take_all()
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for row in partials:
+        np.maximum(regs, np.asarray(row["regs"], dtype=np.uint8), out=regs)
+    return pd.DataFrame(
+        {
+            "n_distinct_tokens_hll": pd.array([int(round(hll_estimate(regs)))], dtype="int64"),
+            "n_registers": pd.array([1 << p], dtype="int64"),
+        }
+    )
+
+
+def distinct_token_count(docs: rd.Dataset) -> pd.DataFrame:
+    """Exact vocabulary size: per-block distinct tokens (flat map) → the
+    sorted-exchange distinct → count.  The oracle-checked baseline the HLL
+    sketch is judged against."""
+    from .distinct import distinct
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for text in batch["text"].fillna(""):
+            out.update(textfn.TOKEN_RE.findall(text.lower()))
+        return pd.DataFrame({"tok": sorted(out)})
+
+    uniq = distinct(
+        docs.map_batches(toks, batch_format="pandas", batch_size=None), ["tok"]
+    )
+    return pd.DataFrame(
+        {"n_distinct_tokens": pd.array([uniq.count()], dtype="int64")}
+    )

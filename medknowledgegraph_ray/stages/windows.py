@@ -224,6 +224,98 @@ def asof_prev(events: rd.Dataset) -> rd.Dataset:
     return interior.union(edges)
 
 
+def _quantiles_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    """Discrete median/p90 per user over a frame sorted by (user_id,
+    value_e6): run-length firsts + counts, element at ceil(n·q)−1 —
+    the exact index DuckDB's quantile_disc picks (verified n ≤ 1000)."""
+    u = df["user_id"].to_numpy()
+    v = df["value_e6"].to_numpy()
+    n = len(df)
+    new = np.ones(n, dtype=bool)
+    new[1:] = u[1:] != u[:-1]
+    firsts = np.flatnonzero(new)
+    counts = np.diff(np.append(firsts, n))
+    med = v[firsts + np.ceil(counts * 0.5).astype(np.int64) - 1]
+    p90 = v[firsts + np.ceil(counts * 0.9).astype(np.int64) - 1]
+    return pd.DataFrame(
+        {
+            "user_id": u[firsts],
+            "n_events": counts.astype("int64"),
+            "median_value_e6": med,
+            "p90_value_e6": p90,
+        }
+    )
+
+
+def grouped_quantiles(events: rd.Dataset) -> rd.Dataset:
+    """Exact discrete per-user quantiles (median + p90 of value) — the
+    order-statistic aggregate no algebraic combiner can express.  Scale
+    shape: global (user_id, value_e6) sort, run-length selection per block
+    for every interior user, per-user repair only at block edges — the same
+    exchange the other ordered-log operators ride."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .sort(["user_id", "value_e6"])
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                    "median_value_e6": pd.array([], dtype="int64"),
+                    "p90_value_e6": pd.array([], dtype="int64"),
+                    "value_e6": pd.array([], dtype="int64"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )
+        u = df["user_id"].to_numpy()
+        edge_mask = (u == u[0]) | (u == u[-1])
+        intr = _quantiles_sorted(df[~edge_mask])
+        interior = intr.assign(
+            value_e6=pd.array([0] * len(intr), dtype="int64"),
+            is_edge=pd.array([False] * len(intr), dtype="bool"),
+        )
+        edge = df[edge_mask].assign(
+            n_events=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            median_value_e6=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            p90_value_e6=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
+        )
+        cols = ["user_id", "n_events", "median_value_e6", "p90_value_e6",
+                "value_e6", "is_edge"]
+        return pd.concat([interior[cols], edge[cols]], ignore_index=True)
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    out_cols = ["user_id", "n_events", "median_value_e6", "p90_value_e6"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[out_cols], batch_format="pandas"
+    )
+
+    def edge_q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_e6", kind="mergesort")
+        return _quantiles_sorted(g)[out_cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[["user_id", "value_e6"]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_q, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
 def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     """Vectorized sessionization of a frame already sorted by
     (user_id, ts_us, event_id); handles any number of users at once."""

@@ -21,6 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
+    "doc_vocab", "ev_user_quantiles",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
@@ -36,7 +37,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_oracle_parity_sf0001(name, sf_dir):
-    eng = _norm(_entry.queries()[name](sf_dir).to_pandas())
+    res = _entry.queries()[name](sf_dir)
+    eng = _norm(res.to_pandas() if hasattr(res, "to_pandas") else res)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -296,3 +298,55 @@ def test_split_docs_deterministic_and_stratified():
     for lang in ("en", "de"):
         assert frac.loc[lang, "train"] > frac.loc[lang, "val"] > 0
         assert 0.05 < frac.loc[lang, "val"] / 1000 < 0.15
+
+
+def test_grouped_quantiles_matches_brute_force():
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for u in range(30):
+        for _ in range(int(rng.randint(1, 60))):
+            rows.append((eid, u, 1_700_000_000_000_000 + eid, float(rng.randint(0, 1000)) / 7))
+            eid += 1
+    out = (
+        windows.grouped_quantiles(_events(rows).repartition(5))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for u in range(30):
+        vals = np.sort(np.array(
+            [np.int64(round(r[3] * 1e6)) for r in rows if r[1] == u]
+        ))
+        n = len(vals)
+        assert out.loc[u, "n_events"] == n
+        assert out.loc[u, "median_value_e6"] == vals[int(np.ceil(n * 0.5)) - 1]
+        assert out.loc[u, "p90_value_e6"] == vals[int(np.ceil(n * 0.9)) - 1]
+
+
+def test_hll_within_error_envelope_and_partition_independent(sf_dir):
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import sketch
+
+    docs = lambda n: readers.read_table(  # noqa: E731
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).repartition(n)
+    exact = int(sketch.distinct_token_count(docs(4))["n_distinct_tokens"].iloc[0])
+    est1 = int(sketch.distinct_token_count_hll(docs(4))["n_distinct_tokens_hll"].iloc[0])
+    est2 = int(sketch.distinct_token_count_hll(docs(13))["n_distinct_tokens_hll"].iloc[0])
+    assert est1 == est2  # deterministic and partition-independent
+    m = 1 << 14
+    assert abs(est1 - exact) <= max(3 * 1.04 / np.sqrt(m) * exact, 5), (est1, exact)
+
+
+def test_hll_estimator_linear_counting_range():
+    from medknowledgegraph_ray.stages import sketch
+
+    s = sketch.HllTokenSketch(p=10)
+    regs = np.zeros(1 << 10, dtype=np.uint8)
+    toks = {f"tok{i}" for i in range(500)}
+    for t in toks:
+        idx, rho = s._slot(t)
+        regs[idx] = max(regs[idx], rho)
+    est = sketch.hll_estimate(regs)
+    assert abs(est - 500) / 500 < 0.1
