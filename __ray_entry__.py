@@ -317,6 +317,14 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
 
 
+def _emb_kmeans(sf_dir: str):
+    # corpus clustering: iterative training on a bounded sample, map-only
+    # assignment (rows-only: the fixpoint is not SQL-expressible; pytest
+    # asserts determinism + nearest-centroid self-consistency)
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.kmeans_clusters(emb)
+
+
 def _ann_lsh(sf_dir: str):
     emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann.lsh_topk(emb, ann.fixed_queries(_ANN_DIM), k=_ANN_K)
@@ -479,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
         "doc_vocab_hll": _doc_vocab_hll,
+        "emb_kmeans": _emb_kmeans,
         "dedup_embedding": _dedup_embedding,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,

@@ -112,6 +112,14 @@ def run_bench() -> dict:
         t0 = time.time()
         _w.sliding_window(_r.read_table(sf_dir, "events")).count()
         queries["ev_sliding"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _w.grouped_quantiles(_r.read_table(sf_dir, "events")).count()
+        queries["ev_user_quantiles"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import sketch as _sk
+
+        t0 = time.time()
+        _sk.distinct_token_count_hll(docs())
+        queries["doc_vocab_hll"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);

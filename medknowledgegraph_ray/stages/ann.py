@@ -208,6 +208,63 @@ def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 3, seed: int =
     return cents
 
 
+def _train_quantizer(embeddings: rd.Dataset, n_clusters: int, sample_pct: int) -> np.ndarray:
+    """Seeded k-means centroids from a driver-side deterministic hash sample
+    (Knuth multiplicative on vec_id — partition-independent).  Bounded by
+    sample_pct × corpus — at 100 TB use a fixed-size reservoir instead (the
+    quantizer needs ~100× n_clusters points, not a corpus fraction)."""
+
+    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(100) < sample_pct
+        return df[keep]
+
+    sample_rows = sorted(
+        embeddings.map_batches(sample_batch, batch_format="pandas").take_all(),
+        key=lambda r: r["vec_id"],  # block arrival order is not deterministic
+    )
+    if not sample_rows:
+        # tiny corpus / unlucky id distribution: no id passed the hash gate —
+        # train on the first rows instead of crashing (quantizer just needs
+        # SOME points; recall is approximate by design either way)
+        sample_rows = embeddings.limit(max(8 * n_clusters, 64)).take_all()
+    sample = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]))
+    return _kmeans_fit(sample, n_clusters)
+
+
+def kmeans_clusters(
+    embeddings: rd.Dataset, n_clusters: int = 16, sample_pct: int = 20
+) -> rd.Dataset:
+    """Corpus clustering (topic/bucket assignment): seeded Lloyd's k-means
+    trained on a deterministic driver-side sample, then ONE vectorized
+    assignment pass over the stream — the iterative algorithm runs on the
+    bounded sample, the corpus-scale work is map-only (no shuffle).
+
+    Output: vec_id, cluster_id, sim (cosine to the centroid, rounded to 6
+    decimals).  Deterministic across runs and partitionings (seeded init,
+    fixed iterations, hash sample); rows-only checked — tests assert
+    determinism and that every vector lands on its true nearest centroid."""
+    cents = _train_quantizer(embeddings, n_clusters, sample_pct)
+
+    class Assigner:
+        def __init__(self, cents: np.ndarray):
+            self.cents = cents
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _unit(np.stack(batch["embedding"].to_numpy()))
+            sims = vecs @ self.cents.T
+            assign = np.argmax(sims, axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].astype("int64"),
+                    "cluster_id": pd.array(assign, dtype="int64"),
+                    "sim": np.round(sims[np.arange(len(assign)), assign], 6),
+                }
+            )
+
+    return embeddings.map_batches(Assigner(cents), batch_format="pandas", batch_size=4096)
+
+
 def ivf_topk(
     embeddings: rd.Dataset,
     queries: dict,
@@ -231,25 +288,7 @@ def ivf_topk(
     qm = _unit(np.asarray(queries["matrix"], dtype=np.float64))
     query_ids = np.asarray(queries["query_id"], dtype=np.int64)
 
-    # train on a driver-side sample: bounded by sample_pct × corpus — at
-    # 100 TB use a fixed-size reservoir instead (the quantizer needs ~100×
-    # n_clusters points, not a corpus fraction)
-    def sample_batch(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy().astype(np.uint64)
-        keep = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(100) < sample_pct
-        return df[keep]
-
-    sample_rows = sorted(
-        embeddings.map_batches(sample_batch, batch_format="pandas").take_all(),
-        key=lambda r: r["vec_id"],  # block arrival order is not deterministic
-    )
-    if not sample_rows:
-        # tiny corpus / unlucky id distribution: no id passed the hash gate —
-        # train on the first rows instead of crashing (quantizer just needs
-        # SOME points; recall is approximate by design either way)
-        sample_rows = embeddings.limit(max(8 * n_clusters, 64)).take_all()
-    sample = _unit(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]))
-    cents = _kmeans_fit(sample, n_clusters)
+    cents = _train_quantizer(embeddings, n_clusters, sample_pct)
 
     probe = np.argsort(-(qm @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 

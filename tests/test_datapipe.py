@@ -350,3 +350,24 @@ def test_hll_estimator_linear_counting_range():
         regs[idx] = max(regs[idx], rho)
     est = sketch.hll_estimate(regs)
     assert abs(est - 500) / 500 < 0.1
+
+
+def test_kmeans_clusters_deterministic_and_nearest(sf_dir):
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import ann as _ann
+
+    emb = lambda n: readers.read_table(  # noqa: E731
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).repartition(n)
+    a = _norm(_ann.kmeans_clusters(emb(3)).to_pandas())
+    b = _norm(_ann.kmeans_clusters(emb(9)).to_pandas())
+    assert a.equals(b)  # partition-independent
+    assert a["cluster_id"].nunique() > 1
+    # every vector sits on its true nearest centroid (self-consistency):
+    # recompute centroids from the same deterministic sample and compare
+    cents = _ann._train_quantizer(emb(3), 16, 20)
+    df = emb(3).to_pandas()
+    vecs = _ann._unit(np.stack(df["embedding"].to_numpy()))
+    want = np.argmax(vecs @ cents.T, axis=1)
+    got = a.set_index("vec_id").loc[df["vec_id"], "cluster_id"].to_numpy()
+    assert (got == want).all()
