@@ -230,6 +230,41 @@ def _ev_quantiles(sf_dir: str):
     return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
 
 
+def _ev_asof_state(sf_dir: str):
+    # two-table as-of join: each click gets the user's latest purchase
+    # at-or-before it (DuckDB ASOF JOIN semantics, inner)
+    import pandas as _pd
+
+    ev = readers.read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def side(b: _pd.DataFrame, etype: str, id_col: str) -> _pd.DataFrame:
+        m = b["event_type"] == etype
+        return _pd.DataFrame(
+            {
+                "key": b.loc[m, "user_id"].astype("int64"),
+                id_col: b.loc[m, "event_id"].astype("int64"),
+                "ts_us": b.loc[m, "ts"].astype("int64"),
+            }
+        )
+
+    points = ev.map_batches(lambda b: side(b, "click", "point_id"), batch_format="pandas")
+    states = ev.map_batches(lambda b: side(b, "purchase", "state_id"), batch_format="pandas")
+    out = rangejoin.asof_join(points, states)
+
+    def rename(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "user_id": b["key"],
+                "event_id": b["point_id"],
+                "ts_us": b["ts_us"],
+                "state_id": b["state_id"],
+                "state_ts_us": b["state_ts_us"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
 def _ev_range_join(sf_dir: str):
     # range join: each event ⋈ the qualifying session interval containing it
     # (sessions with ≥3 events; events in shorter sessions have no match) —
@@ -477,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof_prev": _ev_asof,
         "ev_range_join": _ev_range_join,
         "ev_user_quantiles": _ev_quantiles,
+        "ev_asof_state": _ev_asof_state,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
         "agg_lineitem": analytics.lineitem_agg,
         "join_top_customers": analytics.top_customers,
@@ -779,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS value_e6"
             "       FROM events)"
             " GROUP BY 1"
+        ),
+        # two-table as-of: ties on (user, ts) in the state side are deduped
+        # to max(event_id) — the same winner the engine's deterministic
+        # (key, ts, side, interval_id) sort tie-break picks
+        "ev_asof_state": (
+            "WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us"
+            "           FROM events WHERE event_type = 'click'),"
+            " r AS (SELECT user_id, max(event_id) AS state_id, epoch_us(ts) AS ts_us"
+            "       FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts))"
+            " SELECT l.user_id, l.event_id, l.ts_us, r.state_id, r.ts_us AS state_ts_us"
+            " FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"
         ),
         "ev_asof_prev": (
             "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"

@@ -94,10 +94,14 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
             }
         )
 
+    # interval_id is a deterministic tie-break: when several interval rows
+    # share (key, ts) — possible in the as-of layering below — the HIGHEST
+    # id sorts last and wins the forward-fill; under the non-overlap
+    # contract it never fires.
     merged = (
         intervals.map_batches(tag_intervals, batch_format="pandas")
         .union(points.map_batches(tag_points, batch_format="pandas"))
-        .sort(["key", "ts", "side"])
+        .sort(["key", "ts", "side", "interval_id"])
     )
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
@@ -130,7 +134,7 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
     )
 
     def edge_join(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "side"], kind="mergesort")
+        g = g.sort_values(["ts", "side", "interval_id"], kind="mergesort")
         return _join_sorted(g)
 
     edges = (
@@ -143,3 +147,49 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
         .map_groups(edge_join, batch_format="pandas")
     )
     return interior.union(edges)
+
+
+_INT64_MAX = (1 << 63) - 1
+
+
+def asof_join(points: rd.Dataset, states: rd.Dataset) -> rd.Dataset:
+    """Two-table as-of join: each point (key, point_id, ts_us) inner-joins
+    the LATEST state row (key, state_id, ts_us) with state ts <= point ts —
+    DuckDB `ASOF JOIN` semantics, the price-as-of-trade / config-as-of-event
+    lookup.
+
+    Implemented as interval_join with open-ended intervals (end = int64
+    max): the forward-fill of the newest interval start <= ts IS the as-of
+    match, so the whole sorted-merge + edge-repair machinery is reused
+    verbatim.  The non-overlap contract is NOT required here — overlap is
+    the point — because "latest start wins" is the as-of definition.  Ties
+    (two states with the same (key, ts)) resolve to the highest state_id
+    via the exchange's deterministic tie-break; pre-dedup the state side if
+    a different winner is wanted.
+
+    Output: key, point_id, ts_us, state_id, state_ts_us."""
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["key"].astype("int64"),
+                "interval_id": b["state_id"].astype("int64"),
+                "start_us": b["ts_us"].astype("int64"),
+                "end_us": pd.array([_INT64_MAX] * len(b), dtype="int64"),
+            }
+        )
+
+    out = interval_join(points, states.map_batches(widen, batch_format="pandas"))
+
+    def shape(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["key"],
+                "point_id": b["point_id"],
+                "ts_us": b["ts_us"],
+                "state_id": b["interval_id"],
+                "state_ts_us": b["start_us"],
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pandas")

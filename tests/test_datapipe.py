@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
-    "doc_vocab", "ev_user_quantiles",
+    "doc_vocab", "ev_user_quantiles", "ev_asof_state",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
@@ -371,3 +371,25 @@ def test_kmeans_clusters_deterministic_and_nearest(sf_dir):
     want = np.argmax(vecs @ cents.T, axis=1)
     got = a.set_index("vec_id").loc[df["vec_id"], "cluster_id"].to_numpy()
     assert (got == want).all()
+
+
+def test_asof_join_latest_state_and_ties():
+    states = rd.from_arrow(pa.table({
+        "key": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "state_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+        # state_id 12/13 tie at ts 30 → highest id wins deterministically
+        "ts_us": pa.array([10, 20, 30, 30, 5], pa.int64()),
+    }))
+    pts = rd.from_arrow(pa.table({
+        "key": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        "point_id": pa.array([100, 101, 102, 103, 200, 300], pa.int64()),
+        "ts_us": pa.array([5, 10, 25, 35, 99, 50], pa.int64()),
+    }))
+    out = rangejoin.asof_join(pts, states).to_pandas()
+    got = {(r.point_id, r.state_id, r.state_ts_us) for r in out.itertuples()}
+    assert got == {
+        (101, 10, 10),   # inclusive at equal ts
+        (102, 11, 20),   # latest at-or-before
+        (103, 13, 30),   # tie resolves to max state_id
+        (200, 20, 5),
+    }  # point 100 (before any state) and key 3 (no states) drop out
