@@ -219,6 +219,12 @@ def _doc_vocab(sf_dir: str):
     return sketch.distinct_token_count(_docs(sf_dir))
 
 
+def _doc_inverted_index(sf_dir: str):
+    from medknowledgegraph_ray.stages import invindex
+
+    return invindex.inverted_index(_docs(sf_dir))
+
+
 def _doc_vocab_hll(sf_dir: str):
     # shuffle-free HLL estimate of the same count (rows-only: approximate by
     # design; tests/test_datapipe.py pins it inside the exact count's
@@ -499,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_groups": _dedup_simhash_groups,
         "doc_vocab": _doc_vocab,
+        "doc_inverted_index": _doc_inverted_index,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
@@ -807,6 +814,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens"
             " FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
             "       FROM documents)"
+        ),
+        "doc_inverted_index": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, tok FROM"
+            " (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
+            "  FROM documents))"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,"
+            " string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings"
+            " FROM pairs GROUP BY tok"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
-    "doc_vocab", "ev_user_quantiles", "ev_asof_state",
+    "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
 ]
@@ -393,3 +393,25 @@ def test_asof_join_latest_state_and_ties():
         (103, 13, 30),   # tie resolves to max state_id
         (200, 20, 5),
     }  # point 100 (before any state) and key 3 (no states) drop out
+
+
+def test_inverted_index_matches_brute_force():
+    from medknowledgegraph_ray.stages import invindex
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab, size=12))) for i in range(80)]
+    out = (
+        invindex.inverted_index(_docs(rows).repartition(6))
+        .to_pandas()
+        .set_index("tok")
+        .sort_index()
+    )
+    expect: dict[str, list[int]] = {}
+    for doc_id, text in rows:
+        for tok in set(text.split()):
+            expect.setdefault(tok, []).append(doc_id)
+    assert set(out.index) == set(expect)
+    for tok, ids in expect.items():
+        assert out.loc[tok, "postings"] == ",".join(map(str, sorted(ids)))
+        assert out.loc[tok, "n_docs"] == len(ids)
