@@ -23,6 +23,7 @@ from medknowledgegraph_ray.pipelines import analytics, kg
 from medknowledgegraph_ray.sources import readers
 from medknowledgegraph_ray.stages import (
     ann,
+    components,
     dedupe,
     multimodal,
     rangejoin,
@@ -335,6 +336,13 @@ def _dedup_ngram(sf_dir: str):
     return dedupe.ngram_jaccard_dedup(_docs(sf_dir))
 
 
+def _dedup_components(sf_dir: str):
+    # transitive duplicate clusters: connected components (hash-min label
+    # propagation, stages/components.py) over the recall-1 exact-Jaccard
+    # pair graph — component = min reachable doc_id
+    return components.connected_components(dedupe.ngram_jaccard_dedup(_docs(sf_dir)))
+
+
 def _dedup_simhash(sf_dir: str):
     return dedupe.simhash_signatures(_docs(sf_dir))
 
@@ -509,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
+        "dedup_components": _dedup_components,
         "ann_topk": _ann_topk,
         "mm_metadata": _mm_metadata,
         # ---- windowed / ordered-log operators (events) ----
@@ -857,6 +866,19 @@ def oracle_sql() -> dict[str, str]:
         # prefix-filter theorem (stages/dedupe.PrefixEmitter).
         "dedup_ngram": _PAIRWISE_JACCARD_SQL,
         "dedup_minhash": _PAIRWISE_JACCARD_SQL,
+        # transitive closure of the same exact pair graph: component = min
+        # reachable doc id (DuckDB recursive CTE; the Ray side converges the
+        # identical fixpoint by hash-min label propagation)
+        "dedup_components": (
+            "WITH RECURSIVE pairs AS (" + _PAIRWISE_JACCARD_SQL + "),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(u, v) AS ("
+            "  SELECT u, u FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+            " SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qv FROM "
             + _ann_query_values_sql()

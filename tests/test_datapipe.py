@@ -21,6 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
+    "dedup_components",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -415,3 +416,44 @@ def test_inverted_index_matches_brute_force():
     for tok, ids in expect.items():
         assert out.loc[tok, "postings"] == ",".join(map(str, sorted(ids)))
         assert out.loc[tok, "n_docs"] == len(ids)
+
+
+def test_connected_components_chain_triangle_and_merge():
+    from medknowledgegraph_ray.stages.components import connected_components
+
+    # chain 1-2-3-4 (diameter 3 forces >1 propagation round), triangle
+    # 20-21-22, and a pair (5, 30) that shares no structure with either
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [2, 3, 4, 11, 20, 21, 22, 30],
+            "doc_b": [1, 2, 3, 10, 21, 22, 20, 5],
+        }
+    )
+    for nparts in (1, 4):
+        out = (
+            connected_components(rd.from_pandas(pairs).repartition(nparts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20, 5: 5, 30: 5}
+        got = dict(zip(out["doc_id"], out["component"]))
+        assert got == expect
+
+
+def test_connected_components_empty_and_long_path():
+    from medknowledgegraph_ray.stages.components import connected_components
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                      "doc_b": pd.array([], dtype="int64")})
+    )
+    assert connected_components(empty).count() == 0
+
+    # a 40-node path is the adversarial diameter case for hash-min
+    n = 40
+    path = pd.DataFrame({"doc_a": range(1, n), "doc_b": range(0, n - 1)})
+    out = connected_components(rd.from_pandas(path).repartition(5)).to_pandas()
+    assert set(out["component"]) == {0}
+    assert sorted(out["doc_id"]) == list(range(n))
