@@ -226,6 +226,14 @@ def _doc_inverted_index(sf_dir: str):
     return invindex.inverted_index(_docs(sf_dir))
 
 
+def _doc_tfidf(sf_dir: str):
+    # per-doc top-5 TF-IDF terms (stages/tfidf.py): exact per-task TF,
+    # grouped-agg DF, union-sorted DF join, sorted head-k with edge repair
+    from medknowledgegraph_ray.stages import tfidf
+
+    return tfidf.doc_tfidf(_docs(sf_dir))
+
+
 def _doc_vocab_hll(sf_dir: str):
     # shuffle-free HLL estimate of the same count (rows-only: approximate by
     # design; tests/test_datapipe.py pins it inside the exact count's
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_groups": _dedup_simhash_groups,
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
+        "doc_tfidf": _doc_tfidf,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
@@ -831,6 +840,24 @@ def oracle_sql() -> dict[str, str]:
             " SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,"
             " string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings"
             " FROM pairs GROUP BY tok"
+        ),
+        # integer micro-unit scores (the windows.py value_e6 convention);
+        # idf via libm ln on both sides, so the e6 grid is bit-identical
+        "doc_tfidf": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
+            " FROM documents),"
+            " tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf"
+            "  FROM toks GROUP BY 1, 2),"
+            " df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),"
+            " n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),"
+            " scored AS (SELECT tf.doc_id, tf.tok, tf.tf,"
+            "  CAST(round(tf.tf * ln(n.n / df.df) * 1000000) AS BIGINT) AS tfidf_e6"
+            "  FROM tf JOIN df USING (tok) CROSS JOIN n),"
+            " ranked AS (SELECT *, CAST(row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY tfidf_e6 DESC, tok) AS BIGINT) AS rank"
+            "  FROM scored)"
+            " SELECT doc_id, tok, tf, tfidf_e6, rank FROM ranked WHERE rank <= 5"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

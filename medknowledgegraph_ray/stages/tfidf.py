@@ -1,0 +1,254 @@
+"""TF-IDF scoring with per-document top-k terms.
+
+The lexical-weighting staple of a training-data / retrieval pipeline
+(keyword extraction, quality filtering, BM25 precursors).  Scale shape:
+
+- TF is exact per map task (a document is one row — its term counts never
+  cross a batch), emitting (doc_id, tok, tf) with one row per distinct
+  doc-term;
+- DF is a grouped count over those rows — groupagg.grouped_agg, the
+  per-block-partial sorted exchange (never per-group Python);
+- the DF→TF join is the union-sorted attach (one global sort on `tok`;
+  a tok's single DF row is co-resident with its TF rows in every block
+  except at the ≤2 flagged block-edge keys, repaired driver-side against
+  a broadcast-filtered DF subset);
+- per-doc top-k is the windows.top_events_per_user shape: global sort on
+  (doc_id, score desc, tok), vectorized head-k over interior runs,
+  per-group repair only for block-edge docs.
+
+Scores are integer micro-units (round(tf·ln(N/df)·1e6), the windows.py
+value_e6 convention) so engine/oracle comparison is exact; idf uses
+math.log per DISTINCT df value — libm, bit-identical to DuckDB's ln().
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import text as textfn
+from .groupagg import grouped_agg
+
+# kind 0 = df row (a=df), kind 1 = tf row (a=doc_id, b=tf)
+_JOIN_COLS = ["tok", "kind", "a", "b"]
+
+
+def _tf_rows(docs: rd.Dataset) -> rd.Dataset:
+    def tf(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        ids: list[int] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            counts: dict[str, int] = {}
+            for t in textfn.TOKEN_RE.findall(text.lower()):
+                counts[t] = counts.get(t, 0) + 1
+            toks.extend(counts.keys())
+            ids.extend([int(doc_id)] * len(counts))
+            tfs.extend(counts.values())
+        return pd.DataFrame(
+            {
+                "tok": pd.Series(toks, dtype="object"),
+                "doc_id": pd.array(ids, dtype="int64"),
+                "tf": pd.array(tfs, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(tf, batch_format="pandas", batch_size=None)
+
+
+def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
+    """Join each (doc_id, tok, tf) row with its tok's document frequency via
+    one sorted exchange; returns (doc_id, tok, tf, df)."""
+
+    def as_tf(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tok": b["tok"],
+                "kind": pd.array(np.ones(len(b), dtype=np.int8), dtype="int8"),
+                "a": b["doc_id"].astype("int64"),
+                "b": b["tf"].astype("int64"),
+            }
+        )
+
+    def as_df(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tok": b["tok"],
+                "kind": pd.array(np.zeros(len(b), dtype=np.int8), dtype="int8"),
+                "a": b["df"].astype("int64"),
+                "b": pd.array(np.zeros(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    unioned = (
+        tf_rows.map_batches(as_tf, batch_format="pandas", batch_size=None)
+        .union(df_rows.map_batches(as_df, batch_format="pandas", batch_size=None))
+        .sort(["tok", "kind"])
+    )
+
+    out_cols = {
+        "doc_id": "int64",
+        "tok": "object",
+        "tf": "int64",
+        "df": "int64",
+        "is_edge": "bool",
+    }
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame({c: pd.array([], dtype=d) for c, d in out_cols.items()})
+        toks = b["tok"].to_numpy()
+        kind = b["kind"].to_numpy()
+        flagged = (toks == toks[0]) | (toks == toks[-1])
+        is_df = (kind == 0) & ~flagged
+        df_toks = toks[is_df]
+        df_vals = b["a"].to_numpy()[is_df]
+        is_tf = (kind == 1) & ~flagged
+        tf_toks = toks[is_tf]
+        pos = np.searchsorted(df_toks, tf_toks) if len(df_toks) else np.array([], dtype=np.int64)
+        if len(tf_toks) and (
+            len(df_toks) == 0
+            or not np.all(
+                (pos < len(df_toks))
+                & (df_toks[np.minimum(pos, len(df_toks) - 1)] == tf_toks)
+            )
+        ):
+            raise AssertionError("tfidf attach: interior tok missing its df row")
+        interior = pd.DataFrame(
+            {
+                "doc_id": pd.array(b["a"].to_numpy()[is_tf], dtype="int64"),
+                "tok": pd.Series(tf_toks, dtype="object"),
+                "tf": pd.array(b["b"].to_numpy()[is_tf], dtype="int64"),
+                "df": pd.array(
+                    df_vals[pos] if len(tf_toks) else np.array([], dtype=np.int64),
+                    dtype="int64",
+                ),
+                "is_edge": pd.array(np.zeros(int(is_tf.sum()), dtype=bool), dtype="bool"),
+            }
+        )
+        defer = flagged & (kind == 1)
+        if not defer.any():
+            return interior
+        deferred = pd.DataFrame(
+            {
+                "doc_id": pd.array(b["a"].to_numpy()[defer], dtype="int64"),
+                "tok": pd.Series(toks[defer], dtype="object"),
+                "tf": pd.array(b["b"].to_numpy()[defer], dtype="int64"),
+                "df": pd.array(np.zeros(int(defer.sum()), dtype=np.int64), dtype="int64"),
+                "is_edge": pd.array(np.ones(int(defer.sum()), dtype=bool), dtype="bool"),
+            }
+        )
+        return pd.concat([interior, deferred], ignore_index=True)
+
+    flagged = unioned.map_batches(attach, batch_format="pandas", batch_size=None).materialize()
+    interior = flagged.filter(expr="is_edge == False").drop_columns(["is_edge"])
+    deferred = flagged.filter(expr="is_edge == True").take_all()
+    if not deferred:
+        return interior
+    # repair: the ≤2 block-edge toks per exchange block; df lookups resolve
+    # against the DF rows for just those toks (broadcast-filtered subset)
+    need = frozenset(r["tok"] for r in deferred)
+    need_ref = ray.put(need)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(need_ref)
+        return b[b["tok"].isin(wanted)]
+
+    df_map: dict[str, int] = {}
+    for batch in df_rows.map_batches(
+        pick, batch_format="pandas", batch_size=None
+    ).iter_batches(batch_format="pandas"):
+        df_map.update(zip(batch["tok"], batch["df"].astype(int)))
+    rep = pd.DataFrame(
+        {
+            "doc_id": pd.array([int(r["doc_id"]) for r in deferred], dtype="int64"),
+            "tok": pd.Series([r["tok"] for r in deferred], dtype="object"),
+            "tf": pd.array([int(r["tf"]) for r in deferred], dtype="int64"),
+            "df": pd.array([df_map[r["tok"]] for r in deferred], dtype="int64"),
+        }
+    )
+    return interior.union(rd.from_pandas(rep))
+
+
+def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """documents(doc_id, text) → the k highest-TF-IDF terms per document:
+    (doc_id, tok, tf, tfidf_e6, rank), ranked by score desc then tok asc.
+
+    tfidf_e6 = round(tf · ln(N/df) · 1e6) in int64 micro-units; N = total
+    document count, df = documents containing the term.
+    """
+    n_docs = docs.count()
+    tf_rows = _tf_rows(docs).materialize()
+    df_rows = grouped_agg(tf_rows, ["tok"], [("doc_id", "count", "df")]).materialize()
+    joined = _attach_df(tf_rows, df_rows)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        df_arr = b["df"].to_numpy()
+        # math.log per DISTINCT df value: libm, matching DuckDB ln() exactly
+        idf = {int(d): math.log(n_docs / int(d)) for d in np.unique(df_arr)}
+        vals = np.array([idf[int(d)] for d in df_arr]) * b["tf"].to_numpy()
+        out = b[["doc_id", "tok", "tf"]].copy()
+        out["tfidf_e6"] = pd.array(
+            np.round(vals * 1e6).astype(np.int64), dtype="int64"
+        )
+        return out
+
+    scored = joined.map_batches(score, batch_format="pandas", batch_size=None).sort(
+        ["doc_id", "tfidf_e6", "tok"], descending=[False, True, False]
+    )
+
+    cols = ["doc_id", "tok", "tf", "tfidf_e6", "rank"]
+
+    def headk(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    **{c: pd.array([], dtype="int64") for c in ["doc_id", "tf", "tfidf_e6", "rank"]},
+                    "tok": pd.Series([], dtype="object"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )[cols + ["is_edge"]]
+        d = df["doc_id"].to_numpy()
+        flagged = (d == d[0]) | (d == d[-1])
+        inner = df[~flagged]
+        di = inner["doc_id"].to_numpy()
+        ni = len(inner)
+        new_doc = np.ones(ni, dtype=bool)
+        new_doc[1:] = di[1:] != di[:-1]
+        first_pos = np.where(new_doc, np.arange(ni), 0)
+        np.maximum.accumulate(first_pos, out=first_pos)
+        rank = np.arange(ni) - first_pos + 1
+        interior = inner[rank <= k].copy()
+        interior["rank"] = pd.array(rank[rank <= k], dtype="int64")
+        interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
+        edge = df[flagged].copy()
+        edge["rank"] = pd.array([0] * len(edge), dtype="int64")
+        edge["is_edge"] = pd.array([True] * len(edge), dtype="bool")
+        return pd.concat([interior[cols + ["is_edge"]], edge[cols + ["is_edge"]]],
+                         ignore_index=True)
+
+    flagged = scored.map_batches(headk, batch_format="pandas", batch_size=None).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf_e6", "tok"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .groupby("doc_id")
+        .map_groups(edge_topk, batch_format="pandas")
+    )
+    return interior.union(edges)

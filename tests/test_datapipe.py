@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
-    "dedup_components",
+    "dedup_components", "doc_tfidf",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -457,3 +457,38 @@ def test_connected_components_empty_and_long_path():
     out = connected_components(rd.from_pandas(path).repartition(5)).to_pandas()
     assert set(out["component"]) == {0}
     assert sorted(out["doc_id"]) == list(range(n))
+
+
+def test_doc_tfidf_matches_brute_force_across_partitions():
+    import math
+
+    from medknowledgegraph_ray.stages import tfidf
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = [(i, " ".join(rng.choice(vocab, size=20))) for i in range(60)]
+    n = len(rows)
+    # brute-force expectation
+    tf_maps = {i: {} for i, _ in rows}
+    for i, text in rows:
+        for t in text.split():
+            tf_maps[i][t] = tf_maps[i].get(t, 0) + 1
+    df = {}
+    for m in tf_maps.values():
+        for t in m:
+            df[t] = df.get(t, 0) + 1
+    expect = {}
+    for i, m in tf_maps.items():
+        scored = sorted(
+            ((int(round(c * math.log(n / df[t]) * 1e6)), t, c) for t, c in m.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        expect[i] = [(t, c, s, r + 1) for r, (s, t, c) in enumerate(scored)]
+    # many small blocks force df rows and tf rows of hot tokens to
+    # straddle exchange-block edges (the repair path)
+    out = tfidf.doc_tfidf(_docs(rows).repartition(8)).to_pandas()
+    got = {}
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("rank")
+        got[doc_id] = list(zip(g["tok"], g["tf"], g["tfidf_e6"], g["rank"]))
+    assert got == expect
