@@ -234,6 +234,15 @@ def _doc_tfidf(sf_dir: str):
     return tfidf.doc_tfidf(_docs(sf_dir))
 
 
+def _doc_shuffle(sf_dir: str):
+    # seeded deterministic shuffle into training shards with exact 1-based
+    # per-shard positions (stages/shuffle.py: one sort + O(blocks) driver
+    # summary pass — a distributed zipWithIndex-per-shard)
+    from medknowledgegraph_ray.stages import shuffle
+
+    return shuffle.seeded_shard_shuffle(_docs(sf_dir))
+
+
 def _doc_vocab_hll(sf_dir: str):
     # shuffle-free HLL estimate of the same count (rows-only: approximate by
     # design; tests/test_datapipe.py pins it inside the exact count's
@@ -523,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
         "doc_tfidf": _doc_tfidf,
+        "doc_shuffle": _doc_shuffle,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
@@ -858,6 +868,21 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY doc_id ORDER BY tfidf_e6 DESC, tok) AS BIGINT) AS rank"
             "  FROM scored)"
             " SELECT doc_id, tok, tf, tfidf_e6, rank FROM ranked WHERE rank <= 5"
+        ),
+        # seeded shard shuffle: same md5-u64 key construction as the engine
+        # (first 8 md5 bytes big-endian), shard = key mod 8, position =
+        # row_number within shard over (skey, doc_id)
+        "doc_shuffle": (
+            "WITH keyed AS (SELECT doc_id,"
+            "  CAST(('0x' || substr(md5('20260817:' || doc_id), 1, 16))"
+            "       AS UBIGINT) AS skey"
+            " FROM documents),"
+            " sharded AS (SELECT doc_id, skey,"
+            "  CAST(skey % 8 AS BIGINT) AS shard FROM keyed)"
+            " SELECT doc_id, skey, shard,"
+            "  CAST(row_number() OVER (PARTITION BY shard"
+            "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
+            " FROM sharded"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

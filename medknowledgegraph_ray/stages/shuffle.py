@@ -1,0 +1,140 @@
+"""Deterministic seeded shuffle into training shards, with exact per-shard
+row positions.
+
+The export step of a training-data pipeline: a reproducible global
+permutation of the corpus, bucketed into shards, where every row knows its
+exact position inside its shard (so a downstream loader can seek, split,
+or resume mid-shard).  `random_shuffle()` can't do this — it is neither
+seeded-stable across runs at fixed cluster shape nor position-assigning.
+
+Shape:
+- shuffle key = first 8 bytes (big-endian) of md5(seed ":" doc_id) —
+  vectorized via hashlib over the batch, identical to DuckDB's
+  CAST(('0x' || substr(md5(...), 1, 16)) AS UBIGINT);
+- shard = key mod n_shards; ONE global sort on (shard, key, doc_id);
+- positions are a distributed zipWithIndex-per-shard: each sorted block
+  enumerates its shard-runs locally, then a driver pass over the O(blocks)
+  per-block summaries (first row tuple + per-shard counts) computes each
+  block's per-shard starting offsets, broadcast back and added in a second
+  map pass.  Driver state is O(blocks × shards-per-block), never row data.
+
+A key tuple is unique per row, so a block boundary can split a shard but
+never a key — block-local counts are exact and offsets compose exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _shuffle_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(f"{seed}:{d}".encode()).digest()[:8], "big")
+            for d in doc_ids
+        ],
+        dtype=np.uint64,
+    )
+
+
+def seeded_shard_shuffle(
+    docs: rd.Dataset, seed: int = 20260817, n_shards: int = 8
+) -> rd.Dataset:
+    """documents(doc_id, ...) → (doc_id, skey, shard, pos): a seeded,
+    run-stable global permutation; pos is 1-based within (shard) ordered
+    by (skey, doc_id)."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        keys = _shuffle_keys(ids, seed)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "skey": pd.array(keys, dtype="uint64"),
+                "shard": pd.array((keys % n_shards).astype(np.int64), dtype="int64"),
+            }
+        )
+
+    s = (
+        docs.select_columns(["doc_id"])
+        .map_batches(keyed, batch_format="pandas", batch_size=None)
+        .sort(["shard", "skey", "doc_id"])
+        .materialize()
+    )
+
+    # pass 1: O(blocks) summaries — each block's first row tuple (unique,
+    # identifies the block across passes) and its per-shard row counts
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "first_shard": pd.array([], dtype="int64"),
+                    "first_skey": pd.array([], dtype="uint64"),
+                    "first_doc": pd.array([], dtype="int64"),
+                    "shard": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        counts = b.groupby("shard", sort=True).size()
+        m = len(counts)
+        return pd.DataFrame(
+            {
+                "first_shard": pd.array([int(b["shard"].iloc[0])] * m, dtype="int64"),
+                "first_skey": pd.array([b["skey"].iloc[0]] * m, dtype="uint64"),
+                "first_doc": pd.array([int(b["doc_id"].iloc[0])] * m, dtype="int64"),
+                "shard": pd.array(counts.index.to_numpy(), dtype="int64"),
+                "n": pd.array(counts.to_numpy(), dtype="int64"),
+            }
+        )
+
+    summaries = s.map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    # blocks in global sort order = summaries ordered by their first tuple
+    order = summaries.sort_values(
+        ["first_shard", "first_skey", "first_doc"], kind="mergesort"
+    )
+    offsets: dict[tuple[int, int, int], dict[int, int]] = {}
+    running: dict[int, int] = {}
+    for (fs, fk, fd), g in order.groupby(
+        ["first_shard", "first_skey", "first_doc"], sort=False
+    ):
+        blk = {}
+        for shard, n in zip(g["shard"], g["n"]):
+            blk[int(shard)] = running.get(int(shard), 0)
+            running[int(shard)] = running.get(int(shard), 0) + int(n)
+        offsets[(int(fs), int(fk), int(fd))] = blk
+    off_ref = ray.put(offsets)
+
+    # pass 2: local enumeration per shard-run + the block's broadcast offset
+    def enumerate_block(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "skey": pd.array([], dtype="uint64"),
+                    "shard": pd.array([], dtype="int64"),
+                    "pos": pd.array([], dtype="int64"),
+                }
+            )
+        key = (int(b["shard"].iloc[0]), int(b["skey"].iloc[0]), int(b["doc_id"].iloc[0]))
+        blk = ray.get(off_ref)[key]
+        sh = b["shard"].to_numpy()
+        n = len(b)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = sh[1:] != sh[:-1]
+        first_pos = np.where(new_run, np.arange(n), 0)
+        np.maximum.accumulate(first_pos, out=first_pos)
+        local = np.arange(n) - first_pos  # 0-based within this block's run
+        base = np.array([blk[int(x)] for x in sh[new_run]], dtype=np.int64)
+        run_base = np.repeat(base, np.diff(np.append(np.flatnonzero(new_run), n)))
+        out = b[["doc_id", "skey", "shard"]].copy()
+        out["pos"] = pd.array(run_base + local + 1, dtype="int64")
+        return out
+
+    return s.map_batches(enumerate_block, batch_format="pandas", batch_size=None)

@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
-    "dedup_components", "doc_tfidf",
+    "dedup_components", "doc_tfidf", "doc_shuffle",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -492,3 +492,27 @@ def test_doc_tfidf_matches_brute_force_across_partitions():
         g = g.sort_values("rank")
         got[doc_id] = list(zip(g["tok"], g["tf"], g["tfidf_e6"], g["rank"]))
     assert got == expect
+
+
+def test_seeded_shuffle_positions_exact_and_partition_stable():
+    from medknowledgegraph_ray.stages import shuffle
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    outs = []
+    for nparts in (1, 7):
+        out = (
+            shuffle.seeded_shard_shuffle(_docs(rows).repartition(nparts),
+                                         seed=42, n_shards=4)
+            .to_pandas()
+            .sort_values(["shard", "pos"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        # per shard: pos is exactly 1..n and ordered by (skey, doc_id)
+        for _, g in out.groupby("shard"):
+            assert g["pos"].tolist() == list(range(1, len(g) + 1))
+            keys = list(zip(g["skey"], g["doc_id"]))
+            assert keys == sorted(keys)
+        assert set(out["doc_id"]) == set(range(300))
+    # the permutation is identical regardless of input partitioning
+    assert outs[0].equals(outs[1])
