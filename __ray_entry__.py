@@ -254,6 +254,12 @@ def _ev_quantiles(sf_dir: str):
     return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
 
 
+def _ev_running(sf_dir: str):
+    # ROWS-frame window aggregates: per-user cumulative sum + 3-row rolling
+    # sum (windows.running_aggregates — sorted-exchange + edge repair)
+    return windows.running_aggregates(readers.read_table(sf_dir, "events"))
+
+
 def _ev_asof_state(sf_dir: str):
     # two-table as-of join: each click gets the user's latest purchase
     # at-or-before it (DuckDB ASOF JOIN semantics, inner)
@@ -546,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_sessionize": _ev_sessionize,
         "ev_asof_prev": _ev_asof,
         "ev_range_join": _ev_range_join,
+        "ev_running": _ev_running,
         "ev_user_quantiles": _ev_quantiles,
         "ev_asof_state": _ev_asof_state,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
@@ -883,6 +890,17 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(row_number() OVER (PARTITION BY shard"
             "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
             " FROM sharded"
+        ),
+        "ev_running": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events)"
+            " SELECT user_id, event_id, ts_us, value_e6,"
+            "  CAST(SUM(value_e6) OVER (PARTITION BY user_id ORDER BY ts_us,"
+            "   event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e6,"
+            "  CAST(SUM(value_e6) OVER (PARTITION BY user_id ORDER BY ts_us,"
+            "   event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            "   AS roll_value_e6"
+            " FROM e"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

@@ -115,6 +115,29 @@ def run_bench() -> dict:
         t0 = time.time()
         _w.grouped_quantiles(_r.read_table(sf_dir, "events")).count()
         queries["ev_user_quantiles"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import components as _cc
+        from medknowledgegraph_ray.stages import shuffle as _sh
+        from medknowledgegraph_ray.stages import tfidf as _tfidf
+
+        t0 = time.time()
+        _cc.connected_components(_dd.ngram_jaccard_dedup(docs())).count()
+        queries["dedup_components"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _tfidf.doc_tfidf(docs()).count()
+        queries["doc_tfidf"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _sh.seeded_shard_shuffle(docs()).count()
+        queries["doc_shuffle"] = round(time.time() - t0, 3)
+        # range join incl. deriving the session intervals it consumes
+        import importlib.util as _ilu
+
+        spec = _ilu.spec_from_file_location("_bench_entry", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "__ray_entry__.py"))
+        _entry = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(_entry)
+        t0 = time.time()
+        _entry.queries()["ev_range_join"](sf_dir).count()
+        queries["ev_range_join"] = round(time.time() - t0, 3)
         from medknowledgegraph_ray.stages import sketch as _sk
 
         t0 = time.time()

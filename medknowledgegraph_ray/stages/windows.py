@@ -453,3 +453,82 @@ def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
         .map_groups(edge_sessions, batch_format="pandas")
     )
     return interior.union(edges)
+
+
+def running_aggregates(events: rd.Dataset, w: int = 3) -> rd.Dataset:
+    """Per-user running window frames: cumulative sum and a w-row rolling
+    sum of value, both in integer micro-units — the ROWS-frame window
+    aggregate (SUM OVER ... ROWS BETWEEN) Ray Data lacks.
+
+    Same scale shape as asof_prev/sessionize: ONE global sort on
+    (user_id, ts_us, event_id), a vectorized cumsum pass per block for
+    every interior user, per-user repair only for the ≤2 users touching a
+    block edge."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .sort(["user_id", "ts_us", "event_id"])
+    )
+
+    def frames_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        """cumsum + rolling-w sum over a frame sorted by (user, ts, id)."""
+        n = len(df)
+        u = df["user_id"].to_numpy()
+        v = df["value_e6"].to_numpy()
+        if n == 0:
+            return df.assign(cum_value_e6=pd.array([], dtype="int64"),
+                             roll_value_e6=pd.array([], dtype="int64"))
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        cs = np.cumsum(v)
+        # cumulative sum within each user run
+        run_first = np.where(new, np.arange(n), 0)
+        np.maximum.accumulate(run_first, out=run_first)
+        base = cs[run_first] - v[run_first]
+        cum = cs - base
+        # rolling w-row sum: cs[i] - cs[i-w] where the frame fits, else cum
+        rank = np.arange(n) - run_first + 1
+        prev = np.arange(n) - w
+        fits = rank > w
+        roll = np.where(fits, cs - cs[np.maximum(prev, 0)], cum)
+        return df.assign(cum_value_e6=cum.astype("int64"),
+                         roll_value_e6=roll.astype("int64"))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(cum_value_e6=pd.array([], dtype="int64"),
+                             roll_value_e6=pd.array([], dtype="int64"),
+                             is_edge=pd.array([], dtype="bool"))
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge = df["user_id"].isin({first, last}).to_numpy()
+        return frames_sorted(df).assign(is_edge=edge)
+
+    flagged = s.map_batches(split, batch_format="pandas").materialize()
+    cols = ["user_id", "event_id", "ts_us", "value_e6",
+            "cum_value_e6", "roll_value_e6"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_frames(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        return frames_sorted(g)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols[:4]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_frames, batch_format="pandas")
+    )
+    return interior.union(edges)

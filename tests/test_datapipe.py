@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "dedup_ngram", "ann_topk", "mm_metadata", "ev_tumbling", "ev_sliding", "ev_top_events",
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
-    "dedup_components", "doc_tfidf", "doc_shuffle",
+    "dedup_components", "doc_tfidf", "doc_shuffle", "ev_running",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -516,3 +516,26 @@ def test_seeded_shuffle_positions_exact_and_partition_stable():
         assert set(out["doc_id"]) == set(range(300))
     # the permutation is identical regardless of input partitioning
     assert outs[0].equals(outs[1])
+
+
+def test_running_aggregates_window_frames():
+    # user 7: values 1,2,3,4 → cum 1,3,6,10; roll-3 1,3,6,9
+    base = 1_700_000_000_000_000
+    ds = _events([
+        (1, 7, base + 1_000_000, 1.0),
+        (2, 7, base + 2_000_000, 2.0),
+        (3, 7, base + 3_000_000, 3.0),
+        (4, 7, base + 4_000_000, 4.0),
+        (5, 9, base, 10.0),
+    ])
+    out = (
+        windows.running_aggregates(ds.repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+    )
+    u7 = out[out["user_id"] == 7]
+    assert u7["cum_value_e6"].tolist() == [1_000_000, 3_000_000, 6_000_000, 10_000_000]
+    assert u7["roll_value_e6"].tolist() == [1_000_000, 3_000_000, 6_000_000, 9_000_000]
+    u9 = out[out["user_id"] == 9]
+    assert u9["cum_value_e6"].tolist() == [10_000_000]
+    assert u9["roll_value_e6"].tolist() == [10_000_000]
