@@ -166,6 +166,49 @@ def _repair_messages(deferred: list[dict], labels: rd.Dataset) -> pa.Table:
     )
 
 
+# edge counts up to this resolve driver-side (a 2M-row gather is ~32 MB);
+# row-identical to the distributed rounds — tests force both paths
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _components_driver_side(edges: rd.Dataset) -> rd.Dataset:
+    """Union-find over a gathered (already symmetric) edge list."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        for u, v in zip(
+            batch["node"].to_numpy(zero_copy_only=False),
+            batch["val"].to_numpy(zero_copy_only=False),
+        ):
+            u, v = int(u), int(v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the representative IS the component min
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+    nodes = sorted(parent)
+    out = pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(n) for n in nodes], pa.int64()),
+        },
+        schema=_OUT_SCHEMA,
+    )
+    return rd.from_arrow(out)
+
+
 def connected_components(
     pairs: rd.Dataset,
     col_a: str = "doc_a",
@@ -180,8 +223,14 @@ def connected_components(
     non-converged rounds rather than returning a partial labeling.
     """
     edges = _symmetric_edges(pairs, col_a, col_b).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(_OUT_SCHEMA.empty_table())
+    if n_edges <= SMALL_GRAPH_EDGES:
+        # size gate (the dedupe.SMALL_VERIFY_IDS pattern): a pair graph this
+        # small costs more in per-round exchange latency than a driver-side
+        # union-find; the distributed rounds are the ≥100-TB path
+        return _components_driver_side(edges)
 
     def lab_rows(t: pa.Table) -> pa.Table:
         """Current labels as lookup rows PLUS pointer-jump requests.

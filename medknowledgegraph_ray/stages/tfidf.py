@@ -176,16 +176,95 @@ def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
     return interior.union(rd.from_pandas(rep))
 
 
+# vocab sizes up to this broadcast as one DF dict per worker (a 2M-entry
+# str->int dict is ~200 MB — the same gate scale as the canonicalize and
+# linker funnels); beyond it the sorted-exchange join path runs
+VOCAB_BROADCAST_MAX = 2_000_000
+
+
+def _tfidf_broadcast(
+    docs: rd.Dataset, df_rows: rd.Dataset, n_docs: int, k: int
+) -> rd.Dataset:
+    """Exchange-free scoring + top-k: DF as a broadcast dict and a second
+    tokenization pass over the documents themselves — a document is ONE
+    input row, so the per-doc top-k is batch-local by definition (no
+    contiguity assumption that dynamic block splitting could break)."""
+    df_ref = ray.put(
+        {
+            tok: int(df)
+            for b in df_rows.iter_batches(batch_format="pandas")
+            for tok, df in zip(b["tok"], b["df"])
+        }
+    )
+
+    class ScoreTopK:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+            self.idf: dict[int, float] = {}
+
+        def _idf(self, d: int) -> float:
+            v = self.idf.get(d)
+            if v is None:
+                v = self.idf[d] = math.log(n_docs / d)
+            return v
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            dfm = self.df
+            ids: list[int] = []
+            toks: list[str] = []
+            tfs: list[int] = []
+            e6s: list[int] = []
+            ranks: list[int] = []
+            for doc_id, text in zip(b["doc_id"], b["text"].fillna("")):
+                counts: dict[str, int] = {}
+                for t in textfn.TOKEN_RE.findall(text.lower()):
+                    counts[t] = counts.get(t, 0) + 1
+                top = sorted(
+                    (
+                        (-int(round(c * self._idf(dfm[t]) * 1e6)), t, c)
+                        for t, c in counts.items()
+                    )
+                )[:k]
+                for r, (neg_e6, t, c) in enumerate(top, 1):
+                    ids.append(int(doc_id))
+                    toks.append(t)
+                    tfs.append(c)
+                    e6s.append(-neg_e6)
+                    ranks.append(r)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "tok": pd.Series(toks, dtype="object"),
+                    "tf": pd.array(tfs, dtype="int64"),
+                    "tfidf_e6": pd.array(e6s, dtype="int64"),
+                    "rank": pd.array(ranks, dtype="int64"),
+                }
+            )
+
+    # instance (driver-built, trivial state) per the actor-vs-instance
+    # note in the package __init__
+    return docs.map_batches(ScoreTopK(), batch_format="pandas")
+
+
 def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
     """documents(doc_id, text) → the k highest-TF-IDF terms per document:
     (doc_id, tok, tf, tfidf_e6, rank), ranked by score desc then tok asc.
 
     tfidf_e6 = round(tf · ln(N/df) · 1e6) in int64 micro-units; N = total
     document count, df = documents containing the term.
+
+    Two row-identical paths, vocab-gated: a broadcastable vocabulary skips
+    BOTH remaining exchanges — DF ships once per worker via ray.put and,
+    because TF rows are doc-contiguous by construction (a document never
+    crosses a map batch), the per-doc top-k is batch-local with no sort.
+    A larger-than-broadcast vocabulary takes the sorted-exchange DF join +
+    sorted head-k path.
     """
     n_docs = docs.count()
     tf_rows = _tf_rows(docs).materialize()
     df_rows = grouped_agg(tf_rows, ["tok"], [("doc_id", "count", "df")]).materialize()
+    if df_rows.count() <= VOCAB_BROADCAST_MAX:
+        return _tfidf_broadcast(docs, df_rows, n_docs, k)
     joined = _attach_df(tf_rows, df_rows)
 
     def score(b: pd.DataFrame) -> pd.DataFrame:

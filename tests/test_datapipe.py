@@ -418,9 +418,12 @@ def test_inverted_index_matches_brute_force():
         assert out.loc[tok, "n_docs"] == len(ids)
 
 
-def test_connected_components_chain_triangle_and_merge():
-    from medknowledgegraph_ray.stages.components import connected_components
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_chain_triangle_and_merge(force_distributed, monkeypatch):
+    from medknowledgegraph_ray.stages import components
 
+    if force_distributed:
+        monkeypatch.setattr(components, "SMALL_GRAPH_EDGES", -1)
     # chain 1-2-3-4 (diameter 3 forces >1 propagation round), triangle
     # 20-21-22, and a pair (5, 30) that shares no structure with either
     pairs = pd.DataFrame(
@@ -431,7 +434,7 @@ def test_connected_components_chain_triangle_and_merge():
     )
     for nparts in (1, 4):
         out = (
-            connected_components(rd.from_pandas(pairs).repartition(nparts))
+            components.connected_components(rd.from_pandas(pairs).repartition(nparts))
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
@@ -442,8 +445,11 @@ def test_connected_components_chain_triangle_and_merge():
         assert got == expect
 
 
-def test_connected_components_empty_and_long_path():
-    from medknowledgegraph_ray.stages.components import connected_components
+def test_connected_components_empty_and_long_path(monkeypatch):
+    from medknowledgegraph_ray.stages import components
+
+    monkeypatch.setattr(components, "SMALL_GRAPH_EDGES", -1)
+    connected_components = components.connected_components
 
     empty = rd.from_pandas(
         pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
@@ -539,3 +545,15 @@ def test_running_aggregates_window_frames():
     u9 = out[out["user_id"] == 9]
     assert u9["cum_value_e6"].tolist() == [10_000_000]
     assert u9["roll_value_e6"].tolist() == [10_000_000]
+
+
+def test_tfidf_broadcast_and_exchange_paths_row_identical(monkeypatch):
+    from medknowledgegraph_ray.stages import tfidf
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [(i, " ".join(rng.choice(vocab, size=25))) for i in range(80)]
+    fast = _norm(tfidf.doc_tfidf(_docs(rows).repartition(5)).to_pandas())
+    monkeypatch.setattr(tfidf, "VOCAB_BROADCAST_MAX", -1)  # force exchange path
+    slow = _norm(tfidf.doc_tfidf(_docs(rows).repartition(5)).to_pandas())
+    assert fast.equals(slow)
