@@ -254,6 +254,33 @@ def _ev_quantiles(sf_dir: str):
     return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
 
 
+def _ev_histogram(sf_dir: str):
+    # fixed-width value histogram: map-only bucketing + the partial-agg
+    # sorted exchange (groupagg.grouped_agg) — one row per bucket crosses
+    import pandas as _pd
+
+    from medknowledgegraph_ray.stages.groupagg import grouped_agg
+
+    ev = readers.read_table(sf_dir, "events", columns=["value"])
+
+    def bucketize(b: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as _np
+
+        e6 = _np.round(b["value"].to_numpy() * 1e6).astype("int64")
+        return _pd.DataFrame(
+            {
+                "bucket": _pd.array(_np.floor_divide(e6, 500_000), dtype="int64"),
+                "one": _pd.array(_np.ones(len(b), dtype=_np.int64), dtype="int64"),
+            }
+        )
+
+    return grouped_agg(
+        ev.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"],
+        [("one", "sum", "n_events")],
+    )
+
+
 def _ev_running(sf_dir: str):
     # ROWS-frame window aggregates: per-user cumulative sum + 3-row rolling
     # sum (windows.running_aggregates — sorted-exchange + edge repair)
@@ -364,6 +391,23 @@ def _dedup_components(sf_dir: str):
     # propagation, stages/components.py) over the recall-1 exact-Jaccard
     # pair graph — component = min reachable doc_id
     return components.connected_components(dedupe.ngram_jaccard_dedup(_docs(sf_dir)))
+
+
+def _doc_keep(sf_dir: str):
+    # the canonical corpus after transitive dedup: every doc minus the
+    # non-representative members of each near-dup component — a sorted-
+    # exchange anti-join (stages/setops.py), never a broadcast NOT-IN
+    from medknowledgegraph_ray.stages import setops
+
+    comp = components.connected_components(dedupe.ngram_jaccard_dedup(_docs(sf_dir)))
+
+    def dropped(b):
+        return b[b["doc_id"] != b["component"]][["doc_id"]]
+
+    drop_ids = comp.map_batches(dropped, batch_format="pandas")
+    return setops.anti_join_ids(
+        readers.read_table(sf_dir, "documents", columns=["doc_id"]), drop_ids
+    )
 
 
 def _dedup_simhash(sf_dir: str):
@@ -543,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_components": _dedup_components,
+        "doc_keep": _doc_keep,
         "ann_topk": _ann_topk,
         "mm_metadata": _mm_metadata,
         # ---- windowed / ordered-log operators (events) ----
@@ -553,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_asof_prev": _ev_asof,
         "ev_range_join": _ev_range_join,
         "ev_running": _ev_running,
+        "ev_histogram": _ev_histogram,
         "ev_user_quantiles": _ev_quantiles,
         "ev_asof_state": _ev_asof_state,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
@@ -561,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_orders_by_status": analytics.orders_by_status,
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
         "join_region_counts": analytics.nation_region_counts,
+        "agg_rollup": analytics.lineitem_rollup,
         # ---- rows-only entries (no DuckDB oracle by design: approximate
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
@@ -890,6 +937,39 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(row_number() OVER (PARTITION BY shard"
             "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
             " FROM sharded"
+        ),
+        "ev_histogram": (
+            "WITH b AS (SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT)"
+            "  / 500000.0) AS BIGINT) AS bucket FROM events)"
+            " SELECT bucket, CAST(count(*) AS BIGINT) AS n_events"
+            " FROM b GROUP BY bucket"
+        ),
+        # anti-join: corpus minus the non-representative members of each
+        # transitive near-dup component (same recursive CTE as
+        # dedup_components)
+        "doc_keep": (
+            "WITH RECURSIVE pairs AS (" + _PAIRWISE_JACCARD_SQL + "),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(u, v) AS ("
+            "  SELECT u, u FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),"
+            " comp AS (SELECT u AS doc_id, MIN(v) AS component"
+            "  FROM reach GROUP BY u)"
+            " SELECT doc_id FROM documents WHERE doc_id NOT IN"
+            "  (SELECT doc_id FROM comp WHERE doc_id <> component)"
+        ),
+        "agg_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"
+            " COALESCE(l_linestatus, 'ALL') AS l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            "  AS sum_base_price_c,"
+            " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS sum_revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "ev_running": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"

@@ -189,3 +189,24 @@ def nation_region_counts(sf_dir: str) -> rd.Dataset:
     return out.map_batches(
         lambda t: t.assign(n_customers=t["n_customers"].astype("int64")), batch_format="pandas"
     )
+
+
+def lineitem_rollup(sf_dir: str) -> "pd.DataFrame":
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): all three aggregation
+    levels, with 'ALL' marking rolled-up dimensions.
+
+    Only the finest level touches the corpus (lineitem_agg's two-phase
+    partial exchange); the coarser levels are re-aggregated from that
+    result, whose cardinality is bounded by |flag| x |status| — a few rows,
+    so the funnel is key-bounded, not corpus-bounded."""
+    fin = lineitem_agg(sf_dir).to_pandas()
+    vals = ["sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"]
+    lvl1 = fin.groupby("l_returnflag", as_index=False)[vals].sum()
+    lvl1.insert(1, "l_linestatus", "ALL")
+    lvl0 = fin[vals].sum().to_frame().T
+    lvl0.insert(0, "l_returnflag", "ALL")
+    lvl0.insert(1, "l_linestatus", "ALL")
+    out = pd.concat([fin, lvl1, lvl0], ignore_index=True)
+    for c in vals:
+        out[c] = out[c].astype("int64")
+    return out

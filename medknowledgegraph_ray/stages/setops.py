@@ -1,0 +1,87 @@
+"""Distributed set operations on id columns — anti-join (EXCEPT) first.
+
+The anti-join is the "apply the blocklist" step of a dedup pipeline:
+corpus ids MINUS the ids marked for removal.  Ray Data has no join, and a
+broadcast NOT-IN set stops being broadcastable when the removal side is a
+corpus fraction (transitive dedup at 100 TB drops 10–40% of documents), so
+this rides the same single sorted exchange as every other keyed operator
+here:
+
+- union left rows (kind 0) and right rows (kind 1), ONE global sort on
+  (key, kind);
+- per block, a left id is kept iff no right row shares its key — after the
+  sort a key's rows are contiguous, so interior keys resolve with one
+  vectorized isin/searchsorted;
+- rows at a block's first/last key defer; every block containing a flagged
+  key flags it too, so the driver sees each deferred key's COMPLETE row
+  set and resolves it exactly (O(blocks) keys, bounded by 2 per block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def anti_join_ids(
+    left: rd.Dataset, right: rd.Dataset, key: str = "doc_id"
+) -> rd.Dataset:
+    """ids in `left` (column `key`) that never appear in `right` (same
+    column).  Left ids are assumed unique (they are ids); right may hold
+    duplicates."""
+
+    def tag(kind: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": b[key].astype("int64"),
+                    "kind": pd.array(np.full(len(b), kind, dtype=np.int8), dtype="int8"),
+                }
+            )
+
+        return f
+
+    unioned = (
+        left.map_batches(tag(0), batch_format="pandas", batch_size=None)
+        .union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+        .sort(["key", "kind"])
+    )
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.array([], dtype="int64"),
+                    "kind": pd.array([], dtype="int8"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )
+        k = b["key"].to_numpy()
+        kind = b["kind"].to_numpy()
+        flagged = (k == k[0]) | (k == k[-1])
+        blocked = np.unique(k[(kind == 1) & ~flagged])
+        keep = (kind == 0) & ~flagged & ~np.isin(k, blocked)
+        out = b[keep | flagged].copy()
+        out["is_edge"] = pd.array(flagged[keep | flagged], dtype="bool")
+        return out
+
+    flagged = unioned.map_batches(
+        resolve, batch_format="pandas", batch_size=None
+    ).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda b: pd.DataFrame({key: b["key"].astype("int64")}),
+        batch_format="pandas",
+    )
+    deferred = flagged.filter(expr="is_edge == True").take_all()
+    if not deferred:
+        return interior
+    seen_right = {int(r["key"]) for r in deferred if r["kind"] == 1}
+    kept = sorted(
+        {int(r["key"]) for r in deferred if r["kind"] == 0} - seen_right
+    )
+    if not kept:
+        return interior
+    rep = pd.DataFrame({key: pd.array(kept, dtype="int64")})
+    return interior.union(rd.from_pandas(rep))

@@ -22,6 +22,7 @@ SQL_CHECKED = [
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
     "dedup_components", "doc_tfidf", "doc_shuffle", "ev_running",
+    "ev_histogram", "doc_keep", "agg_rollup",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -557,3 +558,21 @@ def test_tfidf_broadcast_and_exchange_paths_row_identical(monkeypatch):
     monkeypatch.setattr(tfidf, "VOCAB_BROADCAST_MAX", -1)  # force exchange path
     slow = _norm(tfidf.doc_tfidf(_docs(rows).repartition(5)).to_pandas())
     assert fast.equals(slow)
+
+
+def test_anti_join_ids_across_partitions():
+    from medknowledgegraph_ray.stages import setops
+
+    left = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array(range(100), dtype="int64")})
+    ).repartition(6)
+    # right holds duplicates and ids absent from left
+    right = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array(
+            [3, 3, 7, 50, 51, 51, 200, 201], dtype="int64")})
+    ).repartition(3)
+    out = setops.anti_join_ids(left, right).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(range(100)) - {3, 7, 50, 51})
+    # empty right keeps everything
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
+    assert setops.anti_join_ids(left, empty).count() == 100
