@@ -570,29 +570,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_edges": kg.tool_edges,
         "kg_mentions_hourly": kg.hourly_mentions,
         # ---- training-data pipeline operators (documents/embeddings) ----
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _lang_id,
-        "doc_quality": _quality,
-        "doc_tokens_bpe": _tokens_bpe,
-        "doc_sample": _doc_sample,
+        # entries 29-50: every oracle-checked pipeline the r2 driver file
+        # never recorded (a driver that caps CORRECTNESS at 50 rows would
+        # otherwise drop them; the r2-verified remainder moves below —
+        # tools/check_oracles.py still sweeps ALL entries)
         "doc_split": _doc_split,
-        "doc_fingerprints": _fingerprints,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_simhash_groups": _dedup_simhash_groups,
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
         "doc_tfidf": _doc_tfidf,
         "doc_shuffle": _doc_shuffle,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash": _dedup_minhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_components": _dedup_components,
         "doc_keep": _doc_keep,
-        "ann_topk": _ann_topk,
-        "mm_metadata": _mm_metadata,
         # ---- windowed / ordered-log operators (events) ----
-        "ev_tumbling": _ev_tumbling,
-        "ev_sliding": _ev_sliding,
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
         "ev_asof_prev": _ev_asof,
@@ -608,6 +598,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
         "join_region_counts": analytics.nation_region_counts,
         "agg_rollup": analytics.lineitem_rollup,
+        # oracle-checked entries already recorded green in CORRECTNESS_r02
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_quality": _quality,
+        "doc_tokens_bpe": _tokens_bpe,
+        "doc_sample": _doc_sample,
+        "doc_fingerprints": _fingerprints,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_groups": _dedup_simhash_groups,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "ann_topk": _ann_topk,
+        "mm_metadata": _mm_metadata,
+        "ev_tumbling": _ev_tumbling,
+        "ev_sliding": _ev_sliding,
         # ---- rows-only entries (no DuckDB oracle by design: approximate
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
