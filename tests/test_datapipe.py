@@ -22,7 +22,7 @@ SQL_CHECKED = [
     "ev_sessionize", "ev_asof_prev", "ev_range_join", "doc_tokens_bpe", "doc_sample",
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
     "dedup_components", "doc_tfidf", "doc_shuffle", "ev_running",
-    "ev_histogram", "doc_keep", "agg_rollup",
+    "ev_histogram", "doc_keep", "agg_rollup", "join_customer_orders",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -576,3 +576,33 @@ def test_anti_join_ids_across_partitions():
     # empty right keeps everything
     empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
     assert setops.anti_join_ids(left, empty).count() == 100
+
+
+def test_equi_join_matches_pandas_merge():
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    rng = np.random.RandomState(13)
+    build_df = pd.DataFrame({
+        "k": pd.array(range(0, 60, 2), dtype="int64"),       # even keys only
+        "name": [f"n{i}" for i in range(30)],
+    })
+    probe_df = pd.DataFrame({
+        "k": pd.array(rng.randint(0, 60, size=400), dtype="int64"),
+        "v": pd.array(range(400), dtype="int64"),
+    })
+    out = (
+        equi_join(
+            rd.from_pandas(build_df).repartition(4),
+            rd.from_pandas(probe_df).repartition(7),
+            "k", ["name"], ["v"],
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        probe_df.merge(build_df, on="k", how="inner")[["k", "name", "v"]]
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert out[["k", "name", "v"]].equals(exp)
