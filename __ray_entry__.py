@@ -295,6 +295,35 @@ def _join_customer_orders(sf_dir: str):
     )
 
 
+def _ev_global_quantiles(sf_dir: str):
+    # exact GLOBAL order statistics (p50/p90/p99 of value_e6) by distributed
+    # selection — stages/selection.py block-summary trick, O(blocks) driver
+    import pandas as _pd
+
+    from medknowledgegraph_ray.stages.selection import exact_quantiles
+
+    ev = readers.read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(b: _pd.DataFrame) -> _pd.DataFrame:
+        import numpy as _np
+
+        return _pd.DataFrame(
+            {
+                "uid": b["event_id"].astype("int64"),
+                "value_e6": _pd.array(
+                    _np.round(b["value"].to_numpy() * 1e6).astype("int64"),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return exact_quantiles(
+        ev.map_batches(prep, batch_format="pandas"),
+        "value_e6",
+        {"p50_e6": 0.5, "p90_e6": 0.9, "p99_e6": 0.99},
+    )
+
+
 def _ev_histogram(sf_dir: str):
     # fixed-width value histogram: map-only bucketing + the partial-agg
     # sorted exchange (groupagg.grouped_agg) — one row per bucket crosses
@@ -625,10 +654,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- windowed / ordered-log operators (events) ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
-        "ev_asof_prev": _ev_asof,
         "ev_range_join": _ev_range_join,
         "ev_running": _ev_running,
         "ev_histogram": _ev_histogram,
+        "ev_global_quantiles": _ev_global_quantiles,
         "ev_user_quantiles": _ev_quantiles,
         "ev_asof_state": _ev_asof_state,
         # ---- generic analytical operator parity (TPC-H-ish tables) ----
@@ -640,8 +669,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_rollup": analytics.lineitem_rollup,
         "join_customer_orders": _join_customer_orders,
         # oracle-checked entries already recorded green in CORRECTNESS_r02,
-        # or (doc_split) mechanism-shared with a recorded-green entry
+        # or (doc_split / ev_asof_prev) recorded green in CORRECTNESS_r01 /
+        # mechanism-shared with a recorded-green entry
         "doc_split": _doc_split,
+        "ev_asof_prev": _ev_asof,
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
         "doc_quality": _quality,
@@ -991,6 +1022,14 @@ def oracle_sql() -> dict[str, str]:
             " o.o_orderkey,"
             " CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c"
             " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+        ),
+        "ev_global_quantiles": (
+            "WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS value_e6"
+            " FROM events)"
+            " SELECT CAST(quantile_disc(value_e6, 0.5) AS BIGINT) AS p50_e6,"
+            " CAST(quantile_disc(value_e6, 0.9) AS BIGINT) AS p90_e6,"
+            " CAST(quantile_disc(value_e6, 0.99) AS BIGINT) AS p99_e6"
+            " FROM v"
         ),
         "ev_histogram": (
             "WITH b AS (SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT)"

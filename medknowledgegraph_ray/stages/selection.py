@@ -1,0 +1,97 @@
+"""Distributed selection: exact global order statistics (quantile_disc).
+
+Grouped quantiles (windows.grouped_quantiles) pick order statistics inside
+per-key sorted runs; the GLOBAL quantile has no key to ride, so it uses
+the block-summary trick from stages/shuffle.py instead:
+
+- ONE global sort on (value, uid) — the uid tiebreak makes every row
+  tuple unique, so a block is identified across passes by its first tuple;
+- pass 1 collects O(blocks) summaries (first tuple, row count); the
+  driver orders them by first tuple (= global block order), prefix-sums
+  the counts, and maps each requested rank ceil(q·n)−1 (DuckDB's
+  quantile_disc index, the convention windows._quantiles_sorted verified)
+  to (owning block, local offset);
+- pass 2 broadcasts that O(#quantiles) map; each block emits only the
+  elements it owns.  Driver state never exceeds O(blocks + quantiles).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def exact_quantiles(
+    values: rd.Dataset, col: str, qs: dict[str, float]
+) -> pd.DataFrame:
+    """One-row DataFrame with column `name` = the exact q-quantile
+    (discrete, index ceil(q·n)−1 of the ascending sort) of int64 `col`.
+
+    `values` must carry a unique int64 `uid` column for the sort tiebreak
+    (any id column works; it never affects the selected value)."""
+
+    s = values.sort([col, "uid"]).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "first_v": pd.array([], dtype="int64"),
+                    "first_u": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "first_v": pd.array([int(b[col].iloc[0])], dtype="int64"),
+                "first_u": pd.array([int(b["uid"].iloc[0])], dtype="int64"),
+                "n": pd.array([len(b)], dtype="int64"),
+            }
+        )
+
+    summ = (
+        s.map_batches(summarize, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["first_v", "first_u"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n_total = int(summ["n"].sum())
+    if n_total == 0:
+        raise ValueError("exact_quantiles: empty input")
+    offsets = np.concatenate([[0], np.cumsum(summ["n"].to_numpy())[:-1]])
+    # rank -> (block first tuple) -> local offset
+    wanted: dict[tuple[int, int], dict[int, list[str]]] = {}
+    for name, q in qs.items():
+        rank = math.ceil(n_total * q) - 1 if q > 0 else 0
+        rank = min(max(rank, 0), n_total - 1)
+        blk = int(np.searchsorted(offsets, rank, side="right") - 1)
+        key = (int(summ["first_v"].iloc[blk]), int(summ["first_u"].iloc[blk]))
+        wanted.setdefault(key, {}).setdefault(int(rank - offsets[blk]), []).append(name)
+    want_ref = ray.put(wanted)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"name": pd.Series([], dtype="object"),
+                                 "value": pd.array([], dtype="int64")})
+        key = (int(b[col].iloc[0]), int(b["uid"].iloc[0]))
+        mine = ray.get(want_ref).get(key)
+        if not mine:
+            return pd.DataFrame({"name": pd.Series([], dtype="object"),
+                                 "value": pd.array([], dtype="int64")})
+        names, vals = [], []
+        for off, labels in mine.items():
+            v = int(b[col].iloc[off])
+            for lb in labels:
+                names.append(lb)
+                vals.append(v)
+        return pd.DataFrame({"name": pd.Series(names, dtype="object"),
+                             "value": pd.array(vals, dtype="int64")})
+
+    rows = s.map_batches(extract, batch_format="pandas", batch_size=None).to_pandas()
+    out = {name: pd.array([int(v)], dtype="int64")
+           for name, v in zip(rows["name"], rows["value"])}
+    return pd.DataFrame({k: out[k] for k in qs})

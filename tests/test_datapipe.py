@@ -23,6 +23,7 @@ SQL_CHECKED = [
     "doc_split", "doc_fingerprints", "dedup_simhash", "dedup_simhash_groups",
     "dedup_components", "doc_tfidf", "doc_shuffle", "ev_running",
     "ev_histogram", "doc_keep", "agg_rollup", "join_customer_orders",
+    "ev_global_quantiles",
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
@@ -606,3 +607,20 @@ def test_equi_join_matches_pandas_merge():
         .reset_index(drop=True)
     )
     assert out[["k", "name", "v"]].equals(exp)
+
+
+def test_exact_global_quantiles_matches_numpy_selection():
+    from medknowledgegraph_ray.stages.selection import exact_quantiles
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(-1000, 1000, size=5000).astype("int64")
+    ds = rd.from_pandas(pd.DataFrame({
+        "uid": pd.array(range(len(vals)), dtype="int64"),
+        "v": pd.array(vals, dtype="int64"),
+    })).repartition(9)
+    out = exact_quantiles(ds, "v", {"p50": 0.5, "p90": 0.9, "p01": 0.01})
+    sv = np.sort(vals)
+    import math
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p01", 0.01)):
+        k = max(math.ceil(len(sv) * q) - 1, 0)
+        assert int(out[name].iloc[0]) == int(sv[k]), name
