@@ -141,15 +141,19 @@ def equi_join(
     ).materialize()
     interior = flagged.filter(expr="__edge == False").drop_columns(["__edge"])
     deferred = flagged.filter(expr="__edge == True").drop_columns(["__edge"])
-    n_deferred = deferred.count()
-    if n_deferred == 0:
-        return interior
 
-    d_tab = pa.concat_tables(
-        list(deferred.iter_batches(batch_format="pyarrow"))
-    )
-    need = frozenset(d_tab[key].to_pylist())
-    need_ref = ray.put(need)
+    # which keys deferred?  O(blocks) distinct values — a per-block unique
+    # before the driver pull, so a hot probe key never ships its rows
+    need: set[int] = set()
+    for batch in deferred.map_batches(
+        lambda t: pa.table({key: pa.array(
+            np.unique(t[key].to_numpy(zero_copy_only=False)), pa.int64())}),
+        batch_format="pyarrow", batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        need.update(int(x) for x in batch[key].to_numpy(zero_copy_only=False))
+    if not need:
+        return interior
+    need_ref = ray.put(frozenset(need))
 
     def pick(t: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
@@ -159,6 +163,7 @@ def equi_join(
         )
         return t.filter(pa.array(mask))
 
+    # build-side payloads for the deferred keys only (≤ 2 keys per block)
     b_lookup: dict[int, tuple] = {}
     for batch in build.map_batches(
         pick, batch_format="pyarrow", batch_size=None
@@ -167,21 +172,27 @@ def equi_join(
         payloads = [batch[c].to_pylist() for c in build_cols]
         for i, kk in enumerate(keys_np):
             b_lookup[int(kk)] = tuple(p[i] for p in payloads)
-    d_keys = d_tab[key].to_numpy(zero_copy_only=False)
-    hit = np.fromiter((int(x) in b_lookup for x in d_keys), dtype=bool,
-                      count=len(d_keys))
-    rep_cols = {key: d_tab[key].filter(pa.array(hit))}
-    kept_keys = d_keys[hit]
-    for ci, c in enumerate(build_cols):
-        rep_cols[c] = pa.array(
-            [b_lookup[int(x)][ci] for x in kept_keys], type=types[c]
-        )
-    for c in probe_cols:
-        rep_cols[c] = d_tab[c].filter(pa.array(hit))
-    rep = pa.table(rep_cols)
-    if rep.num_rows == 0:
-        return interior
-    return interior.union(rd.from_arrow(rep))
+    # deferred probe rows bind DISTRIBUTED via the broadcast lookup — a hot
+    # key spanning many blocks never funnels its rows through the driver
+    lut_ref = ray.put(b_lookup)
+
+    def bind(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        hit = np.fromiter((int(x) in lut for x in keys_np), dtype=bool,
+                          count=t.num_rows)
+        kept = t.filter(pa.array(hit))
+        kept_keys = keys_np[hit]
+        cols = {key: kept[key]}
+        for ci, c in enumerate(build_cols):
+            cols[c] = pa.array([lut[int(x)][ci] for x in kept_keys],
+                               type=types[c])
+        for c in probe_cols:
+            cols[c] = kept[c]
+        return pa.table(cols)
+
+    rep = deferred.map_batches(bind, batch_format="pyarrow", batch_size=None)
+    return interior.union(rep)
 
 
 def pc_cast_i64(arr):
