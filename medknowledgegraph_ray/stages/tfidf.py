@@ -148,13 +148,20 @@ def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
 
     flagged = unioned.map_batches(attach, batch_format="pandas", batch_size=None).materialize()
     interior = flagged.filter(expr="is_edge == False").drop_columns(["is_edge"])
-    deferred = flagged.filter(expr="is_edge == True").take_all()
-    if not deferred:
+    deferred = flagged.filter(expr="is_edge == True").drop_columns(["is_edge"])
+    # repair: only the ≤2 block-edge toks' DISTINCT NAMES and their DF rows
+    # reach the driver; the deferred tf rows themselves bind distributed via
+    # the broadcast lookup (a stopword tok spanning many blocks would
+    # otherwise funnel O(corpus) rows through the driver)
+    need: set[str] = set()
+    for batch in deferred.map_batches(
+        lambda b: pd.DataFrame({"tok": pd.Series(b["tok"].unique(), dtype="object")}),
+        batch_format="pandas", batch_size=None,
+    ).iter_batches(batch_format="pandas"):
+        need.update(batch["tok"])
+    if not need:
         return interior
-    # repair: the ≤2 block-edge toks per exchange block; df lookups resolve
-    # against the DF rows for just those toks (broadcast-filtered subset)
-    need = frozenset(r["tok"] for r in deferred)
-    need_ref = ray.put(need)
+    need_ref = ray.put(frozenset(need))
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         wanted = ray.get(need_ref)
@@ -165,15 +172,16 @@ def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
         pick, batch_format="pandas", batch_size=None
     ).iter_batches(batch_format="pandas"):
         df_map.update(zip(batch["tok"], batch["df"].astype(int)))
-    rep = pd.DataFrame(
-        {
-            "doc_id": pd.array([int(r["doc_id"]) for r in deferred], dtype="int64"),
-            "tok": pd.Series([r["tok"] for r in deferred], dtype="object"),
-            "tf": pd.array([int(r["tf"]) for r in deferred], dtype="int64"),
-            "df": pd.array([df_map[r["tok"]] for r in deferred], dtype="int64"),
-        }
-    )
-    return interior.union(rd.from_pandas(rep))
+    lut_ref = ray.put(df_map)
+
+    def bind(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        out = b[["doc_id", "tok", "tf"]].copy()
+        out["df"] = pd.array([lut[t] for t in b["tok"]], dtype="int64")
+        return out
+
+    rep = deferred.map_batches(bind, batch_format="pandas", batch_size=None)
+    return interior.union(rep)
 
 
 # vocab sizes up to this broadcast as one DF dict per worker (a 2M-entry
