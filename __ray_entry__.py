@@ -25,7 +25,9 @@ from medknowledgegraph_ray.stages import (
     ann,
     components,
     dedupe,
+    eventagg,
     multimodal,
+    pack,
     rangejoin,
     sketch,
     textstats,
@@ -252,6 +254,38 @@ def _doc_vocab_hll(sf_dir: str):
 
 def _ev_quantiles(sf_dir: str):
     return windows.grouped_quantiles(readers.read_table(sf_dir, "events"))
+
+
+def _ev_rank(sf_dir: str):
+    # ROW_NUMBER / RANK / DENSE_RANK per user (stages/windows.py sorted
+    # exchange: vectorized run-length ranks per block + edge-user repair)
+    return windows.ranked_events(readers.read_table(sf_dir, "events"))
+
+
+def _ev_pivot(sf_dir: str):
+    # pivot / crosstab via one-hot partial aggregation (stages/eventagg.py)
+    return eventagg.pivot_event_counts(readers.read_table(sf_dir, "events"))
+
+
+def _ev_user_types(sf_dir: str):
+    # grouped COUNT(DISTINCT) as two algebraic exchanges (stages/eventagg.py)
+    return eventagg.user_type_profile(readers.read_table(sf_dir, "events"))
+
+
+def _ev_props(sf_dir: str):
+    # semi-structured extraction: JSON props field → grouped stats
+    return eventagg.props_field_stats(readers.read_table(sf_dir, "events"))
+
+
+def _doc_gopher(sf_dir: str):
+    # Gopher-style rule-based quality filter (stages/textstats.py)
+    return textstats.gopher_rules(_docs(sf_dir))
+
+
+def _doc_pack(sf_dir: str):
+    # sequence packing into fixed token-budget training chunks
+    # (stages/pack.py: exact distributed prefix sum + vectorized expansion)
+    return pack.sequence_pack(_docs(sf_dir))
 
 
 def _join_customer_orders(sf_dir: str):
@@ -651,6 +685,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _dedup_ngram,
         "dedup_components": _dedup_components,
         "doc_keep": _doc_keep,
+        "doc_gopher": _doc_gopher,
+        "doc_pack": _doc_pack,
+        "ev_rank": _ev_rank,
+        "ev_pivot": _ev_pivot,
+        "ev_user_types": _ev_user_types,
+        "ev_props": _ev_props,
         # ---- windowed / ordered-log operators (events) ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1074,6 +1114,78 @@ def oracle_sql() -> dict[str, str]:
             "   event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
             "   AS roll_value_e6"
             " FROM e"
+        ),
+        "ev_rank": (
+            "WITH e AS (SELECT user_id, event_id,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events)"
+            " SELECT user_id, event_id, value_e6,"
+            "  ROW_NUMBER() OVER (PARTITION BY user_id"
+            "   ORDER BY value_e6 DESC, event_id) AS row_num,"
+            "  RANK() OVER (PARTITION BY user_id ORDER BY value_e6 DESC) AS rnk,"
+            "  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value_e6 DESC)"
+            "   AS dense_rnk"
+            " FROM e"
+        ),
+        "ev_pivot": (
+            "SELECT user_id,"
+            " CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,"
+            " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,"
+            " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,"
+            " CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,"
+            " CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,"
+            " CAST(count(*) AS BIGINT) AS n_total"
+            " FROM events GROUP BY user_id"
+        ),
+        "ev_user_types": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,"
+            " min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us"
+            " FROM events GROUP BY user_id"
+        ),
+        "ev_props": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max"
+            " FROM (SELECT event_type,"
+            "  CAST(coalesce(nullif(regexp_extract(props, '[0-9]+'), ''), '0')"
+            "   AS BIGINT) AS k FROM events)"
+            " GROUP BY event_type"
+        ),
+        "doc_gopher": (
+            "WITH t AS (SELECT doc_id,"
+            "  length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+            "   AS n_tokens,"
+            "  length(regexp_extract_all(text, '\\S')) AS n_alpha,"
+            "  length(regexp_extract_all(lower(text),"
+            "   '\\b(the|and|of|to|a|in|is|that|for|on)\\b')) AS n_stop"
+            " FROM documents)"
+            " SELECT doc_id, n_tokens, n_alpha,"
+            "  CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) AS mean_tok_len,"
+            "  n_tokens BETWEEN 40 AND 120 AS words_ok,"
+            "  CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) BETWEEN 3.0 AND 10.0"
+            "   AS mean_ok,"
+            "  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05 AS stop_ok,"
+            "  (n_tokens BETWEEN 40 AND 120)"
+            "   AND (CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) BETWEEN 3.0 AND 10.0)"
+            "   AND (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05) AS keep"
+            " FROM t"
+        ),
+        # greedy token-stream packing: cumulative token offsets over doc_id
+        # order (window SUM), one output row per (doc, chunk) overlap
+        "doc_pack": (
+            "WITH t AS (SELECT doc_id,"
+            "  length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+            "   AS n FROM documents),"
+            " c AS (SELECT doc_id, n,"
+            "   CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n"
+            "    AS BIGINT) AS strt"
+            "  FROM t WHERE n > 0),"
+            " x AS (SELECT doc_id, n, strt,"
+            "   unnest(generate_series(strt // 512, (strt + n - 1) // 512))"
+            "    AS chunk_id FROM c)"
+            " SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,"
+            "  CAST(greatest(0, chunk_id * 512 - strt) AS BIGINT) AS tok_start,"
+            "  CAST(least(n, (chunk_id + 1) * 512 - strt) AS BIGINT) AS tok_end"
+            " FROM x"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

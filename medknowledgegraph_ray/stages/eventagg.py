@@ -1,0 +1,114 @@
+"""Algebraic event-log aggregations: pivot (conditional aggregation),
+per-user activity profile with distinct-type counts, and JSON-props field
+extraction.
+
+All three are combiner-friendly (sum/min/max/count), so they ride the
+partial-aggregate sorted exchange in stages/groupagg.py — each map task
+pre-aggregates its batch before any shuffle, so the exchange moves one row
+per key per block regardless of corpus size.  No reference analog (the
+reference has no event log); these are the training-data-pipeline side of
+SURVEY §2's aggregation family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .groupagg import grouped_agg
+
+# the corpus's closed event-type vocabulary (TESTDATA.md); anything else
+# lands only in n_total
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(events: rd.Dataset) -> rd.Dataset:
+    """Per user: one count column per event type plus a total — the
+    pivot/crosstab shape (oracle: SUM(CASE WHEN ...)).  One-hot int64
+    columns per batch, then the algebraic exchange; output cardinality is
+    |users|, exchange volume ≤ |types|+2 columns × one row per user per
+    block."""
+
+    def one_hot(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        out = {"user_id": b["user_id"].astype("int64")}
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = pd.array((et == t).astype(np.int64), dtype="int64")
+        out["n_total"] = pd.array(np.ones(len(b), dtype=np.int64), dtype="int64")
+        return pd.DataFrame(out)
+
+    keyed = events.select_columns(["user_id", "event_type"]).map_batches(
+        one_hot, batch_format="pandas", batch_size=None
+    )
+    aggs = [(f"n_{t}", "sum", f"n_{t}") for t in EVENT_TYPES]
+    aggs.append(("n_total", "sum", "n_total"))
+    return grouped_agg(keyed, ["user_id"], aggs)
+
+
+def user_type_profile(events: rd.Dataset) -> rd.Dataset:
+    """Per user: event count, DISTINCT event-type count, first/last event
+    time — the grouped COUNT(DISTINCT) shape.  Two algebraic exchanges:
+    (user, type)-keyed partials first (cardinality ≤ |users|·|types|), then
+    a user-keyed roll-up where COUNT of the intermediate rows IS the
+    distinct-type count.  Never a per-group Python reduce."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].astype("int64"),
+            }
+        )
+
+    keyed = events.select_columns(["user_id", "event_type", "ts"]).map_batches(
+        prep, batch_format="pandas", batch_size=None
+    )
+    per_type = grouped_agg(
+        keyed,
+        ["user_id", "event_type"],
+        [("ts_us", "count", "n"), ("ts_us", "min", "ts_min"), ("ts_us", "max", "ts_max")],
+    )
+    return grouped_agg(
+        per_type,
+        ["user_id"],
+        [
+            ("n", "sum", "n_events"),
+            ("n", "count", "n_types"),
+            ("ts_min", "min", "first_ts_us"),
+            ("ts_max", "max", "last_ts_us"),
+        ],
+    )
+
+
+def props_field_stats(events: rd.Dataset) -> rd.Dataset:
+    """Per event type: count / sum / min / max of the integer `k` field
+    embedded in the JSON `props` string — the semi-structured-extraction
+    shape (oracle: CAST(regexp_extract(props, '[0-9]+') AS BIGINT)).
+    Extraction is one vectorized pandas str.extract per batch; the
+    aggregation is algebraic over a 5-key space."""
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .fillna("")
+            .str.extract(r"([0-9]+)", expand=False)
+            .fillna("0")
+            .astype("int64")
+        )
+        return pd.DataFrame({"event_type": b["event_type"], "k": k})
+
+    keyed = events.select_columns(["event_type", "props"]).map_batches(
+        extract, batch_format="pandas", batch_size=None
+    )
+    return grouped_agg(
+        keyed,
+        ["event_type"],
+        [
+            ("k", "count", "n"),
+            ("k", "sum", "k_sum"),
+            ("k", "min", "k_min"),
+            ("k", "max", "k_max"),
+        ],
+    )

@@ -101,6 +101,48 @@ def quality_score(docs: rd.Dataset) -> rd.Dataset:
     return stats.map_batches(score, batch_format="pandas")
 
 
+_NONSPACE = re.compile(r"\S", re.ASCII)
+
+
+def gopher_rules(docs: rd.Dataset) -> rd.Dataset:
+    """Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1
+    analog, deterministic subset): per doc the rule inputs plus a keep
+    flag —
+      words_ok  : 40 ≤ n_tokens ≤ 120
+      mean_ok   : 3 ≤ mean token length ≤ 10  (non-space chars / tokens)
+      stop_ok   : stopword ratio ≥ 0.05
+      keep      : all three
+    Unlike quality_score (a composite score), this is the boolean
+    rule-filter shape a pretraining corpus pass applies.  Map-only,
+    vectorized, every formula shared verbatim with the DuckDB oracle."""
+    token_run, nonspace, stop = _TOKEN_RUN, _NONSPACE, textfn.EN_STOP_RE
+
+    def rules(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_tok = text.str.count(token_run).astype("int64").to_numpy()
+        n_alpha = text.str.count(nonspace).astype("int64").to_numpy()
+        n_stop = text.str.lower().str.count(stop).astype("int64").to_numpy()
+        mean_len = n_alpha / np.maximum(n_tok, 1)
+        stop_ratio = n_stop / np.maximum(n_tok, 1)
+        words_ok = (n_tok >= 40) & (n_tok <= 120)
+        mean_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+        stop_ok = stop_ratio >= 0.05
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pd.array(n_tok, dtype="int64"),
+                "n_alpha": pd.array(n_alpha, dtype="int64"),
+                "mean_tok_len": mean_len,
+                "words_ok": pd.array(words_ok, dtype="bool"),
+                "mean_ok": pd.array(mean_ok, dtype="bool"),
+                "stop_ok": pd.array(stop_ok, dtype="bool"),
+                "keep": pd.array(words_ok & mean_ok & stop_ok, dtype="bool"),
+            }
+        )
+
+    return docs.map_batches(rules, batch_format="pandas", batch_size=4096)
+
+
 _BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
 
 

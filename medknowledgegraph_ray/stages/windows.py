@@ -162,6 +162,88 @@ def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
     return interior.union(edges)
 
 
+def ranked_events(events: rd.Dataset) -> rd.Dataset:
+    """ROW_NUMBER / RANK / DENSE_RANK per user over (value desc, event_id)
+    — the ranking window functions Ray Data lacks.
+
+    Scale shape: ONE global sort on (user_id, value_e6 desc, event_id),
+    then every interior user's three ranks come out of one vectorized
+    run-length pass per block (rank = first index of the (user, value) run
+    within the user, dense rank = distinct-value count so far); only the
+    ≤2 users touching a block edge are re-ranked per-user."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "value"])
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
+    )
+
+    def ranks_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return df.assign(
+                row_num=pd.array([], dtype="int64"),
+                rnk=pd.array([], dtype="int64"),
+                dense_rnk=pd.array([], dtype="int64"),
+            )
+        u = df["user_id"].to_numpy()
+        v = df["value_e6"].to_numpy()
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_val = new_user.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        user_first = np.where(new_user, np.arange(n), 0)
+        np.maximum.accumulate(user_first, out=user_first)
+        val_first = np.where(new_val, np.arange(n), 0)
+        np.maximum.accumulate(val_first, out=val_first)
+        dense_global = np.cumsum(new_val)
+        return df.assign(
+            row_num=(np.arange(n) - user_first + 1).astype("int64"),
+            rnk=(val_first - user_first + 1).astype("int64"),
+            dense_rnk=(dense_global - dense_global[user_first] + 1).astype("int64"),
+        )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(
+                row_num=pd.array([], dtype="int64"),
+                rnk=pd.array([], dtype="int64"),
+                dense_rnk=pd.array([], dtype="int64"),
+                is_edge=pd.array([], dtype="bool"),
+            )
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge = df["user_id"].isin({first, last}).to_numpy()
+        return ranks_sorted(df).assign(is_edge=edge)
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    cols = ["user_id", "event_id", "value_e6", "row_num", "rnk", "dense_rnk"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
+                          kind="mergesort")
+        return ranks_sorted(g)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols[:3]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_ranks, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
 def asof_prev(events: rd.Dataset) -> rd.Dataset:
     """As-of self-join: each event gets the value of the user's immediately
     preceding event (0 when none) — the ordered-log lag/as-of-join shape.

@@ -27,6 +27,8 @@ SQL_CHECKED = [
     "doc_vocab", "ev_user_quantiles", "ev_asof_state", "doc_inverted_index",
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
+    "doc_gopher", "doc_pack", "ev_rank", "ev_pivot", "ev_user_types",
+    "ev_props",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -624,3 +626,93 @@ def test_exact_global_quantiles_matches_numpy_selection():
     for name, q in (("p50", 0.5), ("p90", 0.9), ("p01", 0.01)):
         k = max(math.ceil(len(sv) * q) - 1, 0)
         assert int(out[name].iloc[0]) == int(sv[k]), name
+
+
+def test_ranked_events_ties_and_partitions():
+    from medknowledgegraph_ray.stages import windows as _w
+
+    base = 1_700_000_000_000_000
+    # user 7: values 5, 5, 3 → row_num 1,2,3; rank 1,1,3; dense 1,1,2
+    ds = _events([
+        (1, 7, base, 5.0),
+        (2, 7, base + 1, 5.0),
+        (3, 7, base + 2, 3.0),
+        (4, 9, base, 1.0),
+    ])
+    out = (
+        _w.ranked_events(ds.repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    u7 = out[out["user_id"] == 7]
+    assert u7["row_num"].tolist() == [1, 2, 3]
+    assert u7["rnk"].tolist() == [1, 1, 3]
+    assert u7["dense_rnk"].tolist() == [1, 1, 2]
+    assert out[out["user_id"] == 9]["row_num"].tolist() == [1]
+
+
+def test_sequence_pack_spans_partition_independent():
+    from medknowledgegraph_ray.stages import pack as _p
+
+    docs = _docs([
+        (1, "a b c"),            # 3 tokens, stream [0, 3)
+        (2, " ".join(["x"] * 6)),  # 6 tokens, stream [3, 9)
+        (3, ""),                  # dropped (0 tokens)
+        (4, "y z"),               # 2 tokens, stream [9, 11)
+    ])
+    out = (
+        _p.sequence_pack(docs.repartition(3), budget=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # budget 4 → chunk 0 = tokens [0,4), chunk 1 = [4,8), chunk 2 = [8,11)
+    exp = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 2, 2, 4], dtype="int64"),
+            "chunk_id": pd.array([0, 0, 1, 2, 2], dtype="int64"),
+            "tok_start": pd.array([0, 0, 1, 5, 0], dtype="int64"),
+            "tok_end": pd.array([3, 1, 5, 6, 2], dtype="int64"),
+        }
+    )
+    assert out.equals(exp)
+    # spans tile each doc exactly
+    spans = out.groupby("doc_id").apply(
+        lambda g: (g["tok_end"] - g["tok_start"]).sum(), include_groups=False
+    )
+    assert spans.to_dict() == {1: 3, 2: 6, 4: 2}
+    # partitioning must not change the packing
+    out1 = (
+        _p.sequence_pack(docs.repartition(1), budget=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert out1.equals(out)
+
+
+def test_event_pivot_and_type_profile():
+    from medknowledgegraph_ray.stages import eventagg as _ea
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([base, base + 1, base + 2, base], pa.timestamp("us")),
+            "event_type": pa.array(["click", "click", "view", "error"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(['{"k": 5}', '{"k": 7}', '{"k": 1}', "{}"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    piv = _ea.pivot_event_counts(ds).to_pandas().set_index("user_id").sort_index()
+    assert piv.loc[7, "n_click"] == 2 and piv.loc[7, "n_view"] == 1
+    assert piv.loc[7, "n_total"] == 3 and piv.loc[9, "n_error"] == 1
+    prof = _ea.user_type_profile(ds).to_pandas().set_index("user_id").sort_index()
+    assert prof.loc[7, "n_events"] == 3 and prof.loc[7, "n_types"] == 2
+    assert prof.loc[7, "first_ts_us"] == base and prof.loc[7, "last_ts_us"] == base + 2
+    props = _ea.props_field_stats(ds).to_pandas().set_index("event_type")
+    assert props.loc["click", "k_sum"] == 12 and props.loc["click", "n"] == 2
+    assert props.loc["error", "k_sum"] == 0  # '{}' → no digits → 0
