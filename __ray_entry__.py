@@ -288,6 +288,38 @@ def _doc_pack(sf_dir: str):
     return pack.sequence_pack(_docs(sf_dir))
 
 
+def _ev_lead(sf_dir: str):
+    # LEAD window function (asof_prev's mirror, same single-sort shape)
+    return windows.asof_next(readers.read_table(sf_dir, "events"))
+
+
+def _ev_quantiles_cont(sf_dir: str):
+    # interpolated per-user quantiles, bit-exact vs DuckDB quantile_cont
+    return windows.grouped_quantiles_cont(readers.read_table(sf_dir, "events"))
+
+
+def _agg_cube(sf_dir: str):
+    # GROUP BY CUBE — all four aggregation levels from the key-bounded funnel
+    return analytics.lineitem_cube(sf_dir)
+
+
+def _doc_normalize(sf_dir: str):
+    # canonical normalization + md5 dedup key (stages/textstats.py)
+    return textstats.normalize_docs(_docs(sf_dir))
+
+
+def _doc_repetition(sf_dir: str):
+    # within-doc repetition (Gopher repetition-rule family)
+    return textstats.repetition_stats(_docs(sf_dir))
+
+
+def _doc_bigrams(sf_dir: str):
+    # corpus top-20 bigrams: grouped_agg counts + per-block partial top-k
+    from medknowledgegraph_ray.stages import invindex
+
+    return invindex.top_bigrams(_docs(sf_dir))
+
+
 def _join_customer_orders(sf_dir: str):
     # general sorted-merge equi-join (stages/join.py): dimension (customer)
     # x fact (orders) with NEITHER side broadcast — every order row carries
@@ -687,10 +719,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keep": _doc_keep,
         "doc_gopher": _doc_gopher,
         "doc_pack": _doc_pack,
+        "doc_normalize": _doc_normalize,
+        "doc_repetition": _doc_repetition,
+        "doc_bigrams": _doc_bigrams,
         "ev_rank": _ev_rank,
         "ev_pivot": _ev_pivot,
         "ev_user_types": _ev_user_types,
         "ev_props": _ev_props,
+        "ev_lead": _ev_lead,
+        "ev_quantiles_cont": _ev_quantiles_cont,
+        "agg_cube": _agg_cube,
         # ---- windowed / ordered-log operators (events) ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1186,6 +1224,58 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(greatest(0, chunk_id * 512 - strt) AS BIGINT) AS tok_start,"
             "  CAST(least(n, (chunk_id + 1) * 512 - strt) AS BIGINT) AS tok_end"
             " FROM x"
+        ),
+        "ev_lead": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            " CAST(round(value * 1000000) AS BIGINT) AS value_e6,"
+            " coalesce(lead(CAST(round(value * 1000000) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)"
+            "  AS next_value_e6"
+            " FROM events"
+        ),
+        "ev_quantiles_cont": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " quantile_cont(value_e6, 0.5) AS median_cont,"
+            " quantile_cont(value_e6, 0.9) AS p90_cont"
+            " FROM (SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS value_e6"
+            "       FROM events)"
+            " GROUP BY 1"
+        ),
+        "agg_cube": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"
+            " COALESCE(l_linestatus, 'ALL') AS l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            "  AS sum_base_price_c,"
+            " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS sum_revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "doc_normalize": (
+            "SELECT doc_id,"
+            " trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,"
+            " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash"
+            " FROM documents"
+        ),
+        "doc_repetition": (
+            "WITH t AS (SELECT doc_id,"
+            "  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+            "   AS l FROM documents)"
+            " SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,"
+            "  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,"
+            "  1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1)"
+            "   AS dup_ratio"
+            " FROM t"
+        ),
+        "doc_bigrams": (
+            "WITH toks AS (SELECT doc_id,"
+            "  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+            "   AS l FROM documents),"
+            " pairs AS (SELECT l[i] || ' ' || l[i + 1] AS bigram"
+            "  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS t(i))"
+            " SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM pairs"
+            " GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
         ),
         "ev_user_quantiles": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

@@ -210,3 +210,22 @@ def lineitem_rollup(sf_dir: str) -> "pd.DataFrame":
     for c in vals:
         out[c] = out[c].astype("int64")
     return out
+
+
+def lineitem_cube(sf_dir: str) -> "pd.DataFrame":
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all FOUR aggregation
+    levels (rollup's three plus the status-only marginal).  Same key-bounded
+    funnel as lineitem_rollup — only the finest level touches the corpus."""
+    fin = lineitem_agg(sf_dir).to_pandas()
+    vals = ["sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"]
+    by_flag = fin.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_flag.insert(1, "l_linestatus", "ALL")
+    by_status = fin.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_status.insert(0, "l_returnflag", "ALL")
+    total = fin[vals].sum().to_frame().T
+    total.insert(0, "l_returnflag", "ALL")
+    total.insert(1, "l_linestatus", "ALL")
+    out = pd.concat([fin, by_flag, by_status, total], ignore_index=True)
+    for c in vals:
+        out[c] = out[c].astype("int64")
+    return out

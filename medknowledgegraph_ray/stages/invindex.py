@@ -104,3 +104,63 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
         .map_groups(edge_fold, batch_format="pandas")
     )
     return interior.union(edges)
+
+
+def top_bigrams(docs: rd.Dataset, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide top-k token bigrams by count (ties broken by bigram
+    text) — the n-gram language-model / collocation-mining primitive.
+
+    Scale shape: per-batch bigram emission (pandas explode + within-doc
+    shift, no per-row Python), the algebraic grouped_agg exchange for the
+    global counts (one row per bigram per block crosses the wire), then a
+    per-block partial top-k under the same (count desc, bigram asc) total
+    order before a driver merge of the O(blocks·k) survivors — the
+    top_customers pushdown shape, never a whole-vocabulary pull."""
+    import re
+
+    import numpy as np
+
+    token_run = re.compile(r"\S+", re.ASCII)
+
+    def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("").str.lower()
+        toks = text.str.findall(token_run)
+        n = toks.str.len().to_numpy()
+        reps = np.maximum(n - 1, 0)
+        if not int(reps.sum()):
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "one": pd.array([], dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        starts = np.cumsum(np.concatenate([[0], n[:-1]]))
+        idx = np.concatenate(
+            [np.arange(s, s + r) for s, r in zip(starts, reps) if r]
+        )
+        lefts = flat[idx]
+        rights = flat[idx + 1]
+        big = pd.Series(lefts, dtype="object") + " " + pd.Series(rights, dtype="object")
+        return pd.DataFrame(
+            {"bigram": big, "one": pd.array(np.ones(len(big), dtype=np.int64), dtype="int64")}
+        )
+
+    from .groupagg import grouped_agg
+
+    counts = grouped_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            bigram_rows, batch_format="pandas", batch_size=None
+        ),
+        ["bigram"],
+        [("one", "sum", "n")],
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    partial = counts.map_batches(
+        local_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return (
+        partial.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -143,6 +143,64 @@ def gopher_rules(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(rules, batch_format="pandas", batch_size=4096)
 
 
+_WS_RUN = re.compile(r"\s+", re.ASCII)
+
+
+def normalize_docs(docs: rd.Dataset) -> rd.Dataset:
+    """Canonical text normalization ahead of dedup: lowercase, collapse
+    whitespace runs to single spaces, strip ends; plus the md5 of the
+    normalized text (the exact-dedup key).  Map-only, vectorized pandas
+    str kernels; md5 via hashlib per row (C speed), identical to DuckDB's
+    md5()."""
+    import hashlib
+
+    ws = _WS_RUN
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            batch["text"].fillna("").str.lower().str.replace(ws, " ", regex=True).str.strip()
+        )
+        h = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "norm_text": norm, "norm_hash": h}
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def repetition_stats(docs: rd.Dataset) -> rd.Dataset:
+    """Within-document repetition (the Gopher repetition rule family):
+    distinct-token fraction and a dup_ratio = 1 − distinct/total.  Token
+    lists explode to one row per token, then a C-level groupby(doc)
+    nunique — no per-row Python loop."""
+    token_run = _TOKEN_RUN
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("").str.lower()
+        toks = text.str.findall(token_run)
+        n_tok = toks.str.len().astype("int64")
+        ex = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy().repeat(n_tok.to_numpy()),
+             "tok": np.concatenate([np.asarray(t, dtype=object) for t in toks])
+             if int(n_tok.sum()) else np.array([], dtype=object)}
+        )
+        nuni = ex.groupby("doc_id", sort=False)["tok"].nunique()
+        n_dist = (
+            pd.Series(batch["doc_id"]).map(nuni).fillna(0).astype("int64")
+        )
+        dup_ratio = 1.0 - n_dist.to_numpy() / np.maximum(n_tok.to_numpy(), 1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "n_distinct": n_dist,
+                "dup_ratio": dup_ratio,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
 _BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]", re.ASCII)
 
 

@@ -306,6 +306,65 @@ def asof_prev(events: rd.Dataset) -> rd.Dataset:
     return interior.union(edges)
 
 
+def asof_next(events: rd.Dataset) -> rd.Dataset:
+    """LEAD: each event gets the value of the user's immediately FOLLOWING
+    event (0 when none) — asof_prev's mirror, same single-sort scale shape
+    (vectorized shift per block for interior users, per-user repair only at
+    block edges)."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+        .sort(["user_id", "ts_us", "event_id"])
+    )
+
+    def lead_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value_e6"].to_numpy()
+        u = df["user_id"].to_numpy()
+        if len(v) == 0:
+            return df.assign(next_value_e6=pd.array([], dtype="int64"))
+        nxt = np.concatenate([v[1:], [0]])
+        # a user's last row gets 0, not the next user's first value
+        nxt[np.concatenate([u[1:] != u[:-1], [True]])] = 0
+        return df.assign(next_value_e6=nxt.astype("int64"))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(next_value_e6=pd.array([], dtype="int64"),
+                             is_edge=pd.array([], dtype="bool"))
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge = df["user_id"].isin({first, last}).to_numpy()
+        return lead_sorted(df).assign(is_edge=edge)
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    cols = ["user_id", "event_id", "ts_us", "value_e6", "next_value_e6"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_lead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        return lead_sorted(g)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols[:-1]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_lead, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
 def _quantiles_sorted(df: pd.DataFrame) -> pd.DataFrame:
     """Discrete median/p90 per user over a frame sorted by (user_id,
     value_e6): run-length firsts + counts, element at ceil(n·q)−1 —
@@ -388,6 +447,96 @@ def grouped_quantiles(events: rd.Dataset) -> rd.Dataset:
     def edge_q(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("value_e6", kind="mergesort")
         return _quantiles_sorted(g)[out_cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[["user_id", "value_e6"]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_q, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
+def _quantiles_cont_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    """Interpolated (continuous) median/p90 per user over a frame sorted by
+    (user_id, value_e6).  DuckDB's quantile_cont computes
+    lower·(1−f) + upper·f at position q·(n−1) — replicated with the SAME
+    float64 op order, so equality is bit-exact (verified over the sf0.01
+    events table)."""
+    u = df["user_id"].to_numpy()
+    v = df["value_e6"].to_numpy().astype(np.float64)
+    n = len(df)
+    new = np.ones(n, dtype=bool)
+    new[1:] = u[1:] != u[:-1]
+    firsts = np.flatnonzero(new)
+    counts = np.diff(np.append(firsts, n))
+    out = {"user_id": u[firsts], "n_events": counts.astype("int64")}
+    for q, name in ((0.5, "median_cont"), (0.9, "p90_cont")):
+        pos = q * (counts - 1)
+        lo = np.floor(pos)
+        f = pos - lo
+        lo_i = firsts + lo.astype(np.int64)
+        hi_i = firsts + np.minimum(lo.astype(np.int64) + 1, counts - 1)
+        out[name] = v[lo_i] * (1 - f) + v[hi_i] * f
+    return pd.DataFrame(out)
+
+
+def grouped_quantiles_cont(events: rd.Dataset) -> rd.Dataset:
+    """Exact INTERPOLATED per-user quantiles (continuous median + p90) —
+    same single-sort scale shape as grouped_quantiles, different selection
+    kernel (linear interpolation instead of the discrete order statistic)."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "value"])
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+        .sort(["user_id", "value_e6"])
+    )
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "n_events": pd.array([], dtype="int64"),
+                    "median_cont": pd.array([], dtype="float64"),
+                    "p90_cont": pd.array([], dtype="float64"),
+                    "value_e6": pd.array([], dtype="int64"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )
+        u = df["user_id"].to_numpy()
+        edge_mask = (u == u[0]) | (u == u[-1])
+        intr = _quantiles_cont_sorted(df[~edge_mask])
+        interior = intr.assign(
+            value_e6=pd.array([0] * len(intr), dtype="int64"),
+            is_edge=pd.array([False] * len(intr), dtype="bool"),
+        )
+        edge = df[edge_mask].assign(
+            n_events=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+            median_cont=pd.array([0.0] * int(edge_mask.sum()), dtype="float64"),
+            p90_cont=pd.array([0.0] * int(edge_mask.sum()), dtype="float64"),
+            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
+        )
+        cols = ["user_id", "n_events", "median_cont", "p90_cont", "value_e6", "is_edge"]
+        return pd.concat([interior[cols], edge[cols]], ignore_index=True)
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    out_cols = ["user_id", "n_events", "median_cont", "p90_cont"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[out_cols], batch_format="pandas"
+    )
+
+    def edge_q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_e6", kind="mergesort")
+        return _quantiles_cont_sorted(g)[out_cols]
 
     edges = (
         flagged.filter(expr="is_edge == True")

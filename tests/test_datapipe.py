@@ -28,7 +28,8 @@ SQL_CHECKED = [
     "agg_lineitem", "join_top_customers", "agg_orders_by_status",
     "scan_filter_pushdown", "join_region_counts",
     "doc_gopher", "doc_pack", "ev_rank", "ev_pivot", "ev_user_types",
-    "ev_props",
+    "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
+    "doc_normalize", "doc_repetition", "doc_bigrams",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -716,3 +717,66 @@ def test_event_pivot_and_type_profile():
     props = _ea.props_field_stats(ds).to_pandas().set_index("event_type")
     assert props.loc["click", "k_sum"] == 12 and props.loc["click", "n"] == 2
     assert props.loc["error", "k_sum"] == 0  # '{}' → no digits → 0
+
+
+def test_asof_next_mirrors_prev():
+    from medknowledgegraph_ray.stages import windows as _w
+
+    base = 1_700_000_000_000_000
+    ds = _events([
+        (1, 7, base + 1_000_000, 1.0),
+        (2, 7, base + 2_000_000, 2.0),
+        (3, 7, base + 3_000_000, 3.0),
+        (4, 9, base, 10.0),
+    ])
+    out = (
+        _w.asof_next(ds.repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert out[out["user_id"] == 7]["next_value_e6"].tolist() == [
+        2_000_000, 3_000_000, 0]
+    assert out[out["user_id"] == 9]["next_value_e6"].tolist() == [0]
+
+
+def test_grouped_quantiles_cont_matches_duckdb_formula():
+    from medknowledgegraph_ray.stages import windows as _w
+
+    base = 1_700_000_000_000_000
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, int(u), base + i * 1_000_000, float(v))
+        for i, (u, v) in enumerate(zip(rng.randint(0, 5, 200), rng.uniform(0, 100, 200)))
+    ]
+    out = (
+        _w.grouped_quantiles_cont(_events(rows).repartition(7))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df["value_e6"] = np.round(df["value"].to_numpy() * 1e6).astype("int64")
+    for uid, g in df.groupby("user_id"):
+        v = np.sort(g["value_e6"].to_numpy()).astype(np.float64)
+        n = len(v)
+        for q, col in ((0.5, "median_cont"), (0.9, "p90_cont")):
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, n - 1)
+            f = pos - lo
+            exp = v[lo] * (1 - f) + v[hi] * f
+            assert out.loc[uid, col] == exp, (uid, col)
+
+
+def test_top_bigrams_counts_and_order():
+    from medknowledgegraph_ray.stages import invindex as _iv
+
+    docs = _docs([
+        (1, "a b a b c"),   # bigrams: "a b" x2, "b a", "b c"
+        (2, "a b"),         # "a b"
+        (3, "solo"),        # none
+    ])
+    out = _iv.top_bigrams(docs.repartition(3), k=3)
+    assert out["bigram"].tolist() == ["a b", "b a", "b c"]
+    assert out["n"].tolist() == [3, 1, 1]
