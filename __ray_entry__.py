@@ -320,6 +320,57 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _ev_latest(sf_dir: str):
+    # grouped argmax (latest record per key — the compaction/upsert shape)
+    return windows.latest_event_per_user(readers.read_table(sf_dir, "events"))
+
+
+def _join_left_counts(sf_dir: str):
+    # LEFT OUTER equi-join: every customer keeps a row, order-less customers
+    # take 0 counts (stages/join.py how="left" on the sorted exchange)
+    import numpy as _np
+    import pandas as _pd
+
+    from medknowledgegraph_ray.stages.groupagg import grouped_agg
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "one": _pd.array(_np.ones(len(b), dtype=_np.int64), dtype="int64"),
+                "total_c": _pd.array(
+                    _np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    agg = grouped_agg(
+        orders.map_batches(prep, batch_format="pandas", batch_size=None),
+        ["c_custkey"],
+        [("one", "sum", "n_orders"), ("total_c", "sum", "total_c")],
+    )
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = equi_join(
+        agg, cust, "c_custkey", ["n_orders", "total_c"], ["c_name"], how="left"
+    )
+
+    def fill(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "n_orders": b["n_orders"].fillna(0).astype("int64"),
+                "total_c": b["total_c"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def _join_customer_orders(sf_dir: str):
     # general sorted-merge equi-join (stages/join.py): dimension (customer)
     # x fact (orders) with NEITHER side broadcast — every order row carries
@@ -728,7 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_props": _ev_props,
         "ev_lead": _ev_lead,
         "ev_quantiles_cont": _ev_quantiles_cont,
+        "ev_latest": _ev_latest,
         "agg_cube": _agg_cube,
+        "join_left_counts": _join_left_counts,
         # ---- windowed / ordered-log operators (events) ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1232,6 +1285,24 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0)"
             "  AS next_value_e6"
             " FROM events"
+        ),
+        "ev_latest": (
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            " CAST(round(value * 1000000) AS BIGINT) AS value_e6"
+            " FROM events"
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
+            "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "join_left_counts": (
+            "SELECT c.c_custkey, c.c_name,"
+            " CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,"
+            " CAST(coalesce(o.total_c, 0) AS BIGINT) AS total_c"
+            " FROM customer c LEFT JOIN ("
+            "  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,"
+            "   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            "    AS total_c"
+            "  FROM orders GROUP BY o_custkey) o"
+            " ON c.c_custkey = o.o_custkey"
         ),
         "ev_quantiles_cont": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

@@ -143,6 +143,14 @@ def run_bench() -> dict:
         t0 = time.time()
         _sk.distinct_token_count_hll(docs())
         queries["doc_vocab_hll"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import pack as _pk
+
+        t0 = time.time()
+        _w.ranked_events(_r.read_table(sf_dir, "events")).count()
+        queries["ev_rank"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _pk.sequence_pack(docs()).count()
+        queries["doc_pack"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);

@@ -46,11 +46,18 @@ def equi_join(
     key: str,
     build_cols: list[str],
     probe_cols: list[str],
+    how: str = "inner",
 ) -> rd.Dataset:
-    """Inner join probe rows to the unique-keyed build side on int64 `key`.
+    """Join probe rows to the unique-keyed build side on int64 `key`.
 
-    Output columns: key, then build_cols, then probe_cols — one row per
-    matching probe row."""
+    `how="inner"` drops probe rows with no build match; `how="left"`
+    keeps them with null build columns (LEFT OUTER, probe side preserved)
+    — same single exchange, the only difference is whether unmatched probe
+    rows are emitted.  Output columns: key, then build_cols, then
+    probe_cols — one row per (matching, for inner) probe row."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left = how == "left"
     out_names = [key] + build_cols + probe_cols
 
     def tag(side_cols: list[str], other_cols: list[str], kind: int, schema_src):
@@ -124,6 +131,17 @@ def equi_join(
             cols[c] = t[c].take(pa.array(p_idx, pa.int64()))
         cols["__edge"] = pa.array(np.zeros(len(p_idx), dtype=bool))
         inner = pa.table(cols)
+        if left and (~matched).any():
+            # LEFT OUTER: interior probe rows with no build key keep their
+            # payload and take null build columns
+            u_idx = pa.array(np.flatnonzero(is_p)[~matched], pa.int64())
+            ucols = {key: t[key].take(u_idx)}
+            for c in build_cols:
+                ucols[c] = pa.nulls(len(u_idx), type=types[c])
+            for c in probe_cols:
+                ucols[c] = t[c].take(u_idx)
+            ucols["__edge"] = pa.array(np.zeros(len(u_idx), dtype=bool))
+            inner = pa.concat_tables([inner, pa.table(ucols)])
         defer = flagged & (kind == 1)
         if not defer.any():
             return inner
@@ -179,14 +197,19 @@ def equi_join(
     def bind(t: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
         keys_np = t[key].to_numpy(zero_copy_only=False)
-        hit = np.fromiter((int(x) in lut for x in keys_np), dtype=bool,
-                          count=t.num_rows)
-        kept = t.filter(pa.array(hit))
-        kept_keys = keys_np[hit]
+        if left:
+            kept, kept_keys = t, keys_np  # LEFT OUTER keeps every probe row
+        else:
+            hit = np.fromiter((int(x) in lut for x in keys_np), dtype=bool,
+                              count=t.num_rows)
+            kept = t.filter(pa.array(hit))
+            kept_keys = keys_np[hit]
+        nones = (None,) * len(build_cols)
         cols = {key: kept[key]}
         for ci, c in enumerate(build_cols):
-            cols[c] = pa.array([lut[int(x)][ci] for x in kept_keys],
-                               type=types[c])
+            cols[c] = pa.array(
+                [lut.get(int(x), nones)[ci] for x in kept_keys], type=types[c]
+            )
         for c in probe_cols:
             cols[c] = kept[c]
         return pa.table(cols)

@@ -306,6 +306,61 @@ def asof_prev(events: rd.Dataset) -> rd.Dataset:
     return interior.union(edges)
 
 
+def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
+    """Grouped argmax: each user's LATEST event row (max ts, ties to the
+    larger event_id) — the compaction / CDC-upsert shape (keep the newest
+    record per key).  Scale shape: global sort on
+    (user_id, ts_us desc, event_id desc), first-row-per-user per block
+    vectorized, per-user repair only at block edges."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+        .sort(["user_id", "ts_us", "event_id"], descending=[False, True, True])
+    )
+    cols = ["user_id", "event_id", "ts_us", "value_e6"]
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(is_edge=pd.array([], dtype="bool"))
+        u = df["user_id"].to_numpy()
+        n = len(df)
+        edge = (u == u[0]) | (u == u[-1])
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        keep = (new_user & ~edge) | edge  # interior firsts + all edge rows
+        out = df[keep]
+        return out.assign(is_edge=edge[keep])
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], ascending=[False, False],
+                          kind="mergesort")
+        return g.head(1)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_latest, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
 def asof_next(events: rd.Dataset) -> rd.Dataset:
     """LEAD: each event gets the value of the user's immediately FOLLOWING
     event (0 when none) — asof_prev's mirror, same single-sort scale shape

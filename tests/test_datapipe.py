@@ -30,6 +30,7 @@ SQL_CHECKED = [
     "doc_gopher", "doc_pack", "ev_rank", "ev_pivot", "ev_user_types",
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
+    "ev_latest", "join_left_counts",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -780,3 +781,49 @@ def test_top_bigrams_counts_and_order():
     out = _iv.top_bigrams(docs.repartition(3), k=3)
     assert out["bigram"].tolist() == ["a b", "b a", "b c"]
     assert out["n"].tolist() == [3, 1, 1]
+
+
+def test_left_join_preserves_unmatched_probe_rows():
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    build = rd.from_arrow(
+        pa.table({"k": pa.array([1, 3], pa.int64()),
+                  "b": pa.array(["one", "three"], pa.string())})
+    )
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 4], pa.int64()),
+                  "p": pa.array([10, 20, 30, 40, 41], pa.int64())})
+    )
+    out = (
+        equi_join(build.repartition(2), probe.repartition(3), "k", ["b"], ["p"],
+                  how="left")
+        .to_pandas()
+        .sort_values(["k", "p"])
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4, 4]
+    assert out["b"].tolist() == ["one", None, "three", None, None]
+    assert out["p"].tolist() == [10, 20, 30, 40, 41]
+    # inner drops the unmatched rows
+    inner = equi_join(build, probe, "k", ["b"], ["p"]).to_pandas()
+    assert sorted(inner["k"].tolist()) == [1, 3]
+
+
+def test_latest_event_per_user_tiebreak():
+    from medknowledgegraph_ray.stages import windows as _w
+
+    base = 1_700_000_000_000_000
+    ds = _events([
+        (1, 7, base, 1.0),
+        (3, 7, base + 5, 3.0),   # latest ts wins
+        (2, 7, base + 5, 2.0),   # same ts, smaller id loses
+        (9, 8, base, 9.0),
+    ])
+    out = (
+        _w.latest_event_per_user(ds.repartition(3))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [3, 9]
+    assert out["value_e6"].tolist() == [3_000_000, 9_000_000]
