@@ -309,12 +309,14 @@ def asof_prev(events: rd.Dataset) -> rd.Dataset:
 def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
     """Grouped argmax: each user's LATEST event row (max ts, ties to the
     larger event_id) — the compaction / CDC-upsert shape (keep the newest
-    record per key).  Scale shape: global sort on
-    (user_id, ts_us desc, event_id desc), first-row-per-user per block
-    vectorized, per-user repair only at block edges."""
+    record per key).  Argmax is associative, so each map task pre-reduces
+    its block to one row per user BEFORE the exchange (the partial-agg
+    trick extended to a holistic-looking operator) — the sort moves
+    |users| × blocks rows, never the corpus.  Then first-row-per-user per
+    sorted block vectorized, per-user repair only at block edges."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "user_id": batch["user_id"].astype("int64"),
                 "event_id": batch["event_id"].astype("int64"),
@@ -322,6 +324,13 @@ def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
                 "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
             }
         )
+        # per-block partial argmax: last row of each user run after an
+        # ascending (user, ts, id) sort — one survivor per user per block
+        out = out.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = out["user_id"].to_numpy()
+        last = np.ones(len(out), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        return out[last]
 
     s = (
         events.select_columns(["user_id", "event_id", "ts", "value"])
