@@ -727,6 +727,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     datagen.ensure_transcripts("/root/testdata/sf0.001")
     datagen.ensure_transcripts(_SF001)
     return {
+        # ---- block 1: oracle-checked entries NEVER recorded in any
+        # driver CORRECTNESS file (r1 stopped at 50 rows, r2 likewise) —
+        # they go first so a capped r3 file finally records them.
+        # Previously-recorded blocks follow (kg core = CORRECTNESS_r02
+        # rows 1-28, all green); tools/check_oracles.py sweeps ALL
+        # entries regardless of this ordering.
+        "doc_vocab": _doc_vocab,
+        "doc_inverted_index": _doc_inverted_index,
+        "doc_tfidf": _doc_tfidf,
+        "doc_shuffle": _doc_shuffle,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_components": _dedup_components,
+        "doc_keep": _doc_keep,
+        "doc_fingerprints": _fingerprints,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_groups": _dedup_simhash_groups,
+        "ev_range_join": _ev_range_join,
+        "ev_running": _ev_running,
+        "ev_histogram": _ev_histogram,
+        "ev_global_quantiles": _ev_global_quantiles,
+        "ev_user_quantiles": _ev_quantiles,
+        "ev_asof_state": _ev_asof_state,
+        "agg_rollup": analytics.lineitem_rollup,
+        "join_customer_orders": _join_customer_orders,
+        "doc_gopher": _doc_gopher,
+        "doc_pack": _doc_pack,
+        "doc_normalize": _doc_normalize,
+        "doc_repetition": _doc_repetition,
+        "doc_bigrams": _doc_bigrams,
+        "ev_rank": _ev_rank,
+        "ev_pivot": _ev_pivot,
+        "ev_user_types": _ev_user_types,
+        "ev_props": _ev_props,
+        "ev_lead": _ev_lead,
+        "ev_quantiles_cont": _ev_quantiles_cont,
+        "ev_latest": _ev_latest,
+        "agg_cube": _agg_cube,
+        "join_left_counts": _join_left_counts,
+        # ---- block 2: recorded green only in CORRECTNESS_r01 ----
+        "ev_top_events": _ev_top_events,
+        "ev_sessionize": _ev_sessionize,
+        "ev_asof_prev": _ev_asof,
+        "doc_split": _doc_split,
+        "agg_lineitem": analytics.lineitem_agg,
+        "join_top_customers": analytics.top_customers,
+        "agg_orders_by_status": analytics.orders_by_status,
+        "scan_filter_pushdown": analytics.filter_pushdown_scan,
+        "join_region_counts": analytics.nation_region_counts,
+        # ---- block 3: the KG core — all 28 recorded green in
+        # CORRECTNESS_r02 (rows 1-28) ----
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
         "kg_mentions": kg.mention_rows,
@@ -749,69 +799,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
-        # role / tool / ts transcript-metadata operators
         "kg_abbrev_defs": kg.abbrev_definitions,
         "kg_mentions_resolved": kg.mentions_resolved,
         "kg_mentions_user": kg.user_mentions,
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
         "kg_mentions_hourly": kg.hourly_mentions,
-        # ---- training-data pipeline operators (documents/embeddings) ----
-        # entries 29-50: every oracle-checked pipeline the r2 driver file
-        # never recorded (a driver that caps CORRECTNESS at 50 rows would
-        # otherwise drop them; the r2-verified remainder moves below —
-        # tools/check_oracles.py still sweeps ALL entries)
-        "doc_vocab": _doc_vocab,
-        "doc_inverted_index": _doc_inverted_index,
-        "doc_tfidf": _doc_tfidf,
-        "doc_shuffle": _doc_shuffle,
-        "dedup_ngram": _dedup_ngram,
-        "dedup_components": _dedup_components,
-        "doc_keep": _doc_keep,
-        "doc_gopher": _doc_gopher,
-        "doc_pack": _doc_pack,
-        "doc_normalize": _doc_normalize,
-        "doc_repetition": _doc_repetition,
-        "doc_bigrams": _doc_bigrams,
-        "ev_rank": _ev_rank,
-        "ev_pivot": _ev_pivot,
-        "ev_user_types": _ev_user_types,
-        "ev_props": _ev_props,
-        "ev_lead": _ev_lead,
-        "ev_quantiles_cont": _ev_quantiles_cont,
-        "ev_latest": _ev_latest,
-        "agg_cube": _agg_cube,
-        "join_left_counts": _join_left_counts,
-        # ---- windowed / ordered-log operators (events) ----
-        "ev_top_events": _ev_top_events,
-        "ev_sessionize": _ev_sessionize,
-        "ev_range_join": _ev_range_join,
-        "ev_running": _ev_running,
-        "ev_histogram": _ev_histogram,
-        "ev_global_quantiles": _ev_global_quantiles,
-        "ev_user_quantiles": _ev_quantiles,
-        "ev_asof_state": _ev_asof_state,
-        # ---- generic analytical operator parity (TPC-H-ish tables) ----
-        "agg_lineitem": analytics.lineitem_agg,
-        "join_top_customers": analytics.top_customers,
-        "agg_orders_by_status": analytics.orders_by_status,
-        "scan_filter_pushdown": analytics.filter_pushdown_scan,
-        "join_region_counts": analytics.nation_region_counts,
-        "agg_rollup": analytics.lineitem_rollup,
-        "join_customer_orders": _join_customer_orders,
-        # oracle-checked entries already recorded green in CORRECTNESS_r02,
-        # or (doc_split / ev_asof_prev) recorded green in CORRECTNESS_r01 /
-        # mechanism-shared with a recorded-green entry
-        "doc_split": _doc_split,
-        "ev_asof_prev": _ev_asof,
+        # ---- block 4: recorded green in CORRECTNESS_r02 ----
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
         "doc_quality": _quality,
         "doc_tokens_bpe": _tokens_bpe,
         "doc_sample": _doc_sample,
-        "doc_fingerprints": _fingerprints,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_simhash_groups": _dedup_simhash_groups,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "ann_topk": _ann_topk,
