@@ -320,6 +320,11 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _ev_ntile(sf_dir: str):
+    # NTILE(4) quartile assignment per user (stages/windows.py)
+    return windows.ntile_events(readers.read_table(sf_dir, "events"))
+
+
 def _ev_latest(sf_dir: str):
     # grouped argmax (latest record per key — the compaction/upsert shape)
     return windows.latest_event_per_user(readers.read_table(sf_dir, "events"))
@@ -763,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_lead": _ev_lead,
         "ev_quantiles_cont": _ev_quantiles_cont,
         "ev_latest": _ev_latest,
+        "ev_ntile": _ev_ntile,
         "agg_cube": _agg_cube,
         "join_left_counts": _join_left_counts,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
@@ -1302,6 +1308,14 @@ def oracle_sql() -> dict[str, str]:
             "    AS total_c"
             "  FROM orders GROUP BY o_custkey) o"
             " ON c.c_custkey = o.o_custkey"
+        ),
+        "ev_ntile": (
+            "WITH e AS (SELECT user_id, event_id,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events)"
+            " SELECT user_id, event_id, value_e6,"
+            "  NTILE(4) OVER (PARTITION BY user_id"
+            "   ORDER BY value_e6 DESC, event_id) AS bucket"
+            " FROM e"
         ),
         "ev_quantiles_cont": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"

@@ -306,6 +306,83 @@ def asof_prev(events: rd.Dataset) -> rd.Dataset:
     return interior.union(edges)
 
 
+def ntile_events(events: rd.Dataset, k: int = 4) -> rd.Dataset:
+    """NTILE(k) per user over (value desc, event_id): split each user's
+    events into k near-equal buckets, the first n%k buckets one row larger
+    — SQL NTILE semantics exactly.
+
+    Same sorted-exchange shape as ranked_events: interior users resolve
+    vectorized per block (rank and run length are both run-local facts);
+    the ≤2 block-edge users repair per-user."""
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    s = (
+        events.select_columns(["user_id", "event_id", "value"])
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
+    )
+
+    def ntile_sorted(df: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(df)
+        if n_rows == 0:
+            return df.assign(bucket=pd.array([], dtype="int64"))
+        u = df["user_id"].to_numpy()
+        new_user = np.ones(n_rows, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        user_first = np.where(new_user, np.arange(n_rows), 0)
+        np.maximum.accumulate(user_first, out=user_first)
+        r = np.arange(n_rows) - user_first + 1  # 1-based rank within user
+        firsts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(firsts, n_rows))
+        n = np.repeat(counts, counts)  # each row's user run length
+        size = n // k
+        rem = n % k
+        big_span = rem * (size + 1)
+        in_big = r <= big_span
+        # ceil division without floats
+        bucket = np.where(
+            in_big,
+            (r + size) // np.maximum(size + 1, 1),
+            rem + (r - big_span + np.maximum(size, 1) - 1) // np.maximum(size, 1),
+        )
+        return df.assign(bucket=bucket.astype("int64"))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(bucket=pd.array([], dtype="int64"),
+                             is_edge=pd.array([], dtype="bool"))
+        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
+        edge = df["user_id"].isin({first, last}).to_numpy()
+        return ntile_sorted(df).assign(is_edge=edge)
+
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    cols = ["user_id", "event_id", "value_e6", "bucket"]
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda t: t[cols], batch_format="pandas"
+    )
+
+    def edge_ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
+                          kind="mergesort")
+        return ntile_sorted(g)[cols]
+
+    edges = (
+        flagged.filter(expr="is_edge == True")
+        .map_batches(lambda t: t[cols[:3]], batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(edge_ntile, batch_format="pandas")
+    )
+    return interior.union(edges)
+
+
 def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
     """Grouped argmax: each user's LATEST event row (max ts, ties to the
     larger event_id) — the compaction / CDC-upsert shape (keep the newest

@@ -30,7 +30,7 @@ SQL_CHECKED = [
     "doc_gopher", "doc_pack", "ev_rank", "ev_pivot", "ev_user_types",
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
-    "ev_latest", "join_left_counts",
+    "ev_latest", "join_left_counts", "ev_ntile",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -827,3 +827,21 @@ def test_latest_event_per_user_tiebreak():
     )
     assert out["event_id"].tolist() == [3, 9]
     assert out["value_e6"].tolist() == [3_000_000, 9_000_000]
+
+
+def test_ntile_bucket_sizes():
+    from medknowledgegraph_ray.stages import windows as _w
+
+    base = 1_700_000_000_000_000
+    # user 7 has 6 events → NTILE(4) buckets of sizes 2,2,1,1;
+    # user 8 has 2 events (< k) → buckets 1 and 2
+    rows = [(i, 7, base + i, float(100 - i)) for i in range(6)]
+    rows += [(10, 8, base, 5.0), (11, 8, base + 1, 4.0)]
+    out = (
+        _w.ntile_events(_events(rows).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "value_e6"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert out[out["user_id"] == 7]["bucket"].tolist() == [1, 1, 2, 2, 3, 4]
+    assert out[out["user_id"] == 8]["bucket"].tolist() == [1, 2]
