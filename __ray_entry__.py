@@ -320,6 +320,16 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _ev_moments(sf_dir: str):
+    # exact integer moment aggregation (streaming stats; variance derives)
+    return eventagg.user_moments(readers.read_table(sf_dir, "events"))
+
+
+def _doc_sample_k(sf_dir: str):
+    # exact-size deterministic sample via md5 priorities + partial top-k
+    return textstats.sample_exact_k(_docs(sf_dir))
+
+
 def _ev_ntile(sf_dir: str):
     # NTILE(4) quartile assignment per user (stages/windows.py)
     return windows.ntile_events(readers.read_table(sf_dir, "events"))
@@ -769,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_quantiles_cont": _ev_quantiles_cont,
         "ev_latest": _ev_latest,
         "ev_ntile": _ev_ntile,
+        "ev_moments": _ev_moments,
+        "doc_sample_k": _doc_sample_k,
         "agg_cube": _agg_cube,
         "join_left_counts": _join_left_counts,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
@@ -1308,6 +1320,24 @@ def oracle_sql() -> dict[str, str]:
             "    AS total_c"
             "  FROM orders GROUP BY o_custkey) o"
             " ON c.c_custkey = o.o_custkey"
+        ),
+        "ev_moments": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(v_e3) AS BIGINT) AS sum_e3,"
+            " CAST(sum(v_e3 * v_e3) AS BIGINT) AS sumsq_e6,"
+            " min(v_e3) AS min_e3, max(v_e3) AS max_e3,"
+            " CAST(sum(v_e3) AS DOUBLE) / count(*) AS mean_e3"
+            " FROM (SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS v_e3"
+            "       FROM events)"
+            " GROUP BY user_id"
+        ),
+        "doc_sample_k": (
+            "SELECT doc_id, CAST(('0x' || substr(md5('77:' || CAST(doc_id AS"
+            " VARCHAR)), 1, 16)) AS UBIGINT) AS priority,"
+            " ROW_NUMBER() OVER (ORDER BY CAST(('0x' || substr(md5('77:' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)) AS rank"
+            " FROM documents"
+            " ORDER BY priority LIMIT 25"
         ),
         "ev_ntile": (
             "WITH e AS (SELECT user_id, event_id,"

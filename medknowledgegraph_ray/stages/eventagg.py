@@ -82,6 +82,49 @@ def user_type_profile(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def user_moments(events: rd.Dataset) -> rd.Dataset:
+    """Per user: exact integer first and second moments of value (count,
+    Σv, Σv², min, max in fixed-point units) plus the float mean — the
+    streaming-statistics aggregate (variance/stddev derive from the
+    moments downstream).  Values are scaled to e3 so the squared sums are
+    exact int64 (v_e3² ≤ 1.5e10; per-user event counts bound the group
+    sum well under 2⁶³ — a 10⁸-event user would still fit).  Algebraic,
+    so it rides the partial-agg exchange.  Mean is computed as the same
+    float64 division on both sides (IEEE-identical to the oracle)."""
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["value"].to_numpy() * 1e3).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "v_e3": pd.array(v, dtype="int64"),
+                "v2_e6": pd.array(v * v, dtype="int64"),
+            }
+        )
+
+    keyed = events.select_columns(["user_id", "value"]).map_batches(
+        prep, batch_format="pandas", batch_size=None
+    )
+    agg = grouped_agg(
+        keyed,
+        ["user_id"],
+        [
+            ("v_e3", "count", "n"),
+            ("v_e3", "sum", "sum_e3"),
+            ("v2_e6", "sum", "sumsq_e6"),
+            ("v_e3", "min", "min_e3"),
+            ("v_e3", "max", "max_e3"),
+        ],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mean_e3"] = b["sum_e3"].to_numpy() / b["n"].to_numpy()
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def props_field_stats(events: rd.Dataset) -> rd.Dataset:
     """Per event type: count / sum / min / max of the integer `k` field
     embedded in the JSON `props` string — the semi-structured-extraction

@@ -230,6 +230,38 @@ def sample_docs(docs: rd.Dataset, pct: int = 10) -> rd.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_exact_k(docs: rd.Dataset, k: int = 25, seed: int = 77) -> pd.DataFrame:
+    """Deterministic EXACT-size uniform sample: the k documents with the
+    smallest md5-derived priorities — unlike sample_docs (a pct filter with
+    binomial size), this returns exactly k rows, reproducibly, independent
+    of partitioning (priority ties are impossible under md5).  Scale shape:
+    per-block partial k-smallest, then a driver merge over O(blocks·k)
+    survivors — the partial-top-k pushdown, never a corpus sort."""
+    import hashlib
+
+    def prio(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        pr = np.array(
+            [
+                int.from_bytes(hashlib.md5(f"{seed}:{d}".encode()).digest()[:8], "big")
+                for d in ids
+            ],
+            dtype=np.uint64,
+        )
+        out = pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"),
+             "priority": pd.array(pr, dtype="uint64")}
+        )
+        return out.nsmallest(k, "priority")
+
+    partial = docs.select_columns(["doc_id"]).map_batches(
+        prio, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    out = partial.nsmallest(k, "priority").sort_values("priority").reset_index(drop=True)
+    out["rank"] = pd.array(range(1, len(out) + 1), dtype="int64")
+    return out
+
+
 def split_docs(docs: rd.Dataset, val_pct: int = 10, test_pct: int = 10) -> rd.Dataset:
     """Deterministic train/val/test assignment — the training-corpus split
     as a stateless map, not a `random_shuffle`: bucket = Knuth hash of

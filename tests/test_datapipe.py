@@ -30,7 +30,7 @@ SQL_CHECKED = [
     "doc_gopher", "doc_pack", "ev_rank", "ev_pivot", "ev_user_types",
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
-    "ev_latest", "join_left_counts", "ev_ntile",
+    "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -845,3 +845,26 @@ def test_ntile_bucket_sizes():
     )
     assert out[out["user_id"] == 7]["bucket"].tolist() == [1, 1, 2, 2, 3, 4]
     assert out[out["user_id"] == 8]["bucket"].tolist() == [1, 2]
+
+
+def test_user_moments_and_exact_sample():
+    from medknowledgegraph_ray.stages import eventagg as _ea
+    from medknowledgegraph_ray.stages import textstats as _ts
+
+    base = 1_700_000_000_000_000
+    ds = _events([
+        (1, 7, base, 1.5),
+        (2, 7, base + 1, 2.5),
+        (3, 9, base, 4.0),
+    ])
+    m = _ea.user_moments(ds.repartition(2)).to_pandas().set_index("user_id")
+    assert m.loc[7, "n"] == 2 and m.loc[7, "sum_e3"] == 4000
+    assert m.loc[7, "sumsq_e6"] == 1500**2 + 2500**2
+    assert m.loc[7, "mean_e3"] == 4000 / 2
+    assert m.loc[9, "min_e3"] == m.loc[9, "max_e3"] == 4000
+
+    docs = _docs([(i, f"doc {i}") for i in range(100)])
+    s3 = _ts.sample_exact_k(docs.repartition(5), k=10)
+    s1 = _ts.sample_exact_k(docs.repartition(1), k=10)
+    assert len(s3) == 10 and s3["rank"].tolist() == list(range(1, 11))
+    assert s3[["doc_id", "priority"]].equals(s1[["doc_id", "priority"]])
