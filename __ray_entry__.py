@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_k": _doc_sample_k,
         "agg_cube": _agg_cube,
         "join_left_counts": _join_left_counts,
+        "join_revenue_region": analytics.revenue_by_region,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1309,6 +1310,17 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "join_revenue_region": (
+            "SELECT r.r_name,"
+            " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            "  AS revenue_c,"
+            " CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM orders o"
+            " JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " JOIN region r ON n.n_regionkey = r.r_regionkey"
+            " GROUP BY r.r_name"
         ),
         "join_left_counts": (
             "SELECT c.c_custkey, c.c_name,"

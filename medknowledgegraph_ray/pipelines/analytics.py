@@ -229,3 +229,60 @@ def lineitem_cube(sf_dir: str) -> "pd.DataFrame":
     for c in vals:
         out[c] = out[c].astype("int64")
     return out
+
+
+def revenue_by_region(sf_dir: str) -> rd.Dataset:
+    """Star-schema fact aggregation through a dimension chain: total order
+    revenue (exact cents) and order count per REGION —
+    orders ⋈ customer ⋈ nation ⋈ region, GROUP BY region.
+
+    Composition of the engine's join strategies by side size: the fact
+    table pre-aggregates per customer (partial exchange; corpus →
+    |customers| rows), the customer dimension joins DISTRIBUTED via the
+    sorted-merge equi-join (neither side broadcast — at production scale
+    customer is itself corpus-sized), and the tiny nation/region dims
+    broadcast as dicts.  Final region roll-up is key-bounded."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "revenue_c": cents,
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_cust = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+        ["c_custkey"],
+        [("revenue_c", "sum", "revenue_c"), ("one", "sum", "n_orders")],
+    )
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = equi_join(
+        per_cust, cust, "c_custkey", ["revenue_c", "n_orders"], ["c_nationkey"]
+    )
+    nation = {r["n_nationkey"]: r["n_regionkey"]
+              for r in readers.read_table(sf_dir, "nation").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in readers.read_table(sf_dir, "region").take_all()}
+
+    def to_region(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": b["c_nationkey"].map(lambda nk: region[nation[nk]]),
+                "revenue_c": b["revenue_c"].astype("int64"),
+                "n_orders": b["n_orders"].astype("int64"),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(to_region, batch_format="pandas", batch_size=None),
+        ["r_name"],
+        [("revenue_c", "sum", "revenue_c"), ("n_orders", "sum", "n_orders")],
+    )

@@ -31,6 +31,7 @@ SQL_CHECKED = [
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
+    "join_revenue_region",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
