@@ -342,48 +342,9 @@ def _ev_latest(sf_dir: str):
 
 def _join_left_counts(sf_dir: str):
     # LEFT OUTER equi-join: every customer keeps a row, order-less customers
-    # take 0 counts (stages/join.py how="left" on the sorted exchange)
-    import numpy as _np
-    import pandas as _pd
-
-    from medknowledgegraph_ray.stages.groupagg import grouped_agg
-    from medknowledgegraph_ray.stages.join import equi_join
-
-    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-
-    def prep(b: _pd.DataFrame) -> _pd.DataFrame:
-        return _pd.DataFrame(
-            {
-                "c_custkey": b["o_custkey"].astype("int64"),
-                "one": _pd.array(_np.ones(len(b), dtype=_np.int64), dtype="int64"),
-                "total_c": _pd.array(
-                    _np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
-                    dtype="int64",
-                ),
-            }
-        )
-
-    agg = grouped_agg(
-        orders.map_batches(prep, batch_format="pandas", batch_size=None),
-        ["c_custkey"],
-        [("one", "sum", "n_orders"), ("total_c", "sum", "total_c")],
-    )
-    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    joined = equi_join(
-        agg, cust, "c_custkey", ["n_orders", "total_c"], ["c_name"], how="left"
-    )
-
-    def fill(b: _pd.DataFrame) -> _pd.DataFrame:
-        return _pd.DataFrame(
-            {
-                "c_custkey": b["c_custkey"].astype("int64"),
-                "c_name": b["c_name"],
-                "n_orders": b["n_orders"].fillna(0).astype("int64"),
-                "total_c": b["total_c"].fillna(0).astype("int64"),
-            }
-        )
-
-    return joined.map_batches(fill, batch_format="pandas")
+    # take 0 counts (analytics.customer_order_profile, sharing the
+    # per-customer fact aggregate with revenue_by_region)
+    return analytics.customer_order_profile(sf_dir)
 
 
 def _join_customer_orders(sf_dir: str):

@@ -231,19 +231,12 @@ def lineitem_cube(sf_dir: str) -> "pd.DataFrame":
     return out
 
 
-def revenue_by_region(sf_dir: str) -> rd.Dataset:
-    """Star-schema fact aggregation through a dimension chain: total order
-    revenue (exact cents) and order count per REGION —
-    orders ⋈ customer ⋈ nation ⋈ region, GROUP BY region.
-
-    Composition of the engine's join strategies by side size: the fact
-    table pre-aggregates per customer (partial exchange; corpus →
-    |customers| rows), the customer dimension joins DISTRIBUTED via the
-    sorted-merge equi-join (neither side broadcast — at production scale
-    customer is itself corpus-sized), and the tiny nation/region dims
-    broadcast as dicts.  Final region roll-up is key-bounded."""
+def per_customer_order_totals(sf_dir: str) -> rd.Dataset:
+    """Per-customer order revenue (exact cents) and order count — the fact
+    table pre-aggregated on the partial exchange (corpus → |customers|
+    rows).  The shared build side of revenue_by_region and
+    customer_order_profile."""
     from ..stages.groupagg import grouped_agg
-    from ..stages.join import equi_join
 
     orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -257,15 +250,57 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    per_cust = grouped_agg(
+    return grouped_agg(
         orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None),
         ["c_custkey"],
         [("revenue_c", "sum", "revenue_c"), ("one", "sum", "n_orders")],
     )
+
+
+def customer_order_profile(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER equi-join: every customer keeps a row; order-less
+    customers take 0 counts (stages/join.py how="left" on the sorted
+    exchange, neither side broadcast)."""
+    from ..stages.join import equi_join
+
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = equi_join(
+        per_customer_order_totals(sf_dir), cust, "c_custkey",
+        ["revenue_c", "n_orders"], ["c_name"], how="left",
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_name": b["c_name"],
+                "n_orders": b["n_orders"].fillna(0).astype("int64"),
+                "total_c": b["revenue_c"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def revenue_by_region(sf_dir: str) -> rd.Dataset:
+    """Star-schema fact aggregation through a dimension chain: total order
+    revenue (exact cents) and order count per REGION —
+    orders ⋈ customer ⋈ nation ⋈ region, GROUP BY region.
+
+    Composition of the engine's join strategies by side size: the fact
+    table pre-aggregates per customer (per_customer_order_totals), the
+    customer dimension joins DISTRIBUTED via the sorted-merge equi-join
+    (neither side broadcast — at production scale customer is itself
+    corpus-sized), and the tiny nation/region dims broadcast as dicts.
+    Final region roll-up is key-bounded."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
     cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     joined = equi_join(
-        per_cust, cust, "c_custkey", ["revenue_c", "n_orders"], ["c_nationkey"]
+        per_customer_order_totals(sf_dir), cust, "c_custkey",
+        ["revenue_c", "n_orders"], ["c_nationkey"],
     )
     nation = {r["n_nationkey"]: r["n_regionkey"]
               for r in readers.read_table(sf_dir, "nation").take_all()}

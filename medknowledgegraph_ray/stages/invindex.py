@@ -152,15 +152,10 @@ def top_bigrams(docs: rd.Dataset, k: int = 20) -> pd.DataFrame:
         [("one", "sum", "n")],
     )
 
-    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+    from .skew import partial_topk_pandas
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(["n", "bigram"], ascending=[False, True],
                              kind="mergesort").head(k)
 
-    partial = counts.map_batches(
-        local_topk, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    return (
-        partial.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
-        .head(k)
-        .reset_index(drop=True)
-    )
+    return partial_topk_pandas(counts, pick)

@@ -59,3 +59,13 @@ def salted_grouped_topk(
         .map_groups(pick_drop_salt, batch_format="pandas")
     )
     return phase1.groupby(key).map_groups(final, batch_format="pandas")
+
+
+def partial_topk_pandas(ds, pick):
+    """Global top-k funnel: apply `pick` (a sorted head-k under a TOTAL
+    order — restriction-exact, so pick(pick(a)+pick(b)) == pick(a+b)) per
+    block, then once more over the O(blocks·k) survivors driver-side.
+    The pushdown shape shared by top_customers / top_bigrams /
+    sample_exact_k; never a whole-corpus sort or driver pull."""
+    partial = ds.map_batches(pick, batch_format="pandas", batch_size=None).to_pandas()
+    return pick(partial).reset_index(drop=True)

@@ -239,6 +239,8 @@ def sample_exact_k(docs: rd.Dataset, k: int = 25, seed: int = 77) -> pd.DataFram
     survivors — the partial-top-k pushdown, never a corpus sort."""
     import hashlib
 
+    from .skew import partial_topk_pandas
+
     def prio(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy()
         pr = np.array(
@@ -248,16 +250,18 @@ def sample_exact_k(docs: rd.Dataset, k: int = 25, seed: int = 77) -> pd.DataFram
             ],
             dtype=np.uint64,
         )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {"doc_id": pd.array(ids, dtype="int64"),
              "priority": pd.array(pr, dtype="uint64")}
         )
-        return out.nsmallest(k, "priority")
 
-    partial = docs.select_columns(["doc_id"]).map_batches(
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values("priority", kind="mergesort").head(k)
+
+    annotated = docs.select_columns(["doc_id"]).map_batches(
         prio, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    out = partial.nsmallest(k, "priority").sort_values("priority").reset_index(drop=True)
+    )
+    out = partial_topk_pandas(annotated, pick)
     out["rank"] = pd.array(range(1, len(out) + 1), dtype="int64")
     return out
 

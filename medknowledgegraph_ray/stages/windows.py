@@ -5,11 +5,13 @@ on two exchange shapes, neither assuming a user fits one group:
 
 - keyed algebraic aggregation (tumbling/sliding) via stages/groupagg.py —
   per-block partial, parallel sort, per-block combine, edge repair;
-- ordered scans (sessionize / as-of lag) via a global
-  (user_id, ts, event_id) range sort, one VECTORIZED pass per block over
-  all interior users, and per-user repair only for the ≤2 users that can
-  straddle a block edge — the transcript `(conv_id, turn_idx)` stable-
-  ordering pattern generalized to unbounded keys.
+- ordered scans (everything else here) via ONE shared scaffold,
+  `_sorted_user_op`: a global range sort on (user_id, ...), one VECTORIZED
+  kernel pass per block over all interior users, and per-user repair only
+  for the ≤2 users that can straddle a block edge — the transcript
+  `(conv_id, turn_idx)` stable-ordering pattern generalized to unbounded
+  keys.  Each operator is its ~15-line kernel; the edge-flag contract and
+  repair live in exactly one place.
 """
 
 from __future__ import annotations
@@ -91,103 +93,150 @@ def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 9
     )
 
 
-def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
-    """Grouped top-k (by scaled value desc, event_id asc), scale-safe for
-    corpus-many groups: global sort on (user_id, value_e6 desc, event_id),
-    vectorized head-k per user per block (cumcount over sorted runs), and
-    per-user repair only for the ≤2 block-edge users.  For the OTHER top-k
-    regime — few groups, each corpus-scale — see skew.salted_grouped_topk
-    (used by the ANN merge)."""
+# ---------------------------------------------------------------------------
+# The shared ordered-scan scaffold
+# ---------------------------------------------------------------------------
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
+_PAD = {"int64": 0, "float64": 0.0, "bool": False, "object": ""}
 
-    s = (
-        events.select_columns(["user_id", "event_id", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
+
+def _run_firsts(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length prelude over a sorted key array: (new_run bool mask,
+    index of each row's run start)."""
+    n = len(u)
+    new = np.ones(n, dtype=bool)
+    if n:
+        new[1:] = u[1:] != u[:-1]
+    first = np.where(new, np.arange(n), 0)
+    np.maximum.accumulate(first, out=first)
+    return new, first
+
+
+def _prep_events(events: rd.Dataset, cols: tuple[str, ...]) -> tuple[rd.Dataset, list[str]]:
+    """Project + scale the events table to int64 working columns:
+    user_id plus any of event_id / ts_us / value_e6."""
+    src_of = {"event_id": "event_id", "ts_us": "ts", "value_e6": "value"}
+    src = ["user_id"] + [src_of[c] for c in cols]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": b["user_id"].astype("int64")}
+        if "event_id" in cols:
+            out["event_id"] = b["event_id"].astype("int64")
+        if "ts_us" in cols:
+            out["ts_us"] = b["ts"].astype("int64")
+        if "value_e6" in cols:
+            out["value_e6"] = pd.array(
+                np.round(b["value"].to_numpy() * 1e6).astype("int64"), dtype="int64"
+            )
+        return pd.DataFrame(out)
+
+    ds = events.select_columns(src).map_batches(
+        prep, batch_format="pandas", batch_size=None
     )
+    return ds, ["user_id"] + list(cols)
 
-    def headk_sorted(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["user_id"].to_numpy()
-        n = len(df)
-        new_user = np.ones(n, dtype=bool)
-        new_user[1:] = u[1:] != u[:-1]
-        # rank within user = position since the user's first row
-        first_pos = np.where(new_user, np.arange(n), 0)
-        np.maximum.accumulate(first_pos, out=first_pos)
-        rank = np.arange(n) - first_pos + 1
-        out = df[rank <= k].copy()
-        out["rank"] = pd.array(rank[rank <= k], dtype="int64")
-        return out
+
+def _sorted_user_op(
+    prepped: rd.Dataset,
+    raw_cols: list[str],
+    sort_cols: list[str],
+    descending: list[bool],
+    kernel,
+    out_dtypes: dict[str, str],
+    key: str = "user_id",
+) -> rd.Dataset:
+    """The ordered-scan exchange every per-key windowed operator here rides:
+
+    - ONE global sort on `sort_cols` (key first);
+    - per block, `kernel` (a vectorized pandas function over a frame sorted
+      by `sort_cols`, any output row count) resolves every INTERIOR key —
+      after a range sort a key's rows are contiguous, so only the block's
+      first and last key can straddle a block edge;
+    - edge-key rows defer raw; a per-key repair re-sorts each deferred
+      key's complete row set locally and applies the SAME kernel.
+
+    The kernel must be key-local (its output for a key depends only on that
+    key's rows) and order-consistent with `sort_cols`; row counts may
+    shrink (argmax), grow, or aggregate (quantiles)."""
+    out_cols = list(out_dtypes)
+    raw_only = [c for c in raw_cols if c not in out_cols]
+    s = prepped.sort(sort_cols, descending=descending)
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
+        order = out_cols + raw_only + ["is_edge"]
         if len(df) == 0:
-            return df.assign(rank=pd.array([], dtype="int64"),
-                             is_edge=pd.array([], dtype="bool"))
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge_mask = df["user_id"].isin({first, last})
-        interior = headk_sorted(df[~edge_mask.to_numpy()])
-        interior = interior.assign(is_edge=pd.array([False] * len(interior), dtype="bool"))
-        edge = df[edge_mask.to_numpy()].assign(
-            rank=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
-        )
-        return pd.concat([interior, edge], ignore_index=True)
+            empty = {c: pd.array([], dtype=dt) for c, dt in out_dtypes.items()}
+            for c in raw_only:
+                empty[c] = df[c]
+            empty["is_edge"] = pd.array([], dtype="bool")
+            return pd.DataFrame(empty)[order]
+        u = df[key].to_numpy()
+        edge = (u == u[0]) | (u == u[-1])
+        interior = kernel(df[~edge]).reset_index(drop=True)
+        for c in raw_only:
+            dt = str(df[c].dtype)
+            interior[c] = pd.array([_PAD[dt]] * len(interior), dtype=dt)
+        interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
+        e = df[edge].reset_index(drop=True)
+        for c, dt in out_dtypes.items():
+            if c not in e.columns:
+                e[c] = pd.array([_PAD[dt]] * len(e), dtype=dt)
+        e["is_edge"] = pd.array([True] * len(e), dtype="bool")
+        return pd.concat([interior[order], e[order]], ignore_index=True)
 
-    flagged = s.map_batches(split, batch_format="pandas").materialize()
-    cols = ["user_id", "event_id", "value_e6", "rank"]
+    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
     interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+        lambda t: t[out_cols], batch_format="pandas"
     )
+    local_sort = [c for c in sort_cols if c != key]
+    local_asc = [not d for c, d in zip(sort_cols, descending) if c != key]
 
-    def edge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
-                          kind="mergesort").head(k)
-        g = g.copy()
-        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
-        return g[cols]
+    def edge_fix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(local_sort, ascending=local_asc, kind="mergesort")
+        return kernel(g)[out_cols]
 
     edges = (
         flagged.filter(expr="is_edge == True")
-        .groupby("user_id")
-        .map_groups(edge_topk, batch_format="pandas")
+        .map_batches(lambda t: t[raw_cols], batch_format="pandas")
+        .groupby(key)
+        .map_groups(edge_fix, batch_format="pandas")
     )
     return interior.union(edges)
 
 
-def ranked_events(events: rd.Dataset) -> rd.Dataset:
-    """ROW_NUMBER / RANK / DENSE_RANK per user over (value desc, event_id)
-    — the ranking window functions Ray Data lacks.
+# ---------------------------------------------------------------------------
+# Operators = kernels on the scaffold
+# ---------------------------------------------------------------------------
 
-    Scale shape: ONE global sort on (user_id, value_e6 desc, event_id),
-    then every interior user's three ranks come out of one vectorized
-    run-length pass per block (rank = first index of the (user, value) run
-    within the user, dense rank = distinct-value count so far); only the
-    ≤2 users touching a block edge are re-ranked per-user."""
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
+def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """Grouped top-k (by scaled value desc, event_id asc), scale-safe for
+    corpus-many groups.  For the OTHER top-k regime — few groups, each
+    corpus-scale — see skew.salted_grouped_topk (used by the ANN merge)."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e6"))
 
-    s = (
-        events.select_columns(["user_id", "event_id", "value"])
-        .map_batches(prep, batch_format="pandas", batch_size=None)
-        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        _, first = _run_firsts(df["user_id"].to_numpy())
+        rank = np.arange(len(df)) - first + 1
+        out = df[rank <= k].copy()
+        out["rank"] = pd.array(rank[rank <= k], dtype="int64")
+        return out
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6", "event_id"], [False, True, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e6": "int64", "rank": "int64"},
     )
 
-    def ranks_sorted(df: pd.DataFrame) -> pd.DataFrame:
+
+def ranked_events(events: rd.Dataset) -> rd.Dataset:
+    """ROW_NUMBER / RANK / DENSE_RANK per user over (value desc, event_id)
+    — the ranking window functions Ray Data lacks.  rank = first index of
+    the (user, value) run within the user; dense rank = distinct-value
+    count so far."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e6"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
             return df.assign(
@@ -197,12 +246,9 @@ def ranked_events(events: rd.Dataset) -> rd.Dataset:
             )
         u = df["user_id"].to_numpy()
         v = df["value_e6"].to_numpy()
-        new_user = np.ones(n, dtype=bool)
-        new_user[1:] = u[1:] != u[:-1]
+        new_user, user_first = _run_firsts(u)
         new_val = new_user.copy()
         new_val[1:] |= v[1:] != v[:-1]
-        user_first = np.where(new_user, np.arange(n), 0)
-        np.maximum.accumulate(user_first, out=user_first)
         val_first = np.where(new_val, np.arange(n), 0)
         np.maximum.accumulate(val_first, out=val_first)
         dense_global = np.cumsum(new_val)
@@ -212,133 +258,25 @@ def ranked_events(events: rd.Dataset) -> rd.Dataset:
             dense_rnk=(dense_global - dense_global[user_first] + 1).astype("int64"),
         )
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(
-                row_num=pd.array([], dtype="int64"),
-                rnk=pd.array([], dtype="int64"),
-                dense_rnk=pd.array([], dtype="int64"),
-                is_edge=pd.array([], dtype="bool"),
-            )
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge = df["user_id"].isin({first, last}).to_numpy()
-        return ranks_sorted(df).assign(is_edge=edge)
-
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    cols = ["user_id", "event_id", "value_e6", "row_num", "rnk", "dense_rnk"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6", "event_id"], [False, True, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e6": "int64",
+         "row_num": "int64", "rnk": "int64", "dense_rnk": "int64"},
     )
-
-    def edge_ranks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
-                          kind="mergesort")
-        return ranks_sorted(g)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols[:3]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_ranks, batch_format="pandas")
-    )
-    return interior.union(edges)
-
-
-def asof_prev(events: rd.Dataset) -> rd.Dataset:
-    """As-of self-join: each event gets the value of the user's immediately
-    preceding event (0 when none) — the ordered-log lag/as-of-join shape.
-
-    Same scale shape as sessionize: global (user, ts, event_id) sort, one
-    vectorized lag pass per block for interior users, per-user repair only
-    for the ≤2 users touching a block edge."""
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "ts_us": batch["ts"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .sort(["user_id", "ts_us", "event_id"])
-    )
-
-    def lag_sorted(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value_e6"].to_numpy()
-        u = df["user_id"].to_numpy()
-        prev = np.concatenate([[0], v[:-1]]) if len(v) else v
-        if len(v) > 1:
-            prev[np.concatenate([[True], u[1:] != u[:-1]])] = 0
-        elif len(v) == 1:
-            prev = np.array([0], dtype="int64")
-        return df.assign(prev_value_e6=prev.astype("int64"))
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(prev_value_e6=pd.array([], dtype="int64"),
-                             is_edge=pd.array([], dtype="bool"))
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge = df["user_id"].isin({first, last}).to_numpy()
-        out = lag_sorted(df)
-        return out.assign(is_edge=edge)
-
-    flagged = s.map_batches(split, batch_format="pandas").materialize()
-    cols = ["user_id", "event_id", "ts_us", "value_e6", "prev_value_e6"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
-    )
-
-    def edge_lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        return lag_sorted(g)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols[:-1]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_lag, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def ntile_events(events: rd.Dataset, k: int = 4) -> rd.Dataset:
     """NTILE(k) per user over (value desc, event_id): split each user's
     events into k near-equal buckets, the first n%k buckets one row larger
-    — SQL NTILE semantics exactly.
+    — SQL NTILE semantics exactly (integer arithmetic throughout)."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e6"))
 
-    Same sorted-exchange shape as ranked_events: interior users resolve
-    vectorized per block (rank and run length are both run-local facts);
-    the ≤2 block-edge users repair per-user."""
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "event_id", "value"])
-        .map_batches(prep, batch_format="pandas", batch_size=None)
-        .sort(["user_id", "value_e6", "event_id"], descending=[False, True, False])
-    )
-
-    def ntile_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
         n_rows = len(df)
         if n_rows == 0:
             return df.assign(bucket=pd.array([], dtype="int64"))
-        u = df["user_id"].to_numpy()
-        new_user = np.ones(n_rows, dtype=bool)
-        new_user[1:] = u[1:] != u[:-1]
-        user_first = np.where(new_user, np.arange(n_rows), 0)
-        np.maximum.accumulate(user_first, out=user_first)
+        new_user, user_first = _run_firsts(df["user_id"].to_numpy())
         r = np.arange(n_rows) - user_first + 1  # 1-based rank within user
         firsts = np.flatnonzero(new_user)
         counts = np.diff(np.append(firsts, n_rows))
@@ -346,51 +284,27 @@ def ntile_events(events: rd.Dataset, k: int = 4) -> rd.Dataset:
         size = n // k
         rem = n % k
         big_span = rem * (size + 1)
-        in_big = r <= big_span
-        # ceil division without floats
         bucket = np.where(
-            in_big,
+            r <= big_span,
             (r + size) // np.maximum(size + 1, 1),
             rem + (r - big_span + np.maximum(size, 1) - 1) // np.maximum(size, 1),
         )
         return df.assign(bucket=bucket.astype("int64"))
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(bucket=pd.array([], dtype="int64"),
-                             is_edge=pd.array([], dtype="bool"))
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge = df["user_id"].isin({first, last}).to_numpy()
-        return ntile_sorted(df).assign(is_edge=edge)
-
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    cols = ["user_id", "event_id", "value_e6", "bucket"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6", "event_id"], [False, True, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e6": "int64",
+         "bucket": "int64"},
     )
-
-    def edge_ntile(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value_e6", "event_id"], ascending=[False, True],
-                          kind="mergesort")
-        return ntile_sorted(g)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols[:3]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_ntile, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
     """Grouped argmax: each user's LATEST event row (max ts, ties to the
-    larger event_id) — the compaction / CDC-upsert shape (keep the newest
-    record per key).  Argmax is associative, so each map task pre-reduces
-    its block to one row per user BEFORE the exchange (the partial-agg
-    trick extended to a holistic-looking operator) — the sort moves
-    |users| × blocks rows, never the corpus.  Then first-row-per-user per
-    sorted block vectorized, per-user repair only at block edges."""
+    larger event_id) — the compaction / CDC-upsert shape.  Argmax is
+    associative, so each map task pre-reduces its block to one row per
+    user BEFORE the exchange — the sort moves |users| × blocks rows,
+    never the corpus."""
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -409,67 +323,49 @@ def latest_event_per_user(events: rd.Dataset) -> rd.Dataset:
         last[:-1] = u[1:] != u[:-1]
         return out[last]
 
-    s = (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .map_batches(prep, batch_format="pandas", batch_size=None)
-        .sort(["user_id", "ts_us", "event_id"], descending=[False, True, True])
+    prepped = events.select_columns(["user_id", "event_id", "ts", "value"]).map_batches(
+        prep, batch_format="pandas", batch_size=None
     )
-    cols = ["user_id", "event_id", "ts_us", "value_e6"]
+    raw = ["user_id", "event_id", "ts_us", "value_e6"]
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(is_edge=pd.array([], dtype="bool"))
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        new_user, _ = _run_firsts(df["user_id"].to_numpy())
+        return df[new_user]  # first row per user in (ts desc, id desc) order
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, True, True],
+        kernel, {c: "int64" for c in raw},
+    )
+
+
+def asof_prev(events: rd.Dataset) -> rd.Dataset:
+    """As-of self-join (LAG): each event gets the value of the user's
+    immediately preceding event (0 when none)."""
+    prepped, raw = _prep_events(events, ("event_id", "ts_us", "value_e6"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value_e6"].to_numpy()
         u = df["user_id"].to_numpy()
-        n = len(df)
-        edge = (u == u[0]) | (u == u[-1])
-        new_user = np.ones(n, dtype=bool)
-        new_user[1:] = u[1:] != u[:-1]
-        keep = (new_user & ~edge) | edge  # interior firsts + all edge rows
-        out = df[keep]
-        return out.assign(is_edge=edge[keep])
+        if len(v) == 0:
+            return df.assign(prev_value_e6=pd.array([], dtype="int64"))
+        prev = np.concatenate([[0], v[:-1]])
+        prev[np.concatenate([[True], u[1:] != u[:-1]])] = 0
+        return df.assign(prev_value_e6=prev.astype("int64"))
 
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "value_e6": "int64", "prev_value_e6": "int64"},
     )
-
-    def edge_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], ascending=[False, False],
-                          kind="mergesort")
-        return g.head(1)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_latest, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def asof_next(events: rd.Dataset) -> rd.Dataset:
     """LEAD: each event gets the value of the user's immediately FOLLOWING
-    event (0 when none) — asof_prev's mirror, same single-sort scale shape
-    (vectorized shift per block for interior users, per-user repair only at
-    block edges)."""
+    event (0 when none) — asof_prev's mirror."""
+    prepped, raw = _prep_events(events, ("event_id", "ts_us", "value_e6"))
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "ts_us": batch["ts"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .map_batches(prep, batch_format="pandas", batch_size=None)
-        .sort(["user_id", "ts_us", "event_id"])
-    )
-
-    def lead_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value_e6"].to_numpy()
         u = df["user_id"].to_numpy()
         if len(v) == 0:
@@ -479,31 +375,12 @@ def asof_next(events: rd.Dataset) -> rd.Dataset:
         nxt[np.concatenate([u[1:] != u[:-1], [True]])] = 0
         return df.assign(next_value_e6=nxt.astype("int64"))
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(next_value_e6=pd.array([], dtype="int64"),
-                             is_edge=pd.array([], dtype="bool"))
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge = df["user_id"].isin({first, last}).to_numpy()
-        return lead_sorted(df).assign(is_edge=edge)
-
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    cols = ["user_id", "event_id", "ts_us", "value_e6", "next_value_e6"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "value_e6": "int64", "next_value_e6": "int64"},
     )
-
-    def edge_lead(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        return lead_sorted(g)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols[:-1]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_lead, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def _quantiles_sorted(df: pd.DataFrame) -> pd.DataFrame:
@@ -513,8 +390,7 @@ def _quantiles_sorted(df: pd.DataFrame) -> pd.DataFrame:
     u = df["user_id"].to_numpy()
     v = df["value_e6"].to_numpy()
     n = len(df)
-    new = np.ones(n, dtype=bool)
-    new[1:] = u[1:] != u[:-1]
+    new, _ = _run_firsts(u)
     firsts = np.flatnonzero(new)
     counts = np.diff(np.append(firsts, n))
     med = v[firsts + np.ceil(counts * 0.5).astype(np.int64) - 1]
@@ -531,71 +407,14 @@ def _quantiles_sorted(df: pd.DataFrame) -> pd.DataFrame:
 
 def grouped_quantiles(events: rd.Dataset) -> rd.Dataset:
     """Exact discrete per-user quantiles (median + p90 of value) — the
-    order-statistic aggregate no algebraic combiner can express.  Scale
-    shape: global (user_id, value_e6) sort, run-length selection per block
-    for every interior user, per-user repair only at block edges — the same
-    exchange the other ordered-log operators ride."""
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .sort(["user_id", "value_e6"])
+    order-statistic aggregate no algebraic combiner can express."""
+    prepped, raw = _prep_events(events, ("value_e6",))
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6"], [False, False],
+        _quantiles_sorted,
+        {"user_id": "int64", "n_events": "int64",
+         "median_value_e6": "int64", "p90_value_e6": "int64"},
     )
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.array([], dtype="int64"),
-                    "n_events": pd.array([], dtype="int64"),
-                    "median_value_e6": pd.array([], dtype="int64"),
-                    "p90_value_e6": pd.array([], dtype="int64"),
-                    "value_e6": pd.array([], dtype="int64"),
-                    "is_edge": pd.array([], dtype="bool"),
-                }
-            )
-        u = df["user_id"].to_numpy()
-        edge_mask = (u == u[0]) | (u == u[-1])
-        intr = _quantiles_sorted(df[~edge_mask])
-        interior = intr.assign(
-            value_e6=pd.array([0] * len(intr), dtype="int64"),
-            is_edge=pd.array([False] * len(intr), dtype="bool"),
-        )
-        edge = df[edge_mask].assign(
-            n_events=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            median_value_e6=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            p90_value_e6=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
-        )
-        cols = ["user_id", "n_events", "median_value_e6", "p90_value_e6",
-                "value_e6", "is_edge"]
-        return pd.concat([interior[cols], edge[cols]], ignore_index=True)
-
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    out_cols = ["user_id", "n_events", "median_value_e6", "p90_value_e6"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[out_cols], batch_format="pandas"
-    )
-
-    def edge_q(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("value_e6", kind="mergesort")
-        return _quantiles_sorted(g)[out_cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[["user_id", "value_e6"]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_q, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def _quantiles_cont_sorted(df: pd.DataFrame) -> pd.DataFrame:
@@ -607,8 +426,7 @@ def _quantiles_cont_sorted(df: pd.DataFrame) -> pd.DataFrame:
     u = df["user_id"].to_numpy()
     v = df["value_e6"].to_numpy().astype(np.float64)
     n = len(df)
-    new = np.ones(n, dtype=bool)
-    new[1:] = u[1:] != u[:-1]
+    new, _ = _run_firsts(u)
     firsts = np.flatnonzero(new)
     counts = np.diff(np.append(firsts, n))
     out = {"user_id": u[firsts], "n_events": counts.astype("int64")}
@@ -624,68 +442,14 @@ def _quantiles_cont_sorted(df: pd.DataFrame) -> pd.DataFrame:
 
 def grouped_quantiles_cont(events: rd.Dataset) -> rd.Dataset:
     """Exact INTERPOLATED per-user quantiles (continuous median + p90) —
-    same single-sort scale shape as grouped_quantiles, different selection
-    kernel (linear interpolation instead of the discrete order statistic)."""
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "value"])
-        .map_batches(prep, batch_format="pandas", batch_size=None)
-        .sort(["user_id", "value_e6"])
+    same exchange as grouped_quantiles, different selection kernel."""
+    prepped, raw = _prep_events(events, ("value_e6",))
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6"], [False, False],
+        _quantiles_cont_sorted,
+        {"user_id": "int64", "n_events": "int64",
+         "median_cont": "float64", "p90_cont": "float64"},
     )
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.array([], dtype="int64"),
-                    "n_events": pd.array([], dtype="int64"),
-                    "median_cont": pd.array([], dtype="float64"),
-                    "p90_cont": pd.array([], dtype="float64"),
-                    "value_e6": pd.array([], dtype="int64"),
-                    "is_edge": pd.array([], dtype="bool"),
-                }
-            )
-        u = df["user_id"].to_numpy()
-        edge_mask = (u == u[0]) | (u == u[-1])
-        intr = _quantiles_cont_sorted(df[~edge_mask])
-        interior = intr.assign(
-            value_e6=pd.array([0] * len(intr), dtype="int64"),
-            is_edge=pd.array([False] * len(intr), dtype="bool"),
-        )
-        edge = df[edge_mask].assign(
-            n_events=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            median_cont=pd.array([0.0] * int(edge_mask.sum()), dtype="float64"),
-            p90_cont=pd.array([0.0] * int(edge_mask.sum()), dtype="float64"),
-            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
-        )
-        cols = ["user_id", "n_events", "median_cont", "p90_cont", "value_e6", "is_edge"]
-        return pd.concat([interior[cols], edge[cols]], ignore_index=True)
-
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    out_cols = ["user_id", "n_events", "median_cont", "p90_cont"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[out_cols], batch_format="pandas"
-    )
-
-    def edge_q(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("value_e6", kind="mergesort")
-        return _quantiles_cont_sorted(g)[out_cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[["user_id", "value_e6"]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_q, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
@@ -694,20 +458,18 @@ def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     u = df["user_id"].to_numpy()
     t = df["ts_us"].to_numpy()
     n = len(df)
-    new_user = np.ones(n, dtype=bool)
-    new_user[1:] = u[1:] != u[:-1]
+    new_user, first_pos = _run_firsts(u)
     new_sess = new_user.copy()
-    new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+    if n:
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
     sid_global = np.cumsum(new_sess)
     # per-user numbering: subtract the user's first global session id
-    first_pos = np.where(new_user, np.arange(n), 0)
-    np.maximum.accumulate(first_pos, out=first_pos)
-    session_idx = sid_global - sid_global[first_pos] + 1
+    session_idx = sid_global - sid_global[first_pos] + 1 if n else sid_global
     out = (
         pd.DataFrame(
             {
                 "user_id": u,
-                "session_idx": session_idx.astype("int64"),
+                "session_idx": session_idx.astype("int64") if n else pd.array([], dtype="int64"),
                 "ts_us": t,
                 "value_e6": df["value_e6"].to_numpy(),
             }
@@ -721,152 +483,38 @@ def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
         )
         .reset_index()
     )
-    for c in ("n_events", "start_us", "end_us", "value_sum_e6"):
+    for c in ("user_id", "session_idx", "n_events", "start_us", "end_us", "value_sum_e6"):
         out[c] = out[c].astype("int64")
     return out
 
 
 def sessionize(events: rd.Dataset, gap_sec: int = 1800) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from the
-    previous event exceeds `gap_sec`.
-
-    Scale shape: global sort on (user_id, ts_us, event_id), then each block
-    sessionizes ALL of its users in one vectorized pass; only the ≤2 users
-    that may straddle a block edge (the block's first and last user — after
-    a sort a user's rows are contiguous) are re-sessionized from their raw
-    events in a tiny per-user pass.  No per-user Python for interior users
-    and no one-user-per-group assumption."""
+    previous event exceeds `gap_sec`."""
     gap_us = gap_sec * 1_000_000
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "ts_us": batch["ts"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .sort(["user_id", "ts_us", "event_id"])
+    prepped, raw = _prep_events(events, ("event_id", "ts_us", "value_e6"))
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        lambda df: _sessionize_sorted(df, gap_us),
+        {"user_id": "int64", "session_idx": "int64", "n_events": "int64",
+         "start_us": "int64", "end_us": "int64", "value_sum_e6": "int64"},
     )
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.array([], dtype="int64"),
-                    "session_idx": pd.array([], dtype="int64"),
-                    "n_events": pd.array([], dtype="int64"),
-                    "start_us": pd.array([], dtype="int64"),
-                    "end_us": pd.array([], dtype="int64"),
-                    "value_sum_e6": pd.array([], dtype="int64"),
-                    "event_id": pd.array([], dtype="int64"),
-                    "ts_us_raw": pd.array([], dtype="int64"),
-                    "value_e6_raw": pd.array([], dtype="int64"),
-                    "is_edge": pd.array([], dtype="bool"),
-                }
-            )
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge_mask = df["user_id"].isin({first, last}).to_numpy()
-        interior = _sessionize_sorted(df[~edge_mask], gap_us) if (~edge_mask).any() else None
-        frames = []
-        if interior is not None and len(interior):
-            interior = interior.assign(
-                event_id=pd.array([0] * len(interior), dtype="int64"),
-                ts_us_raw=pd.array([0] * len(interior), dtype="int64"),
-                value_e6_raw=pd.array([0] * len(interior), dtype="int64"),
-                is_edge=pd.array([False] * len(interior), dtype="bool"),
-            )
-            frames.append(interior)
-        edge = df[edge_mask]
-        if len(edge):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "user_id": edge["user_id"].to_numpy(),
-                        "session_idx": pd.array([0] * len(edge), dtype="int64"),
-                        "n_events": pd.array([0] * len(edge), dtype="int64"),
-                        "start_us": pd.array([0] * len(edge), dtype="int64"),
-                        "end_us": pd.array([0] * len(edge), dtype="int64"),
-                        "value_sum_e6": pd.array([0] * len(edge), dtype="int64"),
-                        "event_id": edge["event_id"].to_numpy(),
-                        "ts_us_raw": edge["ts_us"].to_numpy(),
-                        "value_e6_raw": edge["value_e6"].to_numpy(),
-                        "is_edge": pd.array([True] * len(edge), dtype="bool"),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    flagged = s.map_batches(split, batch_format="pandas").materialize()
-    cols = ["user_id", "session_idx", "n_events", "start_us", "end_us", "value_sum_e6"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
-    )
-
-    def edge_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us_raw", "event_id"], kind="mergesort")
-        raw = pd.DataFrame(
-            {
-                "user_id": g["user_id"].to_numpy(),
-                "ts_us": g["ts_us_raw"].to_numpy(),
-                "value_e6": g["value_e6_raw"].to_numpy(),
-            }
-        )
-        return _sessionize_sorted(raw, gap_us)
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .groupby("user_id")
-        .map_groups(edge_sessions, batch_format="pandas")
-    )
-    return interior.union(edges)
 
 
 def running_aggregates(events: rd.Dataset, w: int = 3) -> rd.Dataset:
     """Per-user running window frames: cumulative sum and a w-row rolling
     sum of value, both in integer micro-units — the ROWS-frame window
-    aggregate (SUM OVER ... ROWS BETWEEN) Ray Data lacks.
+    aggregate (SUM OVER ... ROWS BETWEEN) Ray Data lacks."""
+    prepped, raw = _prep_events(events, ("event_id", "ts_us", "value_e6"))
 
-    Same scale shape as asof_prev/sessionize: ONE global sort on
-    (user_id, ts_us, event_id), a vectorized cumsum pass per block for
-    every interior user, per-user repair only for the ≤2 users touching a
-    block edge."""
-
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"].astype("int64"),
-                "event_id": batch["event_id"].astype("int64"),
-                "ts_us": batch["ts"].astype("int64"),
-                "value_e6": np.round(batch["value"].to_numpy() * 1e6).astype("int64"),
-            }
-        )
-
-    s = (
-        events.select_columns(["user_id", "event_id", "ts", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .sort(["user_id", "ts_us", "event_id"])
-    )
-
-    def frames_sorted(df: pd.DataFrame) -> pd.DataFrame:
-        """cumsum + rolling-w sum over a frame sorted by (user, ts, id)."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
-        u = df["user_id"].to_numpy()
         v = df["value_e6"].to_numpy()
         if n == 0:
             return df.assign(cum_value_e6=pd.array([], dtype="int64"),
                              roll_value_e6=pd.array([], dtype="int64"))
-        new = np.ones(n, dtype=bool)
-        new[1:] = u[1:] != u[:-1]
+        _, run_first = _run_firsts(df["user_id"].to_numpy())
         cs = np.cumsum(v)
-        # cumulative sum within each user run
-        run_first = np.where(new, np.arange(n), 0)
-        np.maximum.accumulate(run_first, out=run_first)
         base = cs[run_first] - v[run_first]
         cum = cs - base
         # rolling w-row sum: cs[i] - cs[i-w] where the frame fits, else cum
@@ -877,30 +525,9 @@ def running_aggregates(events: rd.Dataset, w: int = 3) -> rd.Dataset:
         return df.assign(cum_value_e6=cum.astype("int64"),
                          roll_value_e6=roll.astype("int64"))
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(cum_value_e6=pd.array([], dtype="int64"),
-                             roll_value_e6=pd.array([], dtype="int64"),
-                             is_edge=pd.array([], dtype="bool"))
-        first, last = df["user_id"].iloc[0], df["user_id"].iloc[-1]
-        edge = df["user_id"].isin({first, last}).to_numpy()
-        return frames_sorted(df).assign(is_edge=edge)
-
-    flagged = s.map_batches(split, batch_format="pandas").materialize()
-    cols = ["user_id", "event_id", "ts_us", "value_e6",
-            "cum_value_e6", "roll_value_e6"]
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "value_e6": "int64", "cum_value_e6": "int64", "roll_value_e6": "int64"},
     )
-
-    def edge_frames(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        return frames_sorted(g)[cols]
-
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[cols[:4]], batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(edge_frames, batch_format="pandas")
-    )
-    return interior.union(edges)
