@@ -320,6 +320,15 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _corpus_export(sf_dir: str):
+    # the END-TO-END training-corpus pipeline (pipelines/corpus.py):
+    # Gopher filter -> exact dedup -> seeded shuffle, oracle-checked as
+    # one chain (the write-to-shards variant is corpus.export_corpus)
+    from medknowledgegraph_ray.pipelines import corpus
+
+    return corpus.corpus_rows(sf_dir)
+
+
 def _ev_moments(sf_dir: str):
     # exact integer moment aggregation (streaming stats; variance derives)
     return eventagg.user_moments(readers.read_table(sf_dir, "events"))
@@ -745,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_cube": _agg_cube,
         "join_left_counts": _join_left_counts,
         "join_revenue_region": analytics.revenue_by_region,
+        "corpus_export": _corpus_export,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1271,6 +1281,32 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        # the end-to-end corpus pipeline as ONE oracle: Gopher keep →
+        # min-doc-id-per-normalized-md5 dedup → md5 shard/pos assignment
+        "corpus_export": (
+            "WITH g AS (SELECT doc_id,"
+            "  length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+            "   AS n_tokens,"
+            "  length(regexp_extract_all(text, '\\S')) AS n_alpha,"
+            "  length(regexp_extract_all(lower(text),"
+            "   '\\b(the|and|of|to|a|in|is|that|for|on)\\b')) AS n_stop,"
+            "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h"
+            " FROM documents),"
+            " kept AS (SELECT doc_id, h FROM g"
+            "  WHERE n_tokens BETWEEN 40 AND 120"
+            "   AND CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1)"
+            "    BETWEEN 3.0 AND 10.0"
+            "   AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05),"
+            " surv AS (SELECT doc_id FROM kept"
+            "  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1),"
+            " keyed AS (SELECT doc_id,"
+            "  CAST(('0x' || substr(md5('20260817:' || CAST(doc_id AS VARCHAR)),"
+            "   1, 16)) AS UBIGINT) AS skey FROM surv)"
+            " SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,"
+            "  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8"
+            "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
+            " FROM keyed"
         ),
         "join_revenue_region": (
             "SELECT r.r_name,"

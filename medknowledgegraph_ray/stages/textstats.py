@@ -104,6 +104,22 @@ def quality_score(docs: rd.Dataset) -> rd.Dataset:
 _NONSPACE = re.compile(r"\S", re.ASCII)
 
 
+def gopher_flags(text: pd.Series):
+    """The Gopher rule inputs + flags for a text Series, vectorized — the
+    single home of the rule formulas (gopher_rules and the corpus-export
+    pipeline both call this, and the DuckDB oracles mirror it verbatim).
+    Returns (n_tok, n_alpha, mean_len, words_ok, mean_ok, stop_ok)."""
+    n_tok = text.str.count(_TOKEN_RUN).astype("int64").to_numpy()
+    n_alpha = text.str.count(_NONSPACE).astype("int64").to_numpy()
+    n_stop = text.str.lower().str.count(textfn.EN_STOP_RE).astype("int64").to_numpy()
+    mean_len = n_alpha / np.maximum(n_tok, 1)
+    stop_ratio = n_stop / np.maximum(n_tok, 1)
+    words_ok = (n_tok >= 40) & (n_tok <= 120)
+    mean_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    stop_ok = stop_ratio >= 0.05
+    return n_tok, n_alpha, mean_len, words_ok, mean_ok, stop_ok
+
+
 def gopher_rules(docs: rd.Dataset) -> rd.Dataset:
     """Gopher-style rule-based quality FILTER (Rae et al. 2021 §A1.1
     analog, deterministic subset): per doc the rule inputs plus a keep
@@ -115,18 +131,10 @@ def gopher_rules(docs: rd.Dataset) -> rd.Dataset:
     Unlike quality_score (a composite score), this is the boolean
     rule-filter shape a pretraining corpus pass applies.  Map-only,
     vectorized, every formula shared verbatim with the DuckDB oracle."""
-    token_run, nonspace, stop = _TOKEN_RUN, _NONSPACE, textfn.EN_STOP_RE
 
     def rules(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
-        n_tok = text.str.count(token_run).astype("int64").to_numpy()
-        n_alpha = text.str.count(nonspace).astype("int64").to_numpy()
-        n_stop = text.str.lower().str.count(stop).astype("int64").to_numpy()
-        mean_len = n_alpha / np.maximum(n_tok, 1)
-        stop_ratio = n_stop / np.maximum(n_tok, 1)
-        words_ok = (n_tok >= 40) & (n_tok <= 120)
-        mean_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
-        stop_ok = stop_ratio >= 0.05
+        n_tok, n_alpha, mean_len, words_ok, mean_ok, stop_ok = gopher_flags(text)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],

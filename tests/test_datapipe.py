@@ -31,7 +31,7 @@ SQL_CHECKED = [
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
-    "join_revenue_region",
+    "join_revenue_region", "corpus_export",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -869,3 +869,37 @@ def test_user_moments_and_exact_sample():
     s1 = _ts.sample_exact_k(docs.repartition(1), k=10)
     assert len(s3) == 10 and s3["rank"].tolist() == list(range(1, 11))
     assert s3[["doc_id", "priority"]].equals(s1[["doc_id", "priority"]])
+
+
+def test_export_corpus_write_and_resume(sf_dir, tmp_path):
+    import os
+
+    from medknowledgegraph_ray.pipelines import corpus
+
+    out = str(tmp_path / "corpus")
+    first = corpus.export_corpus(sf_dir, out, n_shards=4)
+    assert first["written"] == 4 and first["skipped"] == 0
+    idx = _norm(corpus.corpus_rows(sf_dir, n_shards=4).to_pandas())
+    written = []
+    for s in range(4):
+        path = os.path.join(out, f"shard={s}")
+        df = pd.read_parquet(path)
+        assert df["shard"].eq(s).all()
+        assert sorted(df["pos"].tolist()) == list(range(1, len(df) + 1))
+        assert df["text"].notna().all()
+        written.append(df[["doc_id", "shard", "pos"]])
+    assert _norm(pd.concat(written, ignore_index=True)).equals(idx)
+    # full resume: nothing recomputes
+    again = corpus.export_corpus(sf_dir, out, n_shards=4)
+    assert again["written"] == 0 and again["skipped"] == 4
+    # partial resume: drop one shard, only it is rewritten
+    import shutil as _sh
+
+    keep_mtime = os.path.getmtime(os.path.join(out, "shard=0"))
+    _sh.rmtree(os.path.join(out, "shard=2"))
+    third = corpus.export_corpus(sf_dir, out, n_shards=4)
+    assert third["written"] == 1 and third["skipped"] == 3
+    assert os.path.getmtime(os.path.join(out, "shard=0")) == keep_mtime
+    df2 = pd.read_parquet(os.path.join(out, "shard=2"))
+    assert _norm(df2[["doc_id", "shard", "pos"]]).equals(
+        _norm(idx[idx["shard"] == 2]))
