@@ -151,6 +151,11 @@ def run_bench() -> dict:
         t0 = time.time()
         _pk.sequence_pack(docs()).count()
         queries["doc_pack"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.pipelines import corpus as _corpus
+
+        t0 = time.time()
+        _corpus.corpus_rows(sf_dir).count()
+        queries["corpus_export"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);
