@@ -320,6 +320,51 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _join_full_users(sf_dir: str):
+    # FULL OUTER equi-join: high-value click users vs high-value purchase
+    # users — both unmatched sides preserved (stages/join.py how="outer")
+    import numpy as _np
+    import pandas as _pd
+
+    from medknowledgegraph_ray.stages.groupagg import grouped_agg
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    ev = readers.read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def side(etype: str, alias: str):
+        def prep(b: _pd.DataFrame) -> _pd.DataFrame:
+            m = (b["event_type"] == etype) & (b["value"] > 110.0)
+            return _pd.DataFrame(
+                {
+                    "user_id": b.loc[m, "user_id"].astype("int64"),
+                    "one": _pd.array(
+                        _np.ones(int(m.sum()), dtype=_np.int64), dtype="int64"
+                    ),
+                }
+            )
+
+        return grouped_agg(
+            ev.map_batches(prep, batch_format="pandas", batch_size=None),
+            ["user_id"], [("one", "sum", alias)],
+        )
+
+    joined = equi_join(
+        side("click", "n_hi_clicks"), side("purchase", "n_hi_purchases"),
+        "user_id", ["n_hi_clicks"], ["n_hi_purchases"], how="outer",
+    )
+
+    def fill(b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "n_hi_clicks": b["n_hi_clicks"].fillna(0).astype("int64"),
+                "n_hi_purchases": b["n_hi_purchases"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def _corpus_export(sf_dir: str):
     # the END-TO-END training-corpus pipeline (pipelines/corpus.py):
     # Gopher filter -> exact dedup -> seeded shuffle, oracle-checked as
@@ -755,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left_counts": _join_left_counts,
         "join_revenue_region": analytics.revenue_by_region,
         "corpus_export": _corpus_export,
+        "join_full_users": _join_full_users,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1281,6 +1327,18 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "join_full_users": (
+            "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"
+            "  FROM events WHERE event_type = 'click' AND value > 110.0"
+            "  GROUP BY 1),"
+            " p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"
+            "  FROM events WHERE event_type = 'purchase' AND value > 110.0"
+            "  GROUP BY 1)"
+            " SELECT COALESCE(c.user_id, p.user_id) AS user_id,"
+            "  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_hi_clicks,"
+            "  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_hi_purchases"
+            " FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
         ),
         # the end-to-end corpus pipeline as ONE oracle: Gopher keep →
         # min-doc-id-per-normalized-md5 dedup → md5 shard/pos assignment

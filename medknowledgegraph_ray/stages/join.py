@@ -51,13 +51,18 @@ def equi_join(
     """Join probe rows to the unique-keyed build side on int64 `key`.
 
     `how="inner"` drops probe rows with no build match; `how="left"`
-    keeps them with null build columns (LEFT OUTER, probe side preserved)
-    — same single exchange, the only difference is whether unmatched probe
-    rows are emitted.  Output columns: key, then build_cols, then
-    probe_cols — one row per (matching, for inner) probe row."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    left = how == "left"
+    keeps them with null build columns (LEFT OUTER, probe side preserved);
+    `how="outer"` additionally keeps build rows with no probe match (FULL
+    OUTER) — all on the same single exchange.  Unmatched-build detection
+    is exact because after the global sort a key's rows are contiguous:
+    an interior build key's probes are co-resident in its block, and an
+    edge key defers its COMPLETE row set (both sides), so the repair pass
+    decides each deferred build row against that key's full probe set.
+    Output columns: key, then build_cols, then probe_cols."""
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
+    left = how in ("left", "outer")
+    outer = how == "outer"
     out_names = [key] + build_cols + probe_cols
 
     def tag(side_cols: list[str], other_cols: list[str], kind: int, schema_src):
@@ -101,6 +106,7 @@ def equi_join(
                 **{c: pa.nulls(0, type=pa.int64() if c == key else types[c])
                    for c in out_names},
                 "__edge": pa.array([], pa.bool_()),
+                "__kindd": pa.array([], pa.int8()),
             }
         )
         if n == 0:
@@ -130,10 +136,11 @@ def equi_join(
         for c in probe_cols:
             cols[c] = t[c].take(pa.array(p_idx, pa.int64()))
         cols["__edge"] = pa.array(np.zeros(len(p_idx), dtype=bool))
+        cols["__kindd"] = pa.array(np.ones(len(p_idx), dtype=np.int8))
         inner = pa.table(cols)
         if left and (~matched).any():
-            # LEFT OUTER: interior probe rows with no build key keep their
-            # payload and take null build columns
+            # LEFT/FULL OUTER: interior probe rows with no build key keep
+            # their payload and take null build columns
             u_idx = pa.array(np.flatnonzero(is_p)[~matched], pa.int64())
             ucols = {key: t[key].take(u_idx)}
             for c in build_cols:
@@ -141,37 +148,81 @@ def equi_join(
             for c in probe_cols:
                 ucols[c] = t[c].take(u_idx)
             ucols["__edge"] = pa.array(np.zeros(len(u_idx), dtype=bool))
+            ucols["__kindd"] = pa.array(np.ones(len(u_idx), dtype=np.int8))
             inner = pa.concat_tables([inner, pa.table(ucols)])
+        if outer and len(b_keys):
+            # FULL OUTER: interior build keys no probe row referenced —
+            # their probe columns are already null from the tag pass
+            b_hit = np.zeros(len(b_keys), dtype=bool)
+            if matched.any():
+                b_hit[pos[matched]] = True
+            ub_idx = pa.array(np.flatnonzero(is_b)[~b_hit], pa.int64())
+            if len(ub_idx):
+                ucols = {c: t[c].take(ub_idx) for c in out_names}
+                ucols["__edge"] = pa.array(np.zeros(len(ub_idx), dtype=bool))
+                ucols["__kindd"] = pa.array(np.zeros(len(ub_idx), dtype=np.int8))
+                inner = pa.concat_tables([inner, pa.table(ucols)])
         defer = flagged & (kind == 1)
+        if outer:
+            defer = flagged  # both sides defer; repair sees complete keys
         if not defer.any():
             return inner
         d_idx = pa.array(np.flatnonzero(defer), pa.int64())
         dcols = {key: t[key].take(d_idx)}
         for c in build_cols:
-            dcols[c] = pa.nulls(len(d_idx), type=types[c])
+            # deferred BUILD rows carry their payloads (needed if they turn
+            # out unmatched); deferred probe rows carry nulls here
+            dcols[c] = t[c].take(d_idx) if outer else pa.nulls(len(d_idx), type=types[c])
         for c in probe_cols:
             dcols[c] = t[c].take(d_idx)
         dcols["__edge"] = pa.array(np.ones(len(d_idx), dtype=bool))
+        dcols["__kindd"] = pa.array(kind[np.flatnonzero(defer)].astype(np.int8))
         return pa.concat_tables([inner, pa.table(dcols)])
 
     flagged = unioned.map_batches(
         resolve, batch_format="pyarrow", batch_size=None
     ).materialize()
-    interior = flagged.filter(expr="__edge == False").drop_columns(["__edge"])
-    deferred = flagged.filter(expr="__edge == True").drop_columns(["__edge"])
+    interior = flagged.filter(expr="__edge == False").drop_columns(
+        ["__edge", "__kindd"]
+    )
+    deferred_p = flagged.filter(expr="__edge == True").filter(
+        expr="__kindd == 1"
+    ).drop_columns(["__edge", "__kindd"])
+    deferred_b = (
+        flagged.filter(expr="__edge == True").filter(expr="__kindd == 0")
+        .drop_columns(["__edge", "__kindd"])
+        if outer else None
+    )
 
-    # which keys deferred?  O(blocks) distinct values — a per-block unique
-    # before the driver pull, so a hot probe key never ships its rows
+    # which keys have deferred PROBE rows?  O(blocks) distinct values — a
+    # per-block unique before the driver pull, so a hot probe key never
+    # ships its rows
     need: set[int] = set()
-    for batch in deferred.map_batches(
+    for batch in deferred_p.map_batches(
         lambda t: pa.table({key: pa.array(
             np.unique(t[key].to_numpy(zero_copy_only=False)), pa.int64())}),
         batch_format="pyarrow", batch_size=None,
     ).iter_batches(batch_format="pyarrow"):
         need.update(int(x) for x in batch[key].to_numpy(zero_copy_only=False))
-    if not need:
-        return interior
     need_ref = ray.put(frozenset(need))
+
+    def emit_unmatched_build(t: pa.Table) -> pa.Table:
+        # deferred build rows whose key has NO probe row anywhere (an edge
+        # key defers its complete row set, so `need` is authoritative)
+        wanted = ray.get(need_ref)
+        mask = np.fromiter(
+            (int(x) not in wanted for x in t[key].to_numpy(zero_copy_only=False)),
+            dtype=bool, count=t.num_rows,
+        )
+        return t.filter(pa.array(mask)).select(out_names)
+
+    rep_b = (
+        deferred_b.map_batches(emit_unmatched_build, batch_format="pyarrow",
+                               batch_size=None)
+        if outer else None
+    )
+    if not need:
+        return interior.union(rep_b) if outer else interior
 
     def pick(t: pa.Table) -> pa.Table:
         wanted = ray.get(need_ref)
@@ -214,8 +265,9 @@ def equi_join(
             cols[c] = kept[c]
         return pa.table(cols)
 
-    rep = deferred.map_batches(bind, batch_format="pyarrow", batch_size=None)
-    return interior.union(rep)
+    rep = deferred_p.map_batches(bind, batch_format="pyarrow", batch_size=None)
+    out = interior.union(rep)
+    return out.union(rep_b) if outer else out
 
 
 def pc_cast_i64(arr):

@@ -31,7 +31,7 @@ SQL_CHECKED = [
     "ev_props", "ev_lead", "ev_quantiles_cont", "agg_cube",
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
-    "join_revenue_region", "corpus_export",
+    "join_revenue_region", "corpus_export", "join_full_users",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -903,3 +903,35 @@ def test_export_corpus_write_and_resume(sf_dir, tmp_path):
     df2 = pd.read_parquet(os.path.join(out, "shard=2"))
     assert _norm(df2[["doc_id", "shard", "pos"]]).equals(
         _norm(idx[idx["shard"] == 2]))
+
+
+def test_full_outer_join_both_sides_preserved():
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    build = rd.from_arrow(
+        pa.table({"k": pa.array([1, 3, 5, 7], pa.int64()),
+                  "b": pa.array(["one", "three", "five", "seven"], pa.string())})
+    )
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3, 9], pa.int64()),
+                  "p": pa.array([10, 20, 30, 31, 90], pa.int64())})
+    )
+    out = (
+        equi_join(build.repartition(3), probe.repartition(2), "k", ["b"], ["p"],
+                  how="outer")
+        .to_pandas()
+        .sort_values(["k", "p"])
+        .reset_index(drop=True)
+    )
+    # matched: 1, 3, 3; unmatched probe: 2, 9; unmatched build: 5, 7
+    assert out["k"].tolist() == [1, 2, 3, 3, 5, 7, 9]
+    assert out["b"].tolist() == ["one", None, "three", "three", "five", "seven", None]
+    assert [None if pd.isna(x) else int(x) for x in out["p"]] == [
+        10, 20, 30, 31, None, None, 90]
+    # single-partition result identical (edge-repair path vs interior path)
+    out1 = (
+        equi_join(build.repartition(1), probe.repartition(1), "k", ["b"], ["p"],
+                  how="outer")
+        .to_pandas().sort_values(["k", "p"]).reset_index(drop=True)
+    )
+    assert out1.equals(out)
