@@ -365,6 +365,22 @@ def _join_full_users(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def _doc_decontaminate(sf_dir: str):
+    # benchmark decontamination: token-boundary 8-gram overlap against a
+    # small benchmark set (docs 1-3), blocklist broadcast once
+    from medknowledgegraph_ray.stages import decontam
+
+    docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    bench = _rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=_pc.field("doc_id") <= 3,
+    )
+    return decontam.contamination_flags(docs, bench)
+
+
 def _corpus_export(sf_dir: str):
     # the END-TO-END training-corpus pipeline (pipelines/corpus.py):
     # Gopher filter -> exact dedup -> seeded shuffle, oracle-checked as
@@ -801,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_region": analytics.revenue_by_region,
         "corpus_export": _corpus_export,
         "join_full_users": _join_full_users,
+        "doc_decontaminate": _doc_decontaminate,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1327,6 +1344,22 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        # token-boundary 8-gram overlap vs the doc_id<=3 benchmark set
+        "doc_decontaminate": (
+            "WITH toks AS (SELECT doc_id,"
+            "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l"
+            " FROM documents),"
+            " grams AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g"
+            "  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)"
+            "  WHERE doc_id <= 3),"
+            " wins AS (SELECT doc_id, array_to_string(l[i:i+7], ' ') AS g"
+            "  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)),"
+            " hits AS (SELECT DISTINCT w.doc_id FROM wins w"
+            "  JOIN grams ON w.g = grams.g)"
+            " SELECT t.doc_id, t.doc_id IN (SELECT doc_id FROM hits)"
+            "  AS contaminated"
+            " FROM toks t"
         ),
         "join_full_users": (
             "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"

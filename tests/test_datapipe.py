@@ -32,6 +32,7 @@ SQL_CHECKED = [
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
+    "doc_decontaminate",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -935,3 +936,22 @@ def test_full_outer_join_both_sides_preserved():
         .to_pandas().sort_values(["k", "p"]).reset_index(drop=True)
     )
     assert out1.equals(out)
+
+
+def test_contamination_flags_token_boundary_semantics():
+    from medknowledgegraph_ray.stages import decontam
+
+    bench = _docs([(1, "alpha beta gamma delta epsilon zeta eta theta iota")])
+    corpus = _docs([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),  # itself
+        (2, "x y alpha beta gamma delta epsilon zeta eta theta z"),  # contains an 8-gram
+        (3, "alpha beta gamma delta epsilon zeta eta"),             # only 7 shared tokens
+        (4, "completely different words here and everywhere now ok"),
+        (5, "xalpha beta gamma delta epsilon zeta eta theta"),      # token boundary: no
+    ])
+    out = (
+        decontam.contamination_flags(corpus.repartition(3), bench)
+        .to_pandas().set_index("doc_id")["contaminated"]
+    )
+    assert out[1] and out[2]
+    assert not out[3] and not out[4] and not out[5]
