@@ -365,6 +365,13 @@ def _join_full_users(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def _doc_logprob(sf_dir: str):
+    # unigram-LM quality score, int64-exact micro-nats (stages/tfidf.py)
+    from medknowledgegraph_ray.stages import tfidf
+
+    return tfidf.unigram_logprob(_docs(sf_dir))
+
+
 def _doc_decontaminate(sf_dir: str):
     # benchmark decontamination: token-boundary 8-gram overlap against a
     # small benchmark set (docs 1-3), blocklist broadcast once
@@ -818,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_export": _corpus_export,
         "join_full_users": _join_full_users,
         "doc_decontaminate": _doc_decontaminate,
+        "doc_logprob": _doc_logprob,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1344,6 +1352,22 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "doc_logprob": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
+            " FROM documents),"
+            " tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf"
+            "  FROM toks GROUP BY 1, 2),"
+            " v AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),"
+            " nn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),"
+            " contrib AS (SELECT tf.doc_id, tf.tf,"
+            "  CAST(round(tf.tf * ln(v.cnt / nn.n) * 1000000) AS BIGINT) AS c_e6"
+            "  FROM tf JOIN v USING (tok) CROSS JOIN nn)"
+            " SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+            "  CAST(sum(c_e6) AS BIGINT) AS logprob_sum_e6,"
+            "  CAST(sum(c_e6) AS DOUBLE) / sum(tf) AS avg_logprob_e6"
+            " FROM contrib GROUP BY doc_id"
         ),
         # token-boundary 8-gram overlap vs the doc_id<=3 benchmark set
         "doc_decontaminate": (

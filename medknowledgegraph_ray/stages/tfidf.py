@@ -339,3 +339,72 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         .map_groups(edge_topk, batch_format="pandas")
     )
     return interior.union(edges)
+
+
+def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
+    """Per-document unigram language-model score — the model-based quality
+    signal (a KenLM stand-in with an exactly-checkable model): each token
+    contributes round(tf · ln(cnt/N) · 1e6) in int64 micro-nats (cnt =
+    corpus frequency, N = corpus token count), so per-doc sums are exact
+    integers regardless of summation order; ln is one libm call per
+    DISTINCT corpus count, bit-identical to DuckDB's ln (the doc_tfidf
+    precedent).  Output: doc_id, n_tokens, logprob_sum_e6,
+    avg_logprob_e6 (the same float64 division on both sides).
+
+    Vocab-gated like doc_tfidf: a broadcastable vocabulary ships once as a
+    dict; a larger one takes the generic sorted-exchange attach
+    (_attach_df with the corpus count in the df slot)."""
+    tf_rows = _tf_rows(docs).materialize()
+    vocab = grouped_agg(tf_rows, ["tok"], [("tf", "sum", "cnt")]).materialize()
+    n_total = float(sum(
+        b["cnt"].sum() for b in vocab.iter_batches(batch_format="pandas")
+    ))
+
+    def score_batch(b: pd.DataFrame, cnt_col: str) -> pd.DataFrame:
+        cnts = b[cnt_col].to_numpy()
+        logs = {int(c): math.log(int(c) / n_total) for c in np.unique(cnts)}
+        lp = np.array([logs[int(c)] for c in cnts])
+        c_e6 = np.round(b["tf"].to_numpy() * lp * 1e6).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "tf": b["tf"].astype("int64"),
+                "c_e6": pd.array(c_e6, dtype="int64"),
+            }
+        )
+
+    if vocab.count() <= VOCAB_BROADCAST_MAX:
+        lut_ref = ray.put(
+            {t: int(c) for b in vocab.iter_batches(batch_format="pandas")
+             for t, c in zip(b["tok"], b["cnt"])}
+        )
+
+        def attach_bc(b: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(lut_ref)
+            b = b.assign(cnt=pd.array([lut[t] for t in b["tok"]], dtype="int64"))
+            return score_batch(b, "cnt")
+
+        contrib = tf_rows.map_batches(attach_bc, batch_format="pandas",
+                                      batch_size=None)
+    else:
+        as_df = vocab.map_batches(
+            lambda b: pd.DataFrame({"tok": b["tok"],
+                                    "df": b["cnt"].astype("int64")}),
+            batch_format="pandas", batch_size=None,
+        )
+        contrib = _attach_df(tf_rows, as_df).map_batches(
+            lambda b: score_batch(b, "df"), batch_format="pandas",
+            batch_size=None,
+        )
+
+    agg = grouped_agg(
+        contrib, ["doc_id"],
+        [("tf", "sum", "n_tokens"), ("c_e6", "sum", "logprob_sum_e6")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["avg_logprob_e6"] = b["logprob_sum_e6"].to_numpy() / b["n_tokens"].to_numpy()
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -32,7 +32,7 @@ SQL_CHECKED = [
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
-    "doc_decontaminate",
+    "doc_decontaminate", "doc_logprob",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -955,3 +955,16 @@ def test_contamination_flags_token_boundary_semantics():
     )
     assert out[1] and out[2]
     assert not out[3] and not out[4] and not out[5]
+
+
+def test_unigram_logprob_paths_row_identical(sf_dir, monkeypatch):
+    from medknowledgegraph_ray.stages import tfidf
+
+    docs = lambda: _entry._docs(sf_dir)  # noqa: E731
+    small = _norm(tfidf.unigram_logprob(docs()).to_pandas())
+    monkeypatch.setattr(tfidf, "VOCAB_BROADCAST_MAX", -1)  # force exchange path
+    big = _norm(tfidf.unigram_logprob(docs()).to_pandas())
+    assert small.equals(big)
+    # scores are negative log-probs scaled to micro-nats
+    assert (small["logprob_sum_e6"] < 0).all()
+    assert (small["avg_logprob_e6"] < 0).all()
