@@ -378,13 +378,9 @@ def _doc_decontaminate(sf_dir: str):
     from medknowledgegraph_ray.stages import decontam
 
     docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    import pyarrow.compute as _pc
-    import ray.data as _rd
-
-    bench = _rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filter=_pc.field("doc_id") <= 3,
-    )
+    bench = readers.read_table(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).filter(expr="doc_id <= 3")
     return decontam.contamination_flags(docs, bench)
 
 

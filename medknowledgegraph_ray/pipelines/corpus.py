@@ -24,10 +24,8 @@ end to end, not just its stages.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
-import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -42,16 +40,14 @@ SEED = 20260817
 
 def _kept_keys(sf_dir: str) -> rd.Dataset:
     """(norm_hash, doc_id) for every document passing the Gopher filter —
-    one fused vectorized pass."""
+    one fused vectorized pass (both formulas live in textstats)."""
     docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    ws = textstats._WS_RUN
 
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         text = b["text"].fillna("")
         _, _, _, words_ok, mean_ok, stop_ok = textstats.gopher_flags(text)
         keep = words_ok & mean_ok & stop_ok
-        norm = text.str.lower().str.replace(ws, " ", regex=True).str.strip()
-        h = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+        _, h = textstats.norm_text_and_hash(text)
         out = pd.DataFrame(
             {
                 "norm_hash": pd.Series(h, dtype="object"),
@@ -100,8 +96,21 @@ def export_corpus(
     """Write the shuffled corpus as `shard=K/` Parquet directories
     (doc_id, pos, text ordered by pos), committing each shard atomically
     with a manifest row.  Resume: shards whose manifest row is `done` and
-    whose directory exists are skipped; only missing shards recompute."""
+    whose directory exists are skipped; only missing shards recompute.
+    The export knobs (n_shards, seed) are recorded in the manifest —
+    resuming with DIFFERENT knobs raises (committed shards would hold a
+    different permutation)."""
     man = Manifest(os.path.join(out_dir, "manifest.jsonl"))
+    knobs = {"n_shards": n_shards, "seed": seed}
+    prior = [e for e in man.entries() if e["stage"] == "knobs"]
+    if prior:
+        if prior[-1].get("knobs") != knobs:
+            raise ValueError(
+                f"resume with different knobs ({prior[-1].get('knobs')} → "
+                f"{knobs}); delete {out_dir} to re-export"
+            )
+    else:
+        man.record("knobs", "knobs", "done", knobs=knobs)
     done = man.completed("shards")
     missing = [s for s in range(n_shards) if f"shard={s}" not in done]
     summary = {"out_dir": out_dir, "n_shards": n_shards,
@@ -111,16 +120,24 @@ def export_corpus(
 
     from ..stages.join import equi_join
 
-    index = corpus_rows(sf_dir, n_shards, seed)
+    # prune to the missing shards BEFORE the text join — a resume never
+    # exchanges text payloads for shards it already committed.  Arrow
+    # filter, not a pandas mask: an empty pandas result block is
+    # schema-less, which flips the downstream sort into pandas mode where
+    # null-bearing int64 promotes to double (observed; arrow empties keep
+    # their schema).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    missing_set = pa.array(missing, pa.int64())
+    index = corpus_rows(sf_dir, n_shards, seed).map_batches(
+        lambda t: t.filter(pc.is_in(t["shard"], value_set=missing_set)),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
     docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    joined = equi_join(
+    rows = equi_join(
         index, docs, "doc_id", ["shard", "pos"], ["text"]
-    )  # inner: non-surviving docs drop
-    missing_arr = np.array(missing, dtype=np.int64)
-    rows = joined.map_batches(
-        lambda b: b[b["shard"].isin(missing_arr)], batch_format="pandas",
-        batch_size=None,
-    ).materialize()  # one pass; per-shard writes below slice these blocks
+    ).materialize()  # inner: non-surviving docs drop; one pass, sliced below
     for s in missing:
         shard_ds = rows.filter(expr=f"shard == {s}").sort("pos").materialize()
         path = os.path.join(out_dir, f"shard={s}")

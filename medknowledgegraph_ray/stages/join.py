@@ -224,19 +224,24 @@ def equi_join(
     if not need:
         return interior.union(rep_b) if outer else interior
 
-    def pick(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        mask = np.fromiter(
-            (int(x) in wanted for x in t[key].to_numpy(zero_copy_only=False)),
-            dtype=bool, count=t.num_rows,
-        )
-        return t.filter(pa.array(mask))
-
-    # build-side payloads for the deferred keys only (≤ 2 keys per block)
+    # build-side payloads for the deferred keys only (≤ 2 keys per block).
+    # In outer mode the deferred BUILD rows already carry their payloads
+    # (an edge key defers its complete row set), so the lookup comes from
+    # the tiny deferred_b — no second pass over the build lineage.
     b_lookup: dict[int, tuple] = {}
-    for batch in build.map_batches(
-        pick, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
+    if outer:
+        src = deferred_b
+    else:
+        def pick(t: pa.Table) -> pa.Table:
+            wanted = ray.get(need_ref)
+            mask = np.fromiter(
+                (int(x) in wanted for x in t[key].to_numpy(zero_copy_only=False)),
+                dtype=bool, count=t.num_rows,
+            )
+            return t.filter(pa.array(mask))
+
+        src = build.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    for batch in src.iter_batches(batch_format="pyarrow"):
         keys_np = batch[key].to_numpy(zero_copy_only=False)
         payloads = [batch[c].to_pylist() for c in build_cols]
         for i, kk in enumerate(keys_np):

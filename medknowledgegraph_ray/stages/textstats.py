@@ -154,21 +154,26 @@ def gopher_rules(docs: rd.Dataset) -> rd.Dataset:
 _WS_RUN = re.compile(r"\s+", re.ASCII)
 
 
+def norm_text_and_hash(text: pd.Series) -> tuple[pd.Series, list[str]]:
+    """THE exact-dedup key definition (lower → collapse \\s+ → strip →
+    md5 hex), in one place — normalize_docs and the corpus-export pipeline
+    both call this, and the doc_normalize / corpus_export oracles mirror
+    it verbatim."""
+    import hashlib
+
+    norm = text.fillna("").str.lower().str.replace(_WS_RUN, " ", regex=True).str.strip()
+    return norm, [hashlib.md5(t.encode()).hexdigest() for t in norm]
+
+
 def normalize_docs(docs: rd.Dataset) -> rd.Dataset:
     """Canonical text normalization ahead of dedup: lowercase, collapse
     whitespace runs to single spaces, strip ends; plus the md5 of the
     normalized text (the exact-dedup key).  Map-only, vectorized pandas
     str kernels; md5 via hashlib per row (C speed), identical to DuckDB's
     md5()."""
-    import hashlib
-
-    ws = _WS_RUN
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = (
-            batch["text"].fillna("").str.lower().str.replace(ws, " ", regex=True).str.strip()
-        )
-        h = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+        norm, h = norm_text_and_hash(batch["text"])
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "norm_text": norm, "norm_hash": h}
         )

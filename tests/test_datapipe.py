@@ -968,3 +968,14 @@ def test_unigram_logprob_paths_row_identical(sf_dir, monkeypatch):
     # scores are negative log-probs scaled to micro-nats
     assert (small["logprob_sum_e6"] < 0).all()
     assert (small["avg_logprob_e6"] < 0).all()
+
+
+def test_export_corpus_knob_mismatch_raises(sf_dir, tmp_path):
+    from medknowledgegraph_ray.pipelines import corpus
+
+    out = str(tmp_path / "corpus_knobs")
+    corpus.export_corpus(sf_dir, out, n_shards=2)
+    with pytest.raises(ValueError, match="different knobs"):
+        corpus.export_corpus(sf_dir, out, n_shards=4)
+    with pytest.raises(ValueError, match="different knobs"):
+        corpus.export_corpus(sf_dir, out, n_shards=2, seed=1)
