@@ -365,6 +365,11 @@ def _join_full_users(sf_dir: str):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def _ev_funnel(sf_dir: str):
+    # ordered conversion funnel signup -> click -> purchase per user
+    return eventagg.funnel_stages(readers.read_table(sf_dir, "events"))
+
+
 def _doc_logprob(sf_dir: str):
     # unigram-LM quality score, int64-exact micro-nats (stages/tfidf.py)
     from medknowledgegraph_ray.stages import tfidf
@@ -822,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_users": _join_full_users,
         "doc_decontaminate": _doc_decontaminate,
         "doc_logprob": _doc_logprob,
+        "ev_funnel": _ev_funnel,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1348,6 +1354,24 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "ev_funnel": (
+            "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1"
+            "  FROM events WHERE event_type = 'signup' GROUP BY 1),"
+            " c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2"
+            "  FROM events e JOIN s ON e.user_id = s.user_id"
+            "  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t1"
+            "  GROUP BY 1),"
+            " p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3"
+            "  FROM events e JOIN c ON e.user_id = c.user_id"
+            "  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2"
+            "  GROUP BY 1)"
+            " SELECT s.user_id, s.t1 AS t1_us,"
+            "  coalesce(c.t2, 0) AS t2_us, coalesce(p.t3, 0) AS t3_us,"
+            "  CAST(1 + (c.user_id IS NOT NULL)::INT"
+            "   + (p.user_id IS NOT NULL)::INT AS BIGINT) AS stage"
+            " FROM s LEFT JOIN c ON s.user_id = c.user_id"
+            " LEFT JOIN p ON s.user_id = p.user_id"
         ),
         "doc_logprob": (
             "WITH toks AS (SELECT doc_id,"

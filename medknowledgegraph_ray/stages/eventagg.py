@@ -125,6 +125,83 @@ def user_moments(events: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def funnel_stages(
+    events: rd.Dataset,
+    steps: tuple[str, str, str] = ("signup", "click", "purchase"),
+) -> rd.Dataset:
+    """Ordered conversion funnel: per user who performed step 1, the
+    earliest step-1 time, the earliest step-2 event AFTER it, the earliest
+    step-3 event after that, and the reached stage (1–3) — the
+    event-analytics funnel shape.
+
+    Broadcast-free composition: each step is a filtered algebraic
+    grouped-min, chained to the previous step's frontier via the
+    sorted-merge equi-join (the frontier is user-cardinality — itself
+    corpus-scale at 10¹² events, so it joins, never broadcasts); the
+    final assembly is two LEFT joins back onto the step-1 base."""
+    from .join import equi_join
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def step_events(etype: str) -> rd.Dataset:
+        # arrow, not pandas: an empty pandas result block is schema-less
+        # and flips downstream sorts into pandas mode (int64 → double)
+        def prep(t: pa.Table) -> pa.Table:
+            kept = t.filter(pc.equal(t["event_type"], etype))
+            return pa.table(
+                {
+                    "user_id": pc.cast(kept["user_id"], pa.int64()),
+                    "ts_us": pc.cast(kept["ts"], pa.int64()),
+                }
+            )
+
+        return events.select_columns(["user_id", "event_type", "ts"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    t1 = grouped_agg(step_events(steps[0]), ["user_id"], [("ts_us", "min", "t1_us")])
+
+    def next_frontier(prev: rd.Dataset, prev_col: str, etype: str, alias: str) -> rd.Dataset:
+        joined = equi_join(prev, step_events(etype), "user_id", [prev_col], ["ts_us"])
+
+        def after(t: pa.Table) -> pa.Table:
+            kept = t.filter(pc.greater(t["ts_us"], t[prev_col]))
+            return pa.table(
+                {
+                    "user_id": pc.cast(kept["user_id"], pa.int64()),
+                    "ts_us": pc.cast(kept["ts_us"], pa.int64()),
+                }
+            )
+
+        stepped = joined.map_batches(after, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+        return grouped_agg(stepped, ["user_id"], [("ts_us", "min", alias)])
+
+    t2 = next_frontier(t1, "t1_us", steps[1], "t2_us")
+    t3 = next_frontier(t2, "t2_us", steps[2], "t3_us")
+
+    base = equi_join(t2, t1, "user_id", ["t2_us"], ["t1_us"], how="left")
+    full = equi_join(t3, base, "user_id", ["t3_us"], ["t2_us", "t1_us"], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        has2 = b["t2_us"].notna().to_numpy()
+        has3 = b["t3_us"].notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "t1_us": b["t1_us"].astype("int64"),
+                "t2_us": b["t2_us"].fillna(0).astype("int64"),
+                "t3_us": b["t3_us"].fillna(0).astype("int64"),
+                "stage": pd.array(
+                    1 + has2.astype(np.int64) + has3.astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pandas")
+
+
 def props_field_stats(events: rd.Dataset) -> rd.Dataset:
     """Per event type: count / sum / min / max of the integer `k` field
     embedded in the JSON `props` string — the semi-structured-extraction

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -130,11 +131,22 @@ def equi_join(
             matched = np.zeros(0, dtype=bool)
         p_idx = np.flatnonzero(is_p)[matched]
         b_idx = np.flatnonzero(is_b)[pos[matched]] if matched.any() else np.array([], dtype=np.int64)
-        cols = {key: t[key].take(pa.array(p_idx, pa.int64()))}
+
+        # every emitted column is cast to its DECLARED type: if any
+        # upstream map emitted a schema-less empty pandas block, Ray's
+        # pandas-mode sort promotes null-bearing int64 to double for the
+        # whole exchange — the cast restores the contract (values are
+        # integral, so the cast is exact)
+        def typed(col, idx, c):
+            want = pa.int64() if c == key else types[c]
+            taken = t[col].take(idx)
+            return taken if taken.type == want else pc.cast(taken, want)
+
+        cols = {key: typed(key, pa.array(p_idx, pa.int64()), key)}
         for c in build_cols:
-            cols[c] = t[c].take(pa.array(b_idx, pa.int64()))
+            cols[c] = typed(c, pa.array(b_idx, pa.int64()), c)
         for c in probe_cols:
-            cols[c] = t[c].take(pa.array(p_idx, pa.int64()))
+            cols[c] = typed(c, pa.array(p_idx, pa.int64()), c)
         cols["__edge"] = pa.array(np.zeros(len(p_idx), dtype=bool))
         cols["__kindd"] = pa.array(np.ones(len(p_idx), dtype=np.int8))
         inner = pa.table(cols)
@@ -142,11 +154,11 @@ def equi_join(
             # LEFT/FULL OUTER: interior probe rows with no build key keep
             # their payload and take null build columns
             u_idx = pa.array(np.flatnonzero(is_p)[~matched], pa.int64())
-            ucols = {key: t[key].take(u_idx)}
+            ucols = {key: typed(key, u_idx, key)}
             for c in build_cols:
                 ucols[c] = pa.nulls(len(u_idx), type=types[c])
             for c in probe_cols:
-                ucols[c] = t[c].take(u_idx)
+                ucols[c] = typed(c, u_idx, c)
             ucols["__edge"] = pa.array(np.zeros(len(u_idx), dtype=bool))
             ucols["__kindd"] = pa.array(np.ones(len(u_idx), dtype=np.int8))
             inner = pa.concat_tables([inner, pa.table(ucols)])
@@ -158,7 +170,7 @@ def equi_join(
                 b_hit[pos[matched]] = True
             ub_idx = pa.array(np.flatnonzero(is_b)[~b_hit], pa.int64())
             if len(ub_idx):
-                ucols = {c: t[c].take(ub_idx) for c in out_names}
+                ucols = {c: typed(c, ub_idx, c) for c in out_names}
                 ucols["__edge"] = pa.array(np.zeros(len(ub_idx), dtype=bool))
                 ucols["__kindd"] = pa.array(np.zeros(len(ub_idx), dtype=np.int8))
                 inner = pa.concat_tables([inner, pa.table(ucols)])
@@ -168,13 +180,13 @@ def equi_join(
         if not defer.any():
             return inner
         d_idx = pa.array(np.flatnonzero(defer), pa.int64())
-        dcols = {key: t[key].take(d_idx)}
+        dcols = {key: typed(key, d_idx, key)}
         for c in build_cols:
             # deferred BUILD rows carry their payloads (needed if they turn
             # out unmatched); deferred probe rows carry nulls here
-            dcols[c] = t[c].take(d_idx) if outer else pa.nulls(len(d_idx), type=types[c])
+            dcols[c] = typed(c, d_idx, c) if outer else pa.nulls(len(d_idx), type=types[c])
         for c in probe_cols:
-            dcols[c] = t[c].take(d_idx)
+            dcols[c] = typed(c, d_idx, c)
         dcols["__edge"] = pa.array(np.ones(len(d_idx), dtype=bool))
         dcols["__kindd"] = pa.array(kind[np.flatnonzero(defer)].astype(np.int8))
         return pa.concat_tables([inner, pa.table(dcols)])
@@ -214,7 +226,12 @@ def equi_join(
             (int(x) not in wanted for x in t[key].to_numpy(zero_copy_only=False)),
             dtype=bool, count=t.num_rows,
         )
-        return t.filter(pa.array(mask)).select(out_names)
+        kept = t.filter(pa.array(mask)).select(out_names)
+        return pa.table({
+            c: kept[c] if kept[c].type == (pa.int64() if c == key else types[c])
+            else pc.cast(kept[c], pa.int64() if c == key else types[c])
+            for c in out_names
+        })
 
     rep_b = (
         deferred_b.map_batches(emit_unmatched_build, batch_format="pyarrow",
@@ -243,7 +260,7 @@ def equi_join(
         src = build.map_batches(pick, batch_format="pyarrow", batch_size=None)
     for batch in src.iter_batches(batch_format="pyarrow"):
         keys_np = batch[key].to_numpy(zero_copy_only=False)
-        payloads = [batch[c].to_pylist() for c in build_cols]
+        payloads = [pc.cast(batch[c], types[c]).to_pylist() for c in build_cols]
         for i, kk in enumerate(keys_np):
             b_lookup[int(kk)] = tuple(p[i] for p in payloads)
     # deferred probe rows bind DISTRIBUTED via the broadcast lookup — a hot
@@ -261,13 +278,14 @@ def equi_join(
             kept = t.filter(pa.array(hit))
             kept_keys = keys_np[hit]
         nones = (None,) * len(build_cols)
-        cols = {key: kept[key]}
+        cols = {key: kept[key] if kept[key].type == pa.int64()
+                else pc.cast(kept[key], pa.int64())}
         for ci, c in enumerate(build_cols):
             cols[c] = pa.array(
                 [lut.get(int(x), nones)[ci] for x in kept_keys], type=types[c]
             )
         for c in probe_cols:
-            cols[c] = kept[c]
+            cols[c] = kept[c] if kept[c].type == types[c] else pc.cast(kept[c], types[c])
         return pa.table(cols)
 
     rep = deferred_p.map_batches(bind, batch_format="pyarrow", batch_size=None)

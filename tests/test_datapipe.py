@@ -32,7 +32,7 @@ SQL_CHECKED = [
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
-    "doc_decontaminate", "doc_logprob",
+    "doc_decontaminate", "doc_logprob", "ev_funnel",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -979,3 +979,36 @@ def test_export_corpus_knob_mismatch_raises(sf_dir, tmp_path):
         corpus.export_corpus(sf_dir, out, n_shards=4)
     with pytest.raises(ValueError, match="different knobs"):
         corpus.export_corpus(sf_dir, out, n_shards=2, seed=1)
+
+
+def test_funnel_stage_ordering():
+    from medknowledgegraph_ray.stages import eventagg as _ea
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(1, 9)), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base, base + 1, base + 2,       # u1: full funnel in order
+                 base + 5, base + 4,             # u2: click BEFORE signup
+                 base, base + 9,                 # u3: signup then purchase (no click)
+                 base],                          # u4: signup only
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                ["signup", "click", "purchase",
+                 "signup", "click",
+                 "signup", "purchase",
+                 "signup"], pa.string()),
+            "value": pa.array([1.0] * 8, pa.float64()),
+            "props": pa.array(["{}"] * 8, pa.string()),
+        }
+    )
+    out = (
+        _ea.funnel_stages(rd.from_arrow(tbl).repartition(3))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert out["stage"].tolist() == [3, 1, 1, 1]
+    assert out.loc[1, "t2_us"] == base + 1 and out.loc[1, "t3_us"] == base + 2
+    assert out.loc[2, "t2_us"] == 0  # click preceded signup → not counted
