@@ -370,6 +370,11 @@ def _ev_funnel(sf_dir: str):
     return eventagg.funnel_stages(readers.read_table(sf_dir, "events"))
 
 
+def _ev_retention(sf_dir: str):
+    # day-over-day cohort retention (stages/eventagg.py)
+    return eventagg.daily_retention(readers.read_table(sf_dir, "events"))
+
+
 def _doc_logprob(sf_dir: str):
     # unigram-LM quality score, int64-exact micro-nats (stages/tfidf.py)
     from medknowledgegraph_ray.stages import tfidf
@@ -828,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": _doc_decontaminate,
         "doc_logprob": _doc_logprob,
         "ev_funnel": _ev_funnel,
+        "ev_retention": _ev_retention,
         # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
@@ -1354,6 +1360,15 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
             " QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id"
             "  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1"
+        ),
+        "ev_retention": (
+            "WITH a AS (SELECT DISTINCT user_id,"
+            "  epoch_us(ts) // 86400000000 AS day FROM events)"
+            " SELECT a.day, CAST(count(*) AS BIGINT) AS n_active,"
+            "  CAST(sum((a2.user_id IS NOT NULL)::INT) AS BIGINT) AS n_retained"
+            " FROM a LEFT JOIN a a2"
+            "  ON a.user_id = a2.user_id AND a2.day = a.day + 1"
+            " GROUP BY a.day"
         ),
         "ev_funnel": (
             "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1"

@@ -202,6 +202,61 @@ def funnel_stages(
     return full.map_batches(finish, batch_format="pandas")
 
 
+def daily_retention(events: rd.Dataset) -> rd.Dataset:
+    """Cohort retention: per day, how many users were active, and how many
+    of those return the NEXT day — the activity-analytics retention curve.
+
+    Three key-bounded steps: distinct (user, day) via the algebraic
+    exchange (corpus → user-days), a next-day flag per user on ONE
+    (user_id, day) sort (a lead comparison over the distinct days — the
+    windows scaffold's kernel shape), and a day-keyed roll-up."""
+    from .windows import _sorted_user_op
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "day": (b["ts"].astype("int64") // 86_400_000_000).astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    keyed = events.select_columns(["user_id", "ts"]).map_batches(
+        prep, batch_format="pandas", batch_size=None
+    )
+    active = grouped_agg(keyed, ["user_id", "day"], [("one", "count", "n")])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        nd = len(df)
+        nxt = np.zeros(nd, dtype=np.int64)
+        if nd > 1:
+            nxt[:-1] = ((u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(u, dtype="int64"),
+                "day": pd.array(d, dtype="int64"),
+                "retained": pd.array(nxt, dtype="int64"),
+                "one": pd.array(np.ones(nd, dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    flagged = _sorted_user_op(
+        active.map_batches(lambda b: b[["user_id", "day"]], batch_format="pandas",
+                           batch_size=None),
+        ["user_id", "day"],
+        ["user_id", "day"],
+        [False, False],
+        kernel,
+        {"user_id": "int64", "day": "int64", "retained": "int64", "one": "int64"},
+    )
+    return grouped_agg(
+        flagged, ["day"],
+        [("one", "sum", "n_active"), ("retained", "sum", "n_retained")],
+    )
+
+
 def props_field_stats(events: rd.Dataset) -> rd.Dataset:
     """Per event type: count / sum / min / max of the integer `k` field
     embedded in the JSON `props` string — the semi-structured-extraction

@@ -32,7 +32,7 @@ SQL_CHECKED = [
     "doc_normalize", "doc_repetition", "doc_bigrams",
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
-    "doc_decontaminate", "doc_logprob", "ev_funnel",
+    "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -1012,3 +1012,20 @@ def test_funnel_stage_ordering():
     assert out["stage"].tolist() == [3, 1, 1, 1]
     assert out.loc[1, "t2_us"] == base + 1 and out.loc[1, "t3_us"] == base + 2
     assert out.loc[2, "t2_us"] == 0  # click preceded signup → not counted
+
+
+def test_daily_retention_counts():
+    from medknowledgegraph_ray.stages import eventagg as _ea
+
+    day_us = 86_400_000_000
+    # u1 active d0,d1,d3; u2 active d0 only; u3 active d1,d2
+    rows = [(1, 1, 0 * day_us + 5, 1.0), (2, 1, 1 * day_us + 5, 1.0),
+            (3, 1, 3 * day_us + 5, 1.0), (4, 1, 3 * day_us + 9, 1.0),
+            (5, 2, 0 * day_us + 1, 1.0),
+            (6, 3, 1 * day_us + 1, 1.0), (7, 3, 2 * day_us + 1, 1.0)]
+    out = (
+        _ea.daily_retention(_events(rows).repartition(3))
+        .to_pandas().set_index("day").sort_index()
+    )
+    assert out["n_active"].tolist() == [2, 2, 1, 1]   # d0,d1,d2,d3
+    assert out["n_retained"].tolist() == [1, 1, 0, 0]  # u1 d0->d1; u3 d1->d2
