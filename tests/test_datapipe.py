@@ -1029,3 +1029,37 @@ def test_daily_retention_counts():
     )
     assert out["n_active"].tolist() == [2, 2, 1, 1]   # d0,d1,d2,d3
     assert out["n_retained"].tolist() == [1, 1, 0, 0]  # u1 d0->d1; u3 d1->d2
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_equi_join_modes_match_pandas_randomized(how):
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    rng = np.random.RandomState(29)
+    for trial in range(3):
+        # keys drawn from a small space so both sides have matches,
+        # misses, and duplicates (probe side only; build keys unique)
+        bkeys = rng.choice(np.arange(trial * 50, trial * 50 + 40), size=25,
+                           replace=False).astype("int64")
+        build_df = pd.DataFrame({"k": bkeys, "b": bkeys * 10})
+        pkeys = rng.choice(np.arange(trial * 50, trial * 50 + 40), size=60,
+                           replace=True).astype("int64")
+        probe_df = pd.DataFrame({"k": pkeys,
+                                 "p": np.arange(60, dtype="int64")})
+        got = (
+            equi_join(
+                rd.from_pandas(build_df).repartition(1 + trial * 3),
+                rd.from_pandas(probe_df).repartition(2 + trial * 2),
+                "k", ["b"], ["p"], how=how,
+            )
+            .to_pandas()
+        )
+        pd_how = {"inner": "inner", "left": "right", "outer": "outer"}[how]
+        exp = build_df.merge(probe_df, on="k", how=pd_how)
+        # normalize nullables for comparison
+        for df in (got, exp):
+            df["b"] = df["b"].astype("float64")
+            df["p"] = df["p"].astype("float64")
+        got_n = _norm(got[["k", "b", "p"]])
+        exp_n = _norm(exp[["k", "b", "p"]])
+        assert got_n.equals(exp_n), (how, trial, len(got_n), len(exp_n))
