@@ -70,3 +70,31 @@ def transcript_files(sf_dir: str) -> list[str]:
     """Shard file list (the resume/manifest unit)."""
     gen = datagen.ensure_transcripts(sf_dir)
     return sorted(glob.glob(os.path.join(gen, "*.parquet")))
+
+
+def read_any(path: str, fmt: str | None = None, columns: list[str] | None = None) -> rd.Dataset:
+    """Format-dispatched source: Parquet / CSV / JSONL by extension (or an
+    explicit `fmt`), so a pipeline written against one ingest format runs
+    unchanged against another.  Parquet gets the metadata-strip treatment
+    (see read_table); CSV/JSONL are Ray's native readers with column
+    pruning applied as a projection immediately after the read (those
+    formats are row-oriented — there is no column pushdown to exploit,
+    but nothing downstream should see unpruned rows)."""
+    fmt = fmt or {
+        ".parquet": "parquet", ".csv": "csv",
+        ".json": "json", ".jsonl": "json",
+    }.get(os.path.splitext(path)[1].lower())
+    if fmt == "parquet":
+        schema = pq.read_schema(path).remove_metadata()
+        if columns is not None:
+            import pyarrow as pa
+
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.read_parquet(path, columns=columns, schema=schema)
+    if fmt == "csv":
+        ds = rd.read_csv(path)
+    elif fmt == "json":
+        ds = rd.read_json(path)
+    else:
+        raise ValueError(f"unsupported source format for {path!r} (fmt={fmt!r})")
+    return ds.select_columns(columns) if columns is not None else ds

@@ -61,3 +61,33 @@ def test_multi_label_spec_accepts_both():
         }
     )
     spec.validate(t)
+
+
+def test_read_any_csv_jsonl_parquet_roundtrip(sf_dir, tmp_path):
+    import json as _json
+
+    import pandas as pd
+
+    from medknowledgegraph_ray.sources import readers
+
+    src = readers.read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    df = src.to_pandas().sort_values("event_id").reset_index(drop=True).head(500)
+    csv_p = str(tmp_path / "ev.csv")
+    jsonl_p = str(tmp_path / "ev.jsonl")
+    df.to_csv(csv_p, index=False)
+    with open(jsonl_p, "w") as f:
+        for r in df.to_dict("records"):
+            f.write(_json.dumps(r) + "\n")
+    for path in (csv_p, jsonl_p):
+        got = (
+            readers.read_any(path, columns=["event_id", "user_id", "value"])
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        got = got.astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+        assert got.equals(df), path
+    pq_got = (
+        readers.read_any(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True).head(500)
+    )
+    assert pq_got.equals(df)
