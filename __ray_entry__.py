@@ -662,7 +662,11 @@ def _dedup_simhash(sf_dir: str):
 
 def _dedup_embedding(sf_dir: str):
     # threshold 0.4: the testdata embeddings have no pairs above cosine 0.52,
-    # so the production default (0.95) would be a trivially-empty check
+    # so the production default (0.95) would be a trivially-empty check.
+    # Oracle-exact: multi-band hyperplane LSH at auto (planes=4, bands=80)
+    # has per-pair miss ≲1e-6 at the 0.40 boundary (deterministic for the
+    # fixed seed — verified equal to all-pairs at sf0.001/0.01/0.1), and the
+    # cosine verify reuses the oracle's own float64 formula term for term.
     emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dedupe.embedding_near_dups(emb, threshold=0.4, dim=_ANN_DIM)
 
@@ -792,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Previously-recorded blocks follow (kg core = CORRECTNESS_r02
         # rows 1-28, all green); tools/check_oracles.py sweeps ALL
         # entries regardless of this ordering.
+        "dedup_embedding": _dedup_embedding,
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
         "doc_tfidf": _doc_tfidf,
@@ -891,7 +896,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS file never drops an oracle-checked row
         "doc_vocab_hll": _doc_vocab_hll,
         "emb_kmeans": _emb_kmeans,
-        "dedup_embedding": _dedup_embedding,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "doc_embed_ann": _doc_embed_ann,
@@ -1597,6 +1601,22 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
             " SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u"
         ),
+        # exact all-pairs cosine ≥ 0.4 — valid as the multi-band hyperplane
+        # LSH oracle because per-pair miss at the 0.40 boundary is ≲1e-6
+        # (deterministic, fixed seed; dedupe._emb_lsh_params); the Ray-side
+        # verify computes cosine with THIS formula's float64 op order, so
+        # round-6 values agree bit-exactly.
+        "dedup_embedding": (
+            "WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            " list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+            "                  CAST(b.embedding AS DOUBLE[])) /"
+            " (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),"
+            "                        CAST(a.embedding AS DOUBLE[]))) *"
+            "  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),"
+            "                        CAST(b.embedding AS DOUBLE[])))) AS c"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)"
+            " SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4"
+        ),
         "ann_topk": (
             "WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qv FROM "
             + _ann_query_values_sql()
@@ -1728,7 +1748,7 @@ FROM e JOIN sessions s
             " JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
         ),
         # no oracle entries (rows-only checks by design):
-        #   dedup_embedding, ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
+        #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)
         #   mm_decode/resize/frame_sample (synthetic dims from hex-parsed md5)
         #   doc_embed_ann    (hashing-trick embedding feature space)

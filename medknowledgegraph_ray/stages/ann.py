@@ -4,7 +4,7 @@ Baseline: brute-force cosine top-k — the query matrix is broadcast once via
 `ray.put` and every batch does one numpy matmul against it; a per-batch
 partial top-k is emitted so the final exact merge sees only
 O(k × blocks × queries) rows, never the corpus.  Scale path: the same
-matmul within LSH hyperplane buckets (see dedupe.HyperplaneBucketer) —
+matmul within LSH hyperplane buckets (HyperplaneBucketer below) —
 queries probe only their own bucket(s).
 """
 
@@ -105,12 +105,33 @@ def brute_force_topk(
     return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
 
 
+class HyperplaneBucketer:
+    """Seeded random-hyperplane sign bucket for embeddings (single-band
+    coarse LSH — each vector lands in exactly one of 2^n_planes buckets).
+    The near-dup join uses the multi-band dedupe.HyperplaneBander instead;
+    this single-bucket shape fits query routing (lsh_topk), where a vector
+    must live in one routable partition."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch["embedding"].to_numpy())
+        unit = _unit(vecs)
+        signs = (unit @ self.planes) >= 0
+        bucket = signs @ (1 << np.arange(signs.shape[1]))
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "bucket": pd.array(bucket, dtype="int64"),
+            "embedding": list(unit.astype(np.float64)),
+        })
+
+
 def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int = 4) -> rd.Dataset:
     """Approximate top-k: corpus and queries hashed by the same seeded
     hyperplanes; each query scores only its bucket.  Recall < 1 by design —
     rows-only checked; the brute-force path is the correctness baseline."""
-    from .dedupe import HyperplaneBucketer
-
     qm = _unit(np.asarray(queries["matrix"], dtype=np.float64))
     dim = qm.shape[1]
     bucketer = HyperplaneBucketer(dim, n_planes=n_planes)

@@ -33,6 +33,7 @@ SQL_CHECKED = [
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
+    "dedup_embedding",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -110,6 +111,54 @@ def test_ngram_jaccard_recall_one_vs_brute_force():
     assert got == sorted(exp) and len(exp) >= 2
     # at least one planted pair sits below LSH-saturation territory
     assert any(j < 0.8 for _, _, j in exp)
+
+
+def test_embedding_near_dups_exact_vs_allpairs(sf_dir):
+    """The multi-band hyperplane LSH + sorted-exchange cosine verify must
+    equal brute-force all-pairs cosine at the oracle threshold."""
+    import pyarrow.parquet as pq
+    from medknowledgegraph_ray.sources import readers
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    norms = np.sqrt((m * m).sum(1))
+    sims = (m @ m.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(m), k=1)
+    keep = sims[iu] >= 0.4
+    exp = sorted(
+        (int(a), int(b), float(c))
+        for a, b, c in zip(ids[iu[0][keep]], ids[iu[1][keep]], np.round(sims[iu][keep], 6))
+    )
+    emb = readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dedupe.embedding_near_dups(emb, threshold=0.4, dim=64).to_pandas()
+    got = sorted(zip(out["vec_a"], out["vec_b"], out["cosine"]))
+    assert got == exp and len(exp) > 0
+
+
+def test_embedding_verify_paths_row_identical(sf_dir, monkeypatch):
+    """Driver-side and distributed sorted-exchange cosine verifies agree."""
+    from medknowledgegraph_ray.sources import readers
+
+    emb = lambda: readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])  # noqa: E731
+    small = _norm(dedupe.embedding_near_dups(emb(), threshold=0.4, dim=64).to_pandas())
+    monkeypatch.setattr(dedupe, "SMALL_VERIFY_IDS", -1)  # force distributed
+    big = _norm(dedupe.embedding_near_dups(emb(), threshold=0.4, dim=64).to_pandas())
+    assert small.equals(big) and len(small) > 0
+
+
+def test_embedding_near_dups_bucket_skew_guard(monkeypatch):
+    """A degenerate bucket (many identical vectors) trips the loud
+    MAX_BUCKET guard instead of silently doing all-pairs work — the
+    embedding path now rides the same guarded machinery as text LSH."""
+    vecs = np.tile(np.arange(1.0, 9.0), (30, 1))  # 30 identical vectors
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    monkeypatch.setattr(dedupe, "MAX_BUCKET", 10)
+    with pytest.raises(Exception, match="MAX_BUCKET"):
+        dedupe.embedding_near_dups(emb, threshold=0.95, dim=8).materialize()
 
 
 def test_minhash_verify_paths_row_identical(sf_dir, monkeypatch):
