@@ -160,10 +160,18 @@ def funnel_stages(
             prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
 
-    t1 = grouped_agg(step_events(steps[0]), ["user_id"], [("ts_us", "min", "t1_us")])
+    _I64IN = {"user_id": pa.int64(), "ts_us": pa.int64()}
+    t1 = grouped_agg(step_events(steps[0]), ["user_id"], [("ts_us", "min", "t1_us")],
+                     types=_I64IN)
+
+    # every funnel column is int64; declaring it keeps equi_join working
+    # when a step has NO qualifying events (empty pandas-lineage frontier
+    # has no schema to peek)
+    _I64 = {c: pa.int64() for c in ("t1_us", "t2_us", "t3_us", "ts_us")}
 
     def next_frontier(prev: rd.Dataset, prev_col: str, etype: str, alias: str) -> rd.Dataset:
-        joined = equi_join(prev, step_events(etype), "user_id", [prev_col], ["ts_us"])
+        joined = equi_join(prev, step_events(etype), "user_id", [prev_col], ["ts_us"],
+                           types=_I64)
 
         def after(t: pa.Table) -> pa.Table:
             kept = t.filter(pc.greater(t["ts_us"], t[prev_col]))
@@ -176,13 +184,15 @@ def funnel_stages(
 
         stepped = joined.map_batches(after, batch_format="pyarrow",
                                      zero_copy_batch=True, batch_size=None)
-        return grouped_agg(stepped, ["user_id"], [("ts_us", "min", alias)])
+        return grouped_agg(stepped, ["user_id"], [("ts_us", "min", alias)],
+                           types=_I64IN)
 
     t2 = next_frontier(t1, "t1_us", steps[1], "t2_us")
     t3 = next_frontier(t2, "t2_us", steps[2], "t3_us")
 
-    base = equi_join(t2, t1, "user_id", ["t2_us"], ["t1_us"], how="left")
-    full = equi_join(t3, base, "user_id", ["t3_us"], ["t2_us", "t1_us"], how="left")
+    base = equi_join(t2, t1, "user_id", ["t2_us"], ["t1_us"], how="left", types=_I64)
+    full = equi_join(t3, base, "user_id", ["t3_us"], ["t2_us", "t1_us"], how="left",
+                     types=_I64)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         has2 = b["t2_us"].notna().to_numpy()

@@ -46,12 +46,18 @@ _rename_after_groupby = rename_after_groupby
 
 
 def grouped_agg(
-    ds: rd.Dataset, keys: list[str], aggs: list[tuple[str, str, str]]
+    ds: rd.Dataset, keys: list[str], aggs: list[tuple[str, str, str]],
+    types: dict | None = None,
 ) -> rd.Dataset:
     """aggs = [(input_col, fn, alias)] with fn ∈ {sum, min, max, count}.
 
     Returns one row per distinct key combination with the aggregate
-    aliases; exact under any block split of the sorted exchange."""
+    aliases; exact under any block split of the sorted exchange.
+
+    `types` (input column → Arrow DataType) lets a caller whose input may
+    be COMPLETELY EMPTY still get a typed empty result: Ray drops all
+    blocks of an empty dataset through sort/map, leaving no runtime schema
+    to recover from."""
     in_cols = [c for c, _, _ in aggs]
     fns = [f for _, f, _ in aggs]
     aliases = [a for _, _, a in aggs]
@@ -91,12 +97,27 @@ def grouped_agg(
     interior = flagged.filter(expr=f"{_EDGE} == False").map_batches(
         lambda t: t.drop_columns([_EDGE]), batch_format="pyarrow", zero_copy_batch=True
     )
+    sch = flagged.schema()
+    if sch is None:
+        # EMPTY input: Ray keeps NO blocks (and no schema) for an empty
+        # dataset through map/sort.  With declared input types the exact
+        # output schema falls out of running the partial kernel on a typed
+        # empty table; without them there is nothing to recover from.
+        if types is None:
+            raise ValueError(
+                f"grouped_agg: empty input and no declared `types` — cannot "
+                f"type the empty result (keys={keys}, aggs={aggs})"
+            )
+        probe = pa.schema(
+            [(c, types[c]) for c in keys + [c for c in dict.fromkeys(in_cols)]]
+        ).empty_table()
+        return rd.from_arrow(partial(probe))
     # edge groups are ≤ 2 per block — gather once, combine driver-side, and
     # append as a literal block, keeping the all-to-all repartition out of
     # every consumer's plan (see distinct._resolve_edge_repair)
     edge_tab = pa.Table.from_pylist(
         flagged.filter(expr=f"{_EDGE} == True").take_all(),
-        schema=flagged.schema().base_schema,
+        schema=sch.base_schema,
     ).drop_columns([_EDGE])
     if edge_tab.num_rows == 0:
         return interior

@@ -29,16 +29,37 @@ import ray
 import ray.data as rd
 
 
-def _arrow_types(ds: rd.Dataset, cols: list[str]) -> dict:
-    """Arrow DataType per column.  Dataset.schema() carries Python/numpy
-    types for pandas-block datasets, so fall back to peeking one batch in
-    Arrow format when the base schema isn't already Arrow."""
+def _arrow_types(ds: rd.Dataset, cols: list[str], declared: dict | None = None) -> dict:
+    """Arrow DataType per column.  Caller-declared types win; otherwise the
+    Arrow base schema, then a one-batch Arrow peek (Dataset.schema() carries
+    Python/numpy types for pandas-block datasets).  An EMPTY pandas-lineage
+    dataset (e.g. a funnel step with no qualifying events) has NO schema at
+    all — nothing to peek, schema() is None — so undeclared columns there
+    fail with a descriptive error instead of a bare StopIteration."""
+    declared = declared or {}
+    out = {c: declared[c] for c in cols if c in declared}
+    need = [c for c in cols if c not in out]
+    if not need:
+        return out
     sch = ds.schema()
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
-        return {c: base.field(c).type for c in cols}
-    b = next(iter(ds.limit(4).iter_batches(batch_format="pyarrow", batch_size=4)))
-    return {c: b.schema.field(c).type for c in cols}
+        out.update({c: base.field(c).type for c in need})
+        return out
+    for b in ds.limit(4).iter_batches(batch_format="pyarrow", batch_size=4):
+        out.update({c: b.schema.field(c).type for c in need})
+        return out
+    if sch is not None and getattr(sch, "names", None):
+        for name, typ in zip(sch.names, sch.types):
+            if name in need:
+                out[name] = typ if isinstance(typ, pa.DataType) else pa.from_numpy_dtype(typ)
+        need = [c for c in cols if c not in out]
+        if not need:
+            return out
+    raise ValueError(
+        f"equi_join: cannot infer Arrow types for columns {need} of an empty "
+        "schema-less dataset — pass them via the `types` argument"
+    )
 
 
 def equi_join(
@@ -48,6 +69,7 @@ def equi_join(
     build_cols: list[str],
     probe_cols: list[str],
     how: str = "inner",
+    types: dict | None = None,
 ) -> rd.Dataset:
     """Join probe rows to the unique-keyed build side on int64 `key`.
 
@@ -82,9 +104,12 @@ def equi_join(
 
         return f
 
-    # resolve payload types once so null columns get the right dtype
-    types = _arrow_types(build, build_cols)
-    types.update(_arrow_types(probe, probe_cols))
+    # resolve payload types once so null columns get the right dtype;
+    # `types` lets callers whose inputs may be EMPTY pandas-lineage
+    # datasets (no schema to peek) declare them up front
+    declared = types
+    types = _arrow_types(build, build_cols, declared)
+    types.update(_arrow_types(probe, probe_cols, declared))
 
     unioned = (
         build.map_batches(
@@ -117,6 +142,15 @@ def equi_join(
         flagged = (k == k[0]) | (k == k[-1])
         is_b = (kind == 0) & ~flagged
         b_keys = k[is_b]
+        # the documented unique-per-key build contract, checked (fail-fast
+        # like tfidf._attach_df / components._propagate_block): a duplicate
+        # build key would silently bind only the searchsorted row
+        if len(b_keys) > 1 and (b_keys[1:] == b_keys[:-1]).any():
+            dup = int(b_keys[np.flatnonzero(b_keys[1:] == b_keys[:-1])[0]])
+            raise AssertionError(
+                f"equi_join: build side has duplicate key {dup} — the build "
+                "(left) side must be unique per key (dimension-table contract)"
+            )
         is_p = (kind == 1) & ~flagged
         p_keys = k[is_p]
         pos = np.searchsorted(b_keys, p_keys) if len(b_keys) else np.array([], dtype=np.int64)
@@ -194,6 +228,13 @@ def equi_join(
     flagged = unioned.map_batches(
         resolve, batch_format="pyarrow", batch_size=None
     ).materialize()
+    if flagged.schema() is None:
+        # both inputs EMPTY: the sort dropped every (empty) block.  Emit a
+        # typed empty result so downstream consumers (grouped aggregations,
+        # further joins) keep a schema to work with.
+        return rd.from_arrow(pa.schema(
+            [(c, pa.int64() if c == key else types[c]) for c in out_names]
+        ).empty_table())
     interior = flagged.filter(expr="__edge == False").drop_columns(
         ["__edge", "__kindd"]
     )

@@ -59,6 +59,12 @@ class HllTokenSketch:
         self.m = 1 << p
         self._cache: dict[str, tuple[int, int]] = {}
 
+    # Cache insertions stop here: a long-lived worker otherwise accumulates
+    # a vocabulary-sized dict (unbounded per-worker growth at corpus scale);
+    # past the cap, misses just hash — same 2M-entry gating idea as
+    # config.VOCAB_BROADCAST_MAX.
+    CACHE_MAX = 2_000_000
+
     def _slot(self, tok: str) -> tuple[int, int]:
         s = self._cache.get(tok)
         if s is None:
@@ -67,7 +73,8 @@ class HllTokenSketch:
             w = h & ((1 << (64 - self.p)) - 1)
             rho = (64 - self.p) - w.bit_length() + 1
             s = (idx, rho)
-            self._cache[tok] = s
+            if len(self._cache) < self.CACHE_MAX:
+                self._cache[tok] = s
         return s
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -664,6 +664,62 @@ def test_equi_join_matches_pandas_merge():
     assert out[["k", "name", "v"]].equals(exp)
 
 
+def test_equi_join_empty_build_side():
+    """An empty build side (e.g. a funnel step with no qualifying events,
+    whose pandas-lineage dataset has no schema at all) works with declared
+    types — and fails with a DESCRIPTIVE error without them, never a bare
+    StopIteration."""
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    def empty_build():
+        return rd.from_pandas(pd.DataFrame({
+            "k": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64"),
+        })).map_batches(lambda df: df, batch_format="pandas")  # schema-less
+
+    probe = rd.from_pandas(pd.DataFrame({
+        "k": pd.array([1, 2, 3], dtype="int64"),
+        "p": pd.array([10, 20, 30], dtype="int64"),
+    }))
+    t = {"b": pa.int64()}
+    assert equi_join(empty_build(), probe, "k", ["b"], ["p"], types=t).count() == 0
+    left = equi_join(empty_build(), probe, "k", ["b"], ["p"], how="left", types=t).to_pandas()
+    assert sorted(left["p"]) == [10, 20, 30] and left["b"].isna().all()
+    with pytest.raises(ValueError, match="types"):
+        equi_join(empty_build(), probe, "k", ["b"], ["p"])
+
+
+def test_funnel_with_empty_step_frontier():
+    """A funnel whose later steps never occur (empty t2/t3 frontiers) still
+    completes — the ADVICE repro (equi_join on an empty build side)."""
+    from medknowledgegraph_ray.stages import eventagg
+
+    base = 1_700_000_000_000_000
+    ds = _events([(1, 7, pd.Timestamp(base, unit="us"), 1.0),
+                  (2, 8, pd.Timestamp(base + 1, unit="us"), 1.0)])
+    ds = ds.map_batches(
+        lambda df: df.assign(event_type="signup"), batch_format="pandas"
+    )
+    out = eventagg.funnel_stages(ds).to_pandas()
+    assert sorted(out["user_id"]) == [7, 8] and (out["stage"] == 1).all()
+
+
+def test_equi_join_duplicate_build_key_fails_loudly():
+    """The unique-per-key build contract is checked, not just documented."""
+    from medknowledgegraph_ray.stages.join import equi_join
+
+    dup_keys = np.repeat(np.arange(40, dtype=np.int64), 2)  # every key twice
+    build = rd.from_pandas(pd.DataFrame({
+        "k": pd.array(dup_keys, dtype="int64"),
+        "b": pd.array(range(80), dtype="int64"),
+    }))
+    probe = rd.from_pandas(pd.DataFrame({
+        "k": pd.array(np.arange(40, dtype=np.int64), dtype="int64"),
+        "p": pd.array(range(40), dtype="int64"),
+    }))
+    with pytest.raises(Exception, match="duplicate key"):
+        equi_join(build.repartition(2), probe.repartition(2), "k", ["b"], ["p"]).materialize()
+
+
 def test_exact_global_quantiles_matches_numpy_selection():
     from medknowledgegraph_ray.stages.selection import exact_quantiles
 
