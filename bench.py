@@ -163,6 +163,12 @@ def run_bench() -> dict:
         # spawning the pool evicts Ray's prestarted task workers, so any
         # task-based stage timed after it would pay worker re-import churn
         # that a steady-state cluster never sees.
+        # A core_worker 53727 line may still print: Ray Data ships its own
+        # map transformer through the object store for EVERY actor pool
+        # (reproduced with a no-arg stateless class).  OUR state no longer
+        # rides a constructor ObjectRef — actors rebuild the catalog from
+        # the KB path — and tests/test_pipeline.py proves a hard-killed
+        # actor mid-run restarts and completes correctly.
         t0 = time.time()
         kg.mention_rows(sf_dir, stateful="actor").count()
         queries["mentions_actor"] = round(time.time() - t0, 3)

@@ -156,7 +156,9 @@ def mention_rows(
     ds = transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     if scope is not None:
         ds = filter_convs(ds, scope)
-    return mentions.detect_mentions(ds, stateful=stateful)
+    return mentions.detect_mentions(
+        ds, stateful=stateful, input_blocks=readers.transcript_blocks(sf_dir)
+    )
 
 
 def user_mentions(sf_dir: str, role: str = "user") -> rd.Dataset:

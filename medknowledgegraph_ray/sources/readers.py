@@ -32,6 +32,13 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None) -> rd.Datase
     )
 
 
+def transcript_blocks(sf_dir: str) -> int:
+    """Block count read_transcripts will produce — the actor-pool sizing
+    hint (a pool larger than this spawns actors with no work)."""
+    gen = datagen.ensure_transcripts(sf_dir)
+    return config.read_blocks(len(glob.glob(os.path.join(gen, "*.parquet"))))
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     """One of the provided testdata tables (documents, embeddings, lineitem…).
 

@@ -52,15 +52,21 @@ def _trigrams(s: str) -> set:
 class SurfaceLinker:
     """Actor-pool stage: distinct surfaces → candidate link rows.
 
-    State built once per actor from the broadcast catalog: an exact
-    alias → [(cui, score, name, def, label)] dict and a trigram inverted
-    index for the fuzzy path.
+    State built once per actor: an exact alias → [(cui, score, name, def,
+    label)] dict and a trigram inverted index for the fuzzy path.  The
+    actor path passes ``catalog_ref=None`` so each actor rebuilds from the
+    KB tables on (shared) storage — restart-safe under Ray issue 53727
+    (object-store constructor args break actor restart if the ref is
+    lost); a ``Table``/``ObjectRef`` is still accepted for driver use.
     """
 
-    def __init__(self, catalog_ref, fuzzy: bool = False, fuzzy_min: float = 0.5):
-        catalog: pa.Table = (
-            ray.get(catalog_ref) if isinstance(catalog_ref, ray.ObjectRef) else catalog_ref
-        )
+    def __init__(self, catalog_ref=None, fuzzy: bool = False, fuzzy_min: float = 0.5):
+        if catalog_ref is None:
+            catalog: pa.Table = link_catalog()  # re-readable: restart-safe
+        else:
+            catalog = (
+                ray.get(catalog_ref) if isinstance(catalog_ref, ray.ObjectRef) else catalog_ref
+            )
         self.exact: dict[str, list] = defaultdict(list)
         rows = catalog.to_pylist()
         for r in rows:
@@ -144,10 +150,9 @@ def distinct_surfaces(mentions: rd.Dataset) -> rd.Dataset:
 
 def link_surfaces(mentions: rd.Dataset, *, fuzzy: bool = False) -> rd.Dataset:
     """mentions → links(norm_surface, cui, score, name, definition, label)."""
-    catalog_ref = ray.put(link_catalog())
     return distinct_surfaces(mentions).map_batches(
         SurfaceLinker,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref, "fuzzy": fuzzy},
+        fn_constructor_kwargs={"catalog_ref": None, "fuzzy": fuzzy},  # restart-safe
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 2),
