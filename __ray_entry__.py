@@ -33,6 +33,7 @@ from medknowledgegraph_ray.stages import (
     textstats,
     windows,
 )
+from medknowledgegraph_ray.stages import shuffle as _shuffle
 
 _SF001 = "/root/testdata/sf0.01"
 _ANN_DIM = 64  # embeddings table vector length
@@ -1205,14 +1206,12 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scored)"
             " SELECT doc_id, tok, tf, tfidf_e6, rank FROM ranked WHERE rank <= 5"
         ),
-        # seeded shard shuffle: same md5-u64 key construction as the engine
-        # (first 8 md5 bytes big-endian), shard = key mod 8, position =
-        # row_number within shard over (skey, doc_id)
+        # seeded shard shuffle: same splitmix64 key construction as the
+        # engine (stages/shuffle.shuffle_key_sql — bit-exact mod-2^64
+        # arithmetic), shard = key mod 8, position = row_number within
+        # shard over (skey, doc_id)
         "doc_shuffle": (
-            "WITH keyed AS (SELECT doc_id,"
-            "  CAST(('0x' || substr(md5('20260817:' || doc_id), 1, 16))"
-            "       AS UBIGINT) AS skey"
-            " FROM documents),"
+            "WITH " + _shuffle.shuffle_key_sql("documents") + ","
             " sharded AS (SELECT doc_id, skey,"
             "  CAST(skey % 8 AS BIGINT) AS shard FROM keyed)"
             " SELECT doc_id, skey, shard,"
@@ -1437,7 +1436,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
         ),
         # the end-to-end corpus pipeline as ONE oracle: Gopher keep →
-        # min-doc-id-per-normalized-md5 dedup → md5 shard/pos assignment
+        # min-doc-id-per-normalized-md5 dedup → splitmix64 shard/pos assignment
         "corpus_export": (
             "WITH g AS (SELECT doc_id,"
             "  length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
@@ -1454,9 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             "   AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05),"
             " surv AS (SELECT doc_id FROM kept"
             "  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1),"
-            " keyed AS (SELECT doc_id,"
-            "  CAST(('0x' || substr(md5('20260817:' || CAST(doc_id AS VARCHAR)),"
-            "   1, 16)) AS UBIGINT) AS skey FROM surv)"
+            + _shuffle.shuffle_key_sql("surv") +
             " SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,"
             "  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8"
             "   ORDER BY skey, doc_id) AS BIGINT) AS pos"
