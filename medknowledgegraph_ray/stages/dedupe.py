@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from .. import config
@@ -680,26 +681,44 @@ def _verify_driver_side(source, cands, item_rows, threshold: float, empty,
 
 class PrefixEmitter:
     """Prefix-filter rows for the exact Jaccard join: for a doc whose
-    hashed shingle set has size s, emit its p = s - ceil(t*s) + 1 smallest
-    hashes as (band_id=0, band_hash=<shingle hash>, doc_id) bucket rows.
+    hashed shingle set has size s, emit its p = s - ceil(t*s) + 1 SMALLEST
+    hashes — under the frequency order below — as (band_id=0,
+    band_hash=<shingle hash>, doc_id) bucket rows.
 
-    Completeness (the prefix-filter theorem, with shingles totally ordered
-    by their u64 hash): if J(A,B) ≥ t then |A∩B| ≥ t·|A| — so the smallest
-    shared element cannot sit past A's prefix (the suffix holds only
-    ⌈t·|A|⌉ − 1 elements), and symmetrically for B; the two prefixes share
-    it.  Hence every qualifying pair collides in ≥1 prefix bucket and the
-    join is exact after verification — unlike MinHash, whose recall follows
-    the band curve.  Hash order is a correct (any fixed total order works)
-    but frequency-blind prefix order; ordering by ascending global shingle
-    frequency is the production refinement that minimizes bucket sizes
-    (one extra grouped_agg counting pass).  A stop-shingle bucket past
-    MAX_BUCKET fails loudly, as in the LSH path."""
+    Completeness (the prefix-filter theorem; any FIXED total order on the
+    shingle universe works): if J(A,B) ≥ t then |A∩B| ≥ t·|A| — so the
+    order-smallest shared element cannot sit past A's prefix (the suffix
+    holds only ⌈t·|A|⌉ − 1 elements), and symmetrically for B; the two
+    prefixes share it.  Hence every qualifying pair collides in ≥1 prefix
+    bucket and the join is exact after verification — unlike MinHash,
+    whose recall follows the band curve.
 
-    def __init__(self, threshold: float, w: int = 3):
+    FREQUENCY ORDER (the PPJoin refinement): shingles sort by (document
+    frequency, hash) ascending, so prefixes prefer RARE shingles and the
+    boilerplate stop-shingles that would fill every prefix (and every
+    bucket) sort last.  Only the HOT shingles (df > hot_df) need their df
+    known — a set bounded by shingle_volume / hot_df, broadcast once via
+    `hot_ref`; every other shingle ties at df=0 and orders by hash.  The
+    order is globally consistent because every emitter reads the same
+    broadcast.  A bucket past MAX_BUCKET still fails loudly."""
+
+    def __init__(self, threshold: float, w: int = 3, hot_ref=None):
         self.t = threshold
         self.w = w
+        self.hot_ref = hot_ref
+        self._hot = None
+
+    def _hot_tables(self):
+        if self._hot is None:
+            if self.hot_ref is None:
+                empty = np.array([], dtype=np.uint64)
+                self._hot = (empty, np.array([], dtype=np.int64))
+            else:
+                self._hot = ray.get(self.hot_ref)
+        return self._hot
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hot_h, hot_df = self._hot_tables()
         hashes, doc_ids = [], []
         for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
             hs = np.array(
@@ -710,6 +729,10 @@ class PrefixEmitter:
             if s == 0:
                 continue
             p = s - int(np.ceil(self.t * s)) + 1
+            if len(hot_h):
+                pos = np.minimum(np.searchsorted(hot_h, hs), len(hot_h) - 1)
+                df = np.where(hot_h[pos] == hs, hot_df[pos], 0)
+                hs = hs[np.lexsort((hs, df))]  # (df, hash) ascending
             hashes.append(hs[:p].astype(np.int64))
             doc_ids.append(np.full(p, doc_id, dtype=np.int64))
         if not hashes:
@@ -726,17 +749,89 @@ class PrefixEmitter:
         })
 
 
-def ngram_jaccard_dedup(docs: rd.Dataset, threshold: float = 0.8, w: int = 3) -> rd.Dataset:
+# A shingle is HOT past this document frequency; the broadcast hot set is
+# bounded by total_shingle_volume / HOT_SHINGLE_DF.  At corpus scale raise
+# it so the hot set stays under the broadcast gate (the guard below fails
+# loudly rather than shipping an unbounded dict).
+HOT_SHINGLE_DF = 64
+HOT_BROADCAST_MAX = 2_000_000
+
+
+def _hot_shingles(docs: rd.Dataset, w: int, hot_df: int):
+    """(sorted hash array, df array) for shingles with df > hot_df — one
+    counting pass (per-doc distinct shingles → grouped df) + a bounded
+    driver gather."""
+    from .groupagg import grouped_agg
+
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            np.fromiter((_md5_u64(s.encode()) for s in st), dtype=np.uint64, count=len(st))
+            for st in (_ngram_set(t or "", w) for t in batch["text"])
+            if st
+        ]
+        flat = np.concatenate(hs).astype(np.int64) if hs else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "h": pd.array(flat, dtype="int64"),
+            "c": pd.array(np.ones(len(flat), dtype=np.int64), dtype="int64"),
+        })
+
+    counted = grouped_agg(
+        docs.map_batches(rows, batch_format="pandas", batch_size=2048),
+        ["h"], [("c", "sum", "df")],
+        types={"h": pa.int64(), "c": pa.int64()},
+    )
+    hot = counted.filter(expr=f"df > {hot_df}").to_pandas()
+    if len(hot) == 0:  # an empty filter result may come back column-less
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    if len(hot) > HOT_BROADCAST_MAX:
+        raise ValueError(
+            f"{len(hot)} hot shingles exceed HOT_BROADCAST_MAX="
+            f"{HOT_BROADCAST_MAX}; raise hot_df (corpus volume / hot_df "
+            "bounds the broadcast)"
+        )
+    h = hot["h"].to_numpy().astype(np.int64).astype(np.uint64)
+    order = np.argsort(h)
+    return h[order], hot["df"].to_numpy().astype(np.int64)[order]
+
+
+# Below this many docs the frequency-order counting pass is skipped by
+# default: its grouped-DF exchange costs ~3 s of fixed latency (measured at
+# sf0.1: 6.7 s plain vs 8.2 s counted) while MAX_BUCKET already bounds the
+# worst hash-ordered bucket.  Above it — where a stop-shingle's bucket is
+# O(corpus) pairs — the counting pass is what keeps the join subquadratic.
+# The SMALL_VERIFY_IDS pattern: both paths are row-identical (tested).
+NGRAM_FREQ_MIN_DOCS = 50_000
+
+
+def ngram_jaccard_dedup(docs: rd.Dataset, threshold: float = 0.8, w: int = 3,
+                        hot_df="auto") -> rd.Dataset:
     """EXACT n-gram Jaccard near-dup pairs: every (doc_a, doc_b, jaccard)
     with word-w-shingle Jaccard ≥ threshold — recall 1 by prefix filtering
     (see PrefixEmitter), so the all-pairs DuckDB oracle matches at ANY
-    threshold, not only where LSH recall saturates.  Candidate pairing and
-    verification reuse the LSH machinery (_bucket_pairs sorted runs +
-    _verified_jaccard sorted-exchange attach/verify)."""
+    threshold, not only where LSH recall saturates.  Prefixes are
+    frequency-ordered above NGRAM_FREQ_MIN_DOCS (one counting pass + a
+    bounded hot-shingle broadcast — `hot_df` int forces it on, None off);
+    candidate pairing and verification reuse the LSH machinery
+    (_bucket_pairs sorted runs + _verified_jaccard sorted-exchange
+    attach/verify).  The candidate-pair count is logged — it is the
+    measure of how much the frequency order prunes."""
+    import logging
+
+    if hot_df == "auto":
+        hot_df = HOT_SHINGLE_DF if docs.count() >= NGRAM_FREQ_MIN_DOCS else None
+    if hot_df is None:  # skip the counting pass: plain hash-ordered prefixes
+        hot_h, hot_c = np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    else:
+        hot_h, hot_c = _hot_shingles(docs, w, hot_df)
+    hot_ref = ray.put((hot_h, hot_c)) if len(hot_h) else None
     prefix_rows = docs.map_batches(
-        PrefixEmitter(threshold, w), batch_format="pandas", batch_size=2048
+        PrefixEmitter(threshold, w, hot_ref), batch_format="pandas", batch_size=2048
     )
-    cands = _bucket_pairs(prefix_rows, distinct_pairs=False)
+    cands = _bucket_pairs(prefix_rows, distinct_pairs=False).materialize()
+    logging.getLogger(__name__).info(
+        "ngram_jaccard_dedup: %d candidate pair rows (%d hot shingles demoted)",
+        cands.count(), len(hot_h),
+    )
     return _verified_jaccard(docs, cands, threshold, w)
 
 

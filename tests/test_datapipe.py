@@ -161,6 +161,18 @@ def test_embedding_near_dups_bucket_skew_guard(monkeypatch):
         dedupe.embedding_near_dups(emb, threshold=0.95, dim=8).materialize()
 
 
+def test_ngram_prefix_order_paths_row_identical(sf_dir):
+    """Frequency-ordered prefixes (forced on with hot_df=1: every repeated
+    shingle is 'hot') must produce exactly the hash-ordered result — the
+    prefix-filter theorem holds under any fixed total order."""
+    from medknowledgegraph_ray.sources import readers
+
+    docs = lambda: readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    plain = _norm(dedupe.ngram_jaccard_dedup(docs(), threshold=0.6, hot_df=None).to_pandas())
+    freq = _norm(dedupe.ngram_jaccard_dedup(docs(), threshold=0.6, hot_df=1).to_pandas())
+    assert plain.equals(freq) and len(plain) > 0
+
+
 def test_minhash_verify_paths_row_identical(sf_dir, monkeypatch):
     """The size-gated driver-side verify and the distributed sorted-exchange
     verify must agree exactly on the same candidate set."""
