@@ -149,7 +149,8 @@ def _kg_sql(body: str, sf_dir: str = _SF001, **knobs) -> str:
 def _abbrev_defs_subquery() -> str:
     """Distinct (conv_id, sf, lf) abbreviation definitions — the SQL twin of
     stages/abbrev.py:_parse_frag (Schwartz-Hearst right-to-left initials,
-    1-4-word long forms, largest matching suffix wins)."""
+    1..MAX_LF_WORDS-word long forms, largest matching suffix wins)."""
+    from medknowledgegraph_ray.stages.abbrev import MAX_LF_WORDS
 
     def lfm(m: int) -> str:
         return f"trim(regexp_extract(frag, '((?:[a-z]+ ){{{m}}})\\(', 1))"
@@ -161,14 +162,14 @@ def _abbrev_defs_subquery() -> str:
 
     cases = " ".join(
         f"WHEN {lfm(m)} <> '' AND {inits(m)} = substr(sf, 1, {m}) THEN {lfm(m)}"
-        for m in (4, 3, 2, 1)
+        for m in range(MAX_LF_WORDS, 0, -1)
     )
     return (
         "SELECT DISTINCT conv_id, sf, lf FROM ("
         f"SELECT conv_id, sf, CASE {cases} END AS lf "
         "FROM (SELECT conv_id, regexp_extract(frag, '\\(([a-z0-9]+)\\)', 1) AS sf, frag "
         "FROM (SELECT t.conv_id, unnest(regexp_extract_all(lower(t.text), "
-        "'(?:[a-z]+ ){1,4}\\([a-z0-9]+\\)')) AS frag FROM g_transcripts t))"
+        f"'(?:[a-z]+ ){{1,{MAX_LF_WORDS}}}\\([a-z0-9]+\\)')) AS frag FROM g_transcripts t))"
         ") WHERE lf IS NOT NULL"
     )
 

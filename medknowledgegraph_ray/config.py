@@ -130,7 +130,7 @@ def sf_name(sf_dir: str) -> str:
 # Bump when datagen semantics change: generated corpora are cached on disk
 # under a versioned root, so a version bump atomically invalidates stale
 # caches (oracle SQL and Ray pipelines read the same versioned paths).
-CORPUS_VERSION = 4  # v4 = 1-4-word abbreviation long forms (+KB multi-word aliases)
+CORPUS_VERSION = 5  # v5 = 1-6-word abbreviation long forms (+5/6-word KB aliases)
 
 
 def gen_dir(sf_dir: str) -> str:

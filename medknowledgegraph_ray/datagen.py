@@ -89,10 +89,11 @@ def _build_kb(rng: random.Random):
         if rng.random() < 0.8:
             variant = f"{toks[0]} variant {i % 23}"
             aliases.append((variant, cui, round(rng.uniform(0.70, 0.98), 2), label))
-        # 3- and 4-word all-alphabetic long-form aliases so abbreviation
-        # planting covers 1-4-word Schwartz-Hearst spans
-        # (entityrecognition.py:25-27).  Index-deterministic (no rng draws)
-        # so every pre-existing KB row and rng-derived value is unchanged.
+        # 3..6-word all-alphabetic long-form aliases so abbreviation
+        # planting covers the full 1..MAX_LF_WORDS Schwartz-Hearst span
+        # (entityrecognition.py:25-27 is length-unbounded).
+        # Index-deterministic (no rng draws) so every pre-existing KB row
+        # and rng-derived value is unchanged.
         if label == "DISEASE" and len(toks) > 1:
             if i % 3 == 0:
                 aliases.append(
@@ -102,6 +103,16 @@ def _build_kb(rng: random.Random):
                 aliases.append(
                     (f"acquired chronic {name}", cui,
                      round(0.70 + (i % 23) * 0.01, 2), label)
+                )
+            if i % 5 == 2:
+                aliases.append(
+                    (f"relapsing acquired chronic {name}", cui,
+                     round(0.70 + (i % 21) * 0.01, 2), label)
+                )
+            if i % 6 == 3:
+                aliases.append(
+                    (f"severe relapsing acquired chronic {name}", cui,
+                     round(0.70 + (i % 19) * 0.01, 2), label)
                 )
         return cui
 
@@ -256,14 +267,15 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
     kb = _kb_tables()
     alias_tab = kb["aliases"]
     umls = kb["umls_kb"]
-    # 1-4-word all-alphabetic aliases for conversation-local abbreviation
+    # 1-7-word all-alphabetic aliases for conversation-local abbreviation
     # planting ("long form (SF)" definitions — entityrecognition.py:25-27
-    # analog); covers single-word chemicals, two-word disease names and the
-    # 3/4-word "chronic ..."/"acquired chronic ..." long forms
+    # analog); covers single-word chemicals, two-word disease names, and
+    # the 3..6-word "chronic ..." through "severe relapsing acquired
+    # chronic ..." long forms
     disease_names = sorted(
         a
         for a in set(alias_tab["alias"].to_pylist())
-        if a.replace(" ", "").isalpha() and 1 <= len(a.split()) <= 4
+        if a.replace(" ", "").isalpha() and 1 <= len(a.split()) <= 7
     )
     # distinct surfaces, weighted: hot surface ~30% of slots, rest Zipf.
     surfaces = sorted(set(alias_tab["alias"].to_pylist()))

@@ -7,12 +7,15 @@ A conversation can define a local short form — "xelorvan syndrome (xsq3)"
 (the SF is not in the global alias KB).  Semantics (shared verbatim with
 the DuckDB oracle):
 
-- a DEFINITION is any fragment matching `(?:[a-z]+ ){1,4}\\([a-z0-9]+\\)`
-  in the lowercased text; the long form is the LARGEST suffix of 1..4
-  words preceding the parenthesis whose word initials equal the short
-  form's prefix of the same length (Schwartz-Hearst right-to-left initial
-  matching, deterministic — handles "chronic obstructive pulmonary
-  disease (copd)" as well as one-word forms);
+- a DEFINITION is any fragment matching
+  `(?:[a-z]+ ){1,MAX_LF_WORDS}\\([a-z0-9]+\\)` in the lowercased text;
+  the long form is the LARGEST suffix of 1..MAX_LF_WORDS (8) words
+  preceding the parenthesis whose word initials equal the short form's
+  prefix of the same length (Schwartz-Hearst right-to-left initial
+  matching, deterministic — handles "severe relapsing acquired chronic
+  pulmonary fibrosis (sracpf)" as well as one-word forms; the reference's
+  detector is length-unbounded, entityrecognition.py:25-27 — 8 words
+  covers every KB alias shape with a bounded SQL ladder);
 - a definition is VALID iff the long form IS a KB alias and the short form
   is NOT (if it were, plain detection already finds it);
 - a RESOLVED mention is any turn in the defining conversation whose text
@@ -42,19 +45,22 @@ import ray.data as rd
 from . import distinct as _dx
 from .distinct import distinct as _distinct
 
-_DEF_FRAG = re.compile(r"(?:[a-z]+ ){1,4}\([a-z0-9]+\)")
+MAX_LF_WORDS = 8  # ladder cap, shared with the DuckDB oracle CASE ladder
+
+_DEF_FRAG = re.compile(rf"(?:[a-z]+ ){{1,{MAX_LF_WORDS}}}\([a-z0-9]+\)")
 _SF = re.compile(r"\(([a-z0-9]+)\)")
 
 
 def _parse_frag(frag: str) -> tuple[str, str] | None:
     """(sf, lf) for a definition fragment, or None if no suffix matches.
 
-    lf = the largest m-word suffix (m in 4..1) of the words preceding the
-    parenthesis whose initials equal sf[:m] — byte-identical to the CASE
-    ladder in the DuckDB oracle (__ray_entry__._abbrev_frag_sql)."""
+    lf = the largest m-word suffix (m in MAX_LF_WORDS..1) of the words
+    preceding the parenthesis whose initials equal sf[:m] — byte-identical
+    to the CASE ladder in the DuckDB oracle
+    (__ray_entry__._abbrev_defs_subquery)."""
     sf = _SF.search(frag).group(1)
     ws = frag[: frag.index("(")].split()
-    for m in (4, 3, 2, 1):
+    for m in range(MAX_LF_WORDS, 0, -1):
         if len(ws) >= m and "".join(w[0] for w in ws[-m:]) == sf[:m]:
             return sf, " ".join(ws[-m:])
     return None

@@ -34,5 +34,5 @@ def test_build_completes_with_tiny_object_store():
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")][0]
     _, n_edges, n_nodes = line.split()
-    # counts must match the uncapped build exactly (seeded corpus v4)
-    assert (int(n_edges), int(n_nodes)) == (27475, 1737)
+    # counts must match the uncapped build exactly (seeded corpus v5)
+    assert (int(n_edges), int(n_nodes)) == (28165, 1748)
