@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _OUT_COLS = ["key", "point_id", "ts_us", "interval_id", "start_us", "end_us"]
@@ -70,27 +72,33 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
     Output: key, point_id, ts_us, interval_id, start_us, end_us — one row
     per contained point (non-overlap makes the match unique or absent)."""
 
-    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # Arrow tag passes: the union feeds straight into the global sort, and
+    # Arrow-block inputs keep the whole exchange in Arrow mode (the pandas
+    # round-trip every range/as-of join used to pay happened before and
+    # through the sort).
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
             {
-                "key": b["key"].astype("int64"),
-                "ts": b["start_us"].astype("int64"),
-                "side": pd.array([0] * len(b), dtype="int64"),
-                "point_id": pd.array([0] * len(b), dtype="int64"),
-                "end_us": b["end_us"].astype("int64"),
-                "interval_id": b["interval_id"].astype("int64"),
+                "key": pc.cast(t["key"], pa.int64()),
+                "ts": pc.cast(t["start_us"], pa.int64()),
+                "side": zero,
+                "point_id": zero,
+                "end_us": pc.cast(t["end_us"], pa.int64()),
+                "interval_id": pc.cast(t["interval_id"], pa.int64()),
             }
         )
 
-    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_points(t: pa.Table) -> pa.Table:
+        zero = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
             {
-                "key": b["key"].astype("int64"),
-                "ts": b["ts_us"].astype("int64"),
-                "side": pd.array([1] * len(b), dtype="int64"),
-                "point_id": b["point_id"].astype("int64"),
-                "end_us": pd.array([0] * len(b), dtype="int64"),
-                "interval_id": pd.array([0] * len(b), dtype="int64"),
+                "key": pc.cast(t["key"], pa.int64()),
+                "ts": pc.cast(t["ts_us"], pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "point_id": pc.cast(t["point_id"], pa.int64()),
+                "end_us": zero,
+                "interval_id": zero,
             }
         )
 
@@ -99,39 +107,41 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
     # id sorts last and wins the forward-fill; under the non-overlap
     # contract it never fires.
     merged = (
-        intervals.map_batches(tag_intervals, batch_format="pandas")
-        .union(points.map_batches(tag_points, batch_format="pandas"))
+        intervals.map_batches(tag_intervals, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .union(points.map_batches(tag_points, batch_format="pyarrow",
+                                  zero_copy_batch=True))
         .sort(["key", "ts", "side", "interval_id"])
     )
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
+    def split(df: pd.DataFrame) -> pa.Table:
+        # metadata-free Arrow output (see windows._sorted_user_op.split)
         if len(df) == 0:
             out = pd.DataFrame({c: pd.array([], dtype="int64") for c in _OUT_COLS})
             out["ts"] = pd.array([], dtype="int64")
             out["side"] = pd.array([], dtype="int64")
             out["is_edge"] = pd.array([], dtype="bool")
-            return out
-        u = df["key"].to_numpy()
-        edge_mask = (u == u[0]) | (u == u[-1])
-        interior = _join_sorted(df[~edge_mask])
-        interior = interior.assign(
-            ts=pd.array([0] * len(interior), dtype="int64"),
-            side=pd.array([0] * len(interior), dtype="int64"),
-            is_edge=pd.array([False] * len(interior), dtype="bool"),
-        )
-        edge = df[edge_mask].assign(
-            ts_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            start_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
-        )
-        return pd.concat([interior, edge], ignore_index=True)[
-            _OUT_COLS + ["ts", "side", "is_edge"]
-        ]
+        else:
+            u = df["key"].to_numpy()
+            edge_mask = (u == u[0]) | (u == u[-1])
+            interior = _join_sorted(df[~edge_mask])
+            interior = interior.assign(
+                ts=pd.array([0] * len(interior), dtype="int64"),
+                side=pd.array([0] * len(interior), dtype="int64"),
+                is_edge=pd.array([False] * len(interior), dtype="bool"),
+            )
+            edge = df[edge_mask].assign(
+                ts_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+                start_us=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
+                is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
+            )
+            out = pd.concat([interior, edge], ignore_index=True)[
+                _OUT_COLS + ["ts", "side", "is_edge"]
+            ]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     flagged = merged.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[_OUT_COLS], batch_format="pandas"
-    )
+    interior = flagged.filter(expr="is_edge == False").select_columns(_OUT_COLS)
 
     def edge_join(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "side", "interval_id"], kind="mergesort")
@@ -139,10 +149,7 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
 
     edges = (
         flagged.filter(expr="is_edge == True")
-        .map_batches(
-            lambda t: t[["key", "ts", "side", "point_id", "end_us", "interval_id"]],
-            batch_format="pandas",
-        )
+        .select_columns(["key", "ts", "side", "point_id", "end_us", "interval_id"])
         .groupby("key")
         .map_groups(edge_join, batch_format="pandas")
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -118,20 +120,26 @@ def _prep_events(events: rd.Dataset, cols: tuple[str, ...]) -> tuple[rd.Dataset,
     src_of = {"event_id": "event_id", "ts_us": "ts", "value_e6": "value"}
     src = ["user_id"] + [src_of[c] for c in cols]
 
-    def prep(b: pd.DataFrame) -> pd.DataFrame:
-        out = {"user_id": b["user_id"].astype("int64")}
+    # Arrow, not pandas: the output feeds straight into the scaffold's
+    # global sort, and an Arrow-block input keeps the whole exchange in
+    # Arrow mode (zero-copy int64 columns; the pandas round-trip each
+    # windowed operator used to pay happened BEFORE and THROUGH the sort).
+    # pc.round is half-to-even like np.round, so value_e6 is bit-identical.
+    def prep(t: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(t["user_id"], pa.int64())}
         if "event_id" in cols:
-            out["event_id"] = b["event_id"].astype("int64")
+            out["event_id"] = pc.cast(t["event_id"], pa.int64())
         if "ts_us" in cols:
-            out["ts_us"] = b["ts"].astype("int64")
+            out["ts_us"] = pc.cast(t["ts"], pa.int64())
         if "value_e6" in cols:
-            out["value_e6"] = pd.array(
-                np.round(b["value"].to_numpy() * 1e6).astype("int64"), dtype="int64"
+            out["value_e6"] = pc.cast(
+                pc.round(pc.multiply(pc.cast(t["value"], pa.float64()), 1e6)),
+                pa.int64(),
             )
-        return pd.DataFrame(out)
+        return pa.table(out)
 
     ds = events.select_columns(src).map_batches(
-        prep, batch_format="pandas", batch_size=None
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return ds, ["user_id"] + list(cols)
 
@@ -162,32 +170,36 @@ def _sorted_user_op(
     raw_only = [c for c in raw_cols if c not in out_cols]
     s = prepped.sort(sort_cols, descending=descending)
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
+    def split(df: pd.DataFrame) -> pa.Table:
+        # output is a METADATA-FREE Arrow table: returning pandas here made
+        # the downstream filter convert via from_pandas, whose b'pandas'
+        # metadata dict breaks hash(pa.Schema) and defeats Ray's
+        # block-schema dedup in the edge groupby's reduce
         order = out_cols + raw_only + ["is_edge"]
         if len(df) == 0:
             empty = {c: pd.array([], dtype=dt) for c, dt in out_dtypes.items()}
             for c in raw_only:
                 empty[c] = df[c]
             empty["is_edge"] = pd.array([], dtype="bool")
-            return pd.DataFrame(empty)[order]
-        u = df[key].to_numpy()
-        edge = (u == u[0]) | (u == u[-1])
-        interior = kernel(df[~edge]).reset_index(drop=True)
-        for c in raw_only:
-            dt = str(df[c].dtype)
-            interior[c] = pd.array([_PAD[dt]] * len(interior), dtype=dt)
-        interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
-        e = df[edge].reset_index(drop=True)
-        for c, dt in out_dtypes.items():
-            if c not in e.columns:
-                e[c] = pd.array([_PAD[dt]] * len(e), dtype=dt)
-        e["is_edge"] = pd.array([True] * len(e), dtype="bool")
-        return pd.concat([interior[order], e[order]], ignore_index=True)
+            out = pd.DataFrame(empty)[order]
+        else:
+            u = df[key].to_numpy()
+            edge = (u == u[0]) | (u == u[-1])
+            interior = kernel(df[~edge]).reset_index(drop=True)
+            for c in raw_only:
+                dt = str(df[c].dtype)
+                interior[c] = pd.array([_PAD[dt]] * len(interior), dtype=dt)
+            interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
+            e = df[edge].reset_index(drop=True)
+            for c, dt in out_dtypes.items():
+                if c not in e.columns:
+                    e[c] = pd.array([_PAD[dt]] * len(e), dtype=dt)
+            e["is_edge"] = pd.array([True] * len(e), dtype="bool")
+            out = pd.concat([interior[order], e[order]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[out_cols], batch_format="pandas"
-    )
+    interior = flagged.filter(expr="is_edge == False").select_columns(out_cols)
     local_sort = [c for c in sort_cols if c != key]
     local_asc = [not d for c, d in zip(sort_cols, descending) if c != key]
 
@@ -197,7 +209,7 @@ def _sorted_user_op(
 
     edges = (
         flagged.filter(expr="is_edge == True")
-        .map_batches(lambda t: t[raw_cols], batch_format="pandas")
+        .select_columns(raw_cols)
         .groupby(key)
         .map_groups(edge_fix, batch_format="pandas")
     )
