@@ -792,13 +792,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
     datagen.ensure_transcripts("/root/testdata/sf0.001")
     datagen.ensure_transcripts(_SF001)
     return {
-        # ---- block 1: oracle-checked entries NEVER recorded in any
-        # driver CORRECTNESS file (r1 stopped at 50 rows, r2 likewise) —
-        # they go first so a capped r3 file finally records them.
-        # Previously-recorded blocks follow (kg core = CORRECTNESS_r02
-        # rows 1-28, all green); tools/check_oracles.py sweeps ALL
-        # entries regardless of this ordering.
+        # ---- block 1 (r4 rotation): entries whose latest driver record
+        # is CORRECTNESS_r02 or older — the kg core (28), block 4 (11) —
+        # plus this round's new oracle entry (dedup_embedding) and the one
+        # r1-only leftover (join_region_counts).  41 rows: a 50-row-capped
+        # CORRECTNESS_r04 unions with r03 to give every oracle entry a
+        # <=2-round-old record.  tools/check_oracles.py sweeps ALL entries
+        # regardless of this ordering.
+        "kg_conversations": kg.conversations,
+        "kg_turn_roundtrip": kg.turn_roundtrip,
+        "kg_mentions": kg.mention_rows,
+        "kg_conv_entities": kg.conv_entities,
+        "kg_links": kg.links,
+        "kg_entity_counts": kg.entity_counts,
+        "kg_top_entities": kg.top_entities,
+        "kg_top_cuis": kg.top_cui_links,
+        "kg_selected_cuis": kg.selected_cuis,
+        "kg_genes": kg.genes,
+        "kg_snomed": kg.snomed,
+        "kg_clinical_features": kg.clinical_features,
+        "kg_proteins": kg.proteins,
+        "kg_go": kg.go_terms,
+        "kg_edges": kg.edges,
+        "kg_nodes": kg.nodes,
+        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
+        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
+        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
+        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
+        "kg_term_convs": _kg_term_convs,
+        "kg_top_cuis_strict": _kg_top_cuis_strict,
+        "kg_abbrev_defs": kg.abbrev_definitions,
+        "kg_mentions_resolved": kg.mentions_resolved,
+        "kg_mentions_user": kg.user_mentions,
+        "kg_tool_counts": kg.tool_counts,
+        "kg_tool_edges": kg.tool_edges,
+        "kg_mentions_hourly": kg.hourly_mentions,
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_quality": _quality,
+        "doc_tokens_bpe": _tokens_bpe,
+        "doc_sample": _doc_sample,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "ann_topk": _ann_topk,
+        "mm_metadata": _mm_metadata,
+        "ev_tumbling": _ev_tumbling,
+        "ev_sliding": _ev_sliding,
         "dedup_embedding": _dedup_embedding,
+        "join_region_counts": analytics.nation_region_counts,
+        # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
         "doc_tfidf": _doc_tfidf,
@@ -841,7 +883,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": _doc_logprob,
         "ev_funnel": _ev_funnel,
         "ev_retention": _ev_retention,
-        # ---- block 2: recorded green only in CORRECTNESS_r01 ----
         "ev_top_events": _ev_top_events,
         "ev_sessionize": _ev_sessionize,
         "ev_asof_prev": _ev_asof,
@@ -850,49 +891,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_top_customers": analytics.top_customers,
         "agg_orders_by_status": analytics.orders_by_status,
         "scan_filter_pushdown": analytics.filter_pushdown_scan,
-        "join_region_counts": analytics.nation_region_counts,
-        # ---- block 3: the KG core — all 28 recorded green in
-        # CORRECTNESS_r02 (rows 1-28) ----
-        "kg_conversations": kg.conversations,
-        "kg_turn_roundtrip": kg.turn_roundtrip,
-        "kg_mentions": kg.mention_rows,
-        "kg_conv_entities": kg.conv_entities,
-        "kg_links": kg.links,
-        "kg_entity_counts": kg.entity_counts,
-        "kg_top_entities": kg.top_entities,
-        "kg_top_cuis": kg.top_cui_links,
-        "kg_selected_cuis": kg.selected_cuis,
-        "kg_genes": kg.genes,
-        "kg_snomed": kg.snomed,
-        "kg_clinical_features": kg.clinical_features,
-        "kg_proteins": kg.proteins,
-        "kg_go": kg.go_terms,
-        "kg_edges": kg.edges,
-        "kg_nodes": kg.nodes,
-        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
-        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
-        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
-        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
-        "kg_term_convs": _kg_term_convs,
-        "kg_top_cuis_strict": _kg_top_cuis_strict,
-        "kg_abbrev_defs": kg.abbrev_definitions,
-        "kg_mentions_resolved": kg.mentions_resolved,
-        "kg_mentions_user": kg.user_mentions,
-        "kg_tool_counts": kg.tool_counts,
-        "kg_tool_edges": kg.tool_edges,
-        "kg_mentions_hourly": kg.hourly_mentions,
-        # ---- block 4: recorded green in CORRECTNESS_r02 ----
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _lang_id,
-        "doc_quality": _quality,
-        "doc_tokens_bpe": _tokens_bpe,
-        "doc_sample": _doc_sample,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash": _dedup_minhash,
-        "ann_topk": _ann_topk,
-        "mm_metadata": _mm_metadata,
-        "ev_tumbling": _ev_tumbling,
-        "ev_sliding": _ev_sliding,
         # ---- rows-only entries (no DuckDB oracle by design: approximate
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
