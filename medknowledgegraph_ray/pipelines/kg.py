@@ -1111,10 +1111,32 @@ def build_graph(
         nodes_prior = man.completed("nodes")
         edge_tmp = os.path.join(out_dir, "edges.tmp.fused")
         shutil.rmtree(edge_tmp, ignore_errors=True)
+        node_tmp = os.path.join(out_dir, "nodes.tmp.fused")
+
+        def _conv_nodes_write() -> str:
+            # the WHOLE conversation-node sink (distinct → node rows →
+            # schema gate → Parquet) runs concurrently with the fused pass;
+            # the funnel's literal nodes append driver-side afterwards, so
+            # no post-funnel Ray plan launch remains on the critical path
+            shutil.rmtree(node_tmp, ignore_errors=True)
+            conv_nodes = (
+                _conv_distinct(_scope_conv_ids_ds(sf_dir, scope), pin=False)
+                .map_batches(
+                    lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+                .map_batches(
+                    graph.schema_gate(schemas.NODES), batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            conv_nodes.write_parquet(node_tmp)
+            return node_tmp
+
         counts_df = repaired_tab = None
         with ThreadPoolExecutor(max_workers=1) as ex0:
             f_conv = (
-                ex0.submit(_conv_distinct, _scope_conv_ids_ds(sf_dir, scope))
+                ex0.submit(_conv_nodes_write)
                 if "nodes" not in nodes_prior
                 else None
             )
@@ -1143,15 +1165,15 @@ def build_graph(
                 if "edges" in edges_prior:
                     n_edges = edges_prior["edges"].get("rows_out", 0)
                 else:
-                    small = pa.concat_tables(
-                        [repaired_tab, lit["kb_edges"]]
-                    ).cast(schemas.TRIPLES)
                     import pyarrow.parquet as pq
 
-                    os.makedirs(edge_tmp, exist_ok=True)
-                    pq.write_table(small, os.path.join(edge_tmp, "kb_and_bridge.parquet"))
                     out_edges = os.path.join(out_dir, "edges")
                     try:
+                        small = pa.concat_tables(
+                            [repaired_tab, lit["kb_edges"]]
+                        ).cast(schemas.TRIPLES)
+                        os.makedirs(edge_tmp, exist_ok=True)
+                        pq.write_table(small, os.path.join(edge_tmp, "kb_and_bridge.parquet"))
                         shutil.rmtree(out_edges, ignore_errors=True)
                         os.rename(edge_tmp, out_edges)
                         n_edges = _nrows(out_edges)
@@ -1162,23 +1184,39 @@ def build_graph(
                 if "nodes" in nodes_prior:
                     n_nodes = nodes_prior["nodes"].get("rows_out", 0)
                 else:
-                    conv_nodes = f_conv.result().map_batches(
-                        lambda b: graph.node_rows(b, "Conversation", "conv_id", "conv_id", None),
-                        batch_format="pyarrow", zero_copy_batch=True,
-                    )
-                    node_ds = conv_nodes.union(
-                        rd.from_arrow(pa.concat_tables([lit["entity_nodes"], lit["kb_nodes"]]))
-                    ).map_batches(
-                        graph.schema_gate(schemas.NODES), batch_format="pyarrow", zero_copy_batch=True
-                    )
-                    n_nodes = _commit("nodes", node_ds)
+                    import pyarrow.parquet as pq
+
+                    try:
+                        tmp_nodes = f_conv.result()  # conv nodes already on disk
+                        lit_nodes = graph.schema_gate(schemas.NODES)(
+                            pa.concat_tables([lit["entity_nodes"], lit["kb_nodes"]])
+                        )
+                        pq.write_table(
+                            lit_nodes, os.path.join(tmp_nodes, "literal_nodes.parquet")
+                        )
+                        out_nodes = os.path.join(out_dir, "nodes")
+                        shutil.rmtree(out_nodes, ignore_errors=True)
+                        os.rename(tmp_nodes, out_nodes)
+                        n_nodes = _nrows(out_nodes)
+                    except BaseException as e:
+                        man.record("nodes", "nodes", "failed", error=repr(e)[:500])
+                        raise
+                    man.record("nodes", "nodes", "done", rows_out=n_nodes, output_path=out_nodes)
                 _mark("edges_nodes_commit")
                 return {
                     "n_turns": n_turns, "n_edges": n_edges, "n_nodes": n_nodes, "out_dir": out_dir
                 }
         # ContractError fallback: mentions are committed; stage 2 re-runs
         # from the committed Parquet below (its internal guards dispatch to
-        # the sorted-exchange paths on the same violation)
+        # the sorted-exchange paths on the same violation).  The concurrent
+        # conv-node write (if any) is discarded — the general path rebuilds
+        # the node sink with its own commit.
+        if f_conv is not None:
+            try:
+                f_conv.result()
+            except BaseException:
+                pass
+            shutil.rmtree(node_tmp, ignore_errors=True)
         mention_ds = _mention_union()
 
     t = graph_tables(

@@ -194,23 +194,28 @@ def test_failed_stage_is_recorded_in_manifest(tmp_path, sf_dir, monkeypatch):
 
     from medknowledgegraph_ray.pipelines import kg as kgmod
 
+    import pyarrow.parquet as pq_mod
+
     out = str(tmp_path / "kg_fail")
     calls = {"n": 0}
-    real = kgmod.atomic_write_parquet
+    real = pq_mod.write_table
 
-    def boom(ds, out_dir):
-        calls["n"] += 1
-        raise RuntimeError("disk gone")
+    def boom(tab, path, **kw):
+        # fail the fused path's driver-side edge/node commit writes
+        if "kg_fail" in str(path):
+            calls["n"] += 1
+            raise RuntimeError("disk gone")
+        return real(tab, path, **kw)
 
-    monkeypatch.setattr(kgmod, "atomic_write_parquet", boom)
+    monkeypatch.setattr(pq_mod, "write_table", boom)
     with pytest.raises(RuntimeError, match="disk gone"):
         kgmod.build_graph(sf_dir, out)
     rows = [json.loads(l) for l in open(out + "/manifest.jsonl")]
     failed = [r for r in rows if r["status"] == "failed"]
-    assert failed and "disk gone" in failed[0]["error"]
+    assert failed and "disk gone" in failed[0]["error"] and calls["n"] > 0
 
     # retry with the failure healed: converges to the normal result
-    monkeypatch.setattr(kgmod, "atomic_write_parquet", real)
+    monkeypatch.setattr(pq_mod, "write_table", real)
     res = kgmod.build_graph(sf_dir, out)
     assert res["n_edges"] > 0 and res["n_nodes"] > 0
 
