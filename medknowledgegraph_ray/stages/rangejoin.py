@@ -147,12 +147,26 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
         g = g.sort_values(["ts", "side", "interval_id"], kind="mergesort")
         return _join_sorted(g)
 
-    edges = (
+    edge_src = (
         flagged.filter(expr="is_edge == True")
         .select_columns(["key", "ts", "side", "point_id", "end_us", "interval_id"])
-        .groupby("key")
-        .map_groups(edge_join, batch_format="pandas")
+        .materialize()
     )
+    from .windows import EDGE_REPAIR_DRIVER_MAX
+
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        # size-gated driver-side repair — saves the groupby exchange (see
+        # windows._sorted_user_op); above the gate the distributed groupby
+        # stands, row-identical
+        edge_df = edge_src.to_pandas()
+        outs = [edge_join(g) for _, g in edge_df.groupby("key", sort=False)] if len(edge_df) else []
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return interior
+        rep = pd.concat(outs, ignore_index=True)[_OUT_COLS]
+        rep_tab = pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
+        return interior.union(rd.from_arrow(rep_tab))
+    edges = edge_src.groupby("key").map_groups(edge_join, batch_format="pandas")
     return interior.union(edges)
 
 

@@ -101,6 +101,10 @@ def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 9
 
 _PAD = {"int64": 0, "float64": 0.0, "bool": False, "object": ""}
 
+# Edge rows past this count keep the DISTRIBUTED groupby repair; below it
+# the gathered driver-side repair saves the exchange (see _sorted_user_op).
+EDGE_REPAIR_DRIVER_MAX = 500_000
+
 
 def _run_firsts(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Run-length prelude over a sorted key array: (new_run bool mask,
@@ -207,9 +211,26 @@ def _sorted_user_op(
         g = g.sort_values(local_sort, ascending=local_asc, kind="mergesort")
         return kernel(g)[out_cols]
 
+    edge_src = flagged.filter(expr="is_edge == True").select_columns(raw_cols).materialize()
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        # ≤2 keys straddle each block edge, so edge volume is normally
+        # O(blocks × rows-per-straddling-key) — gather once and repair
+        # driver-side (the distinct._resolve_edge_repair pattern), keeping
+        # a whole groupby exchange out of EVERY windowed operator's plan.
+        # A hot key spanning many blocks can inflate this (its every
+        # straddled block defers its rows), hence the size gate: past it
+        # the repair stays a distributed groupby — row-identical (tested).
+        edge_df = edge_src.to_pandas()
+        outs = [
+            edge_fix(g) for _, g in edge_df.groupby(key, sort=False)
+        ] if len(edge_df) else []
+        if not outs:
+            return interior
+        rep = pd.concat(outs, ignore_index=True)
+        rep_tab = pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
+        return interior.union(rd.from_arrow(rep_tab))
     edges = (
-        flagged.filter(expr="is_edge == True")
-        .select_columns(raw_cols)
+        edge_src
         .groupby(key)
         .map_groups(edge_fix, batch_format="pandas")
     )

@@ -161,6 +161,21 @@ def test_embedding_near_dups_bucket_skew_guard(monkeypatch):
         dedupe.embedding_near_dups(emb, threshold=0.95, dim=8).materialize()
 
 
+def test_scaffold_edge_repair_paths_row_identical(sf_dir, monkeypatch):
+    """Driver-side (size-gated) and distributed groupby edge repairs must
+    agree exactly — for the windowed scaffold AND the range join."""
+    from medknowledgegraph_ray.sources import readers
+
+    ev = lambda: readers.read_table(sf_dir, "events")  # noqa: E731
+    small_rank = _norm(windows.ranked_events(ev()).to_pandas())
+    small_rj = _norm(_entry.queries()["ev_range_join"](sf_dir).to_pandas())
+    monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)  # force groupby
+    big_rank = _norm(windows.ranked_events(ev()).to_pandas())
+    big_rj = _norm(_entry.queries()["ev_range_join"](sf_dir).to_pandas())
+    assert small_rank.equals(big_rank) and len(small_rank) > 0
+    assert small_rj.equals(big_rj) and len(small_rj) > 0
+
+
 def test_ngram_prefix_order_paths_row_identical(sf_dir):
     """Frequency-ordered prefixes (forced on with hot_df=1: every repeated
     shingle is 'hot') must produce exactly the hash-ordered result — the
