@@ -97,12 +97,29 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
         g = g.drop_duplicates(["tok", "doc_id"]).sort_values("doc_id", kind="mergesort")
         return _fold_sorted(g)
 
-    edges = (
+    from .windows import EDGE_REPAIR_DRIVER_MAX
+
+    edge_src = (
         flagged.filter(expr="is_edge == True")
-        .map_batches(lambda b: b[["tok", "doc_id"]], batch_format="pandas")
-        .groupby("tok")
-        .map_groups(edge_fold, batch_format="pandas")
+        .select_columns(["tok", "doc_id"])
+        .materialize()
     )
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        # size-gated driver-side repair — saves the groupby exchange
+        # (windows._sorted_user_op pattern)
+        import pyarrow as pa
+        import ray.data as _rd
+
+        edf = edge_src.to_pandas()
+        outs = [edge_fold(g) for _, g in edf.groupby("tok", sort=False)] if len(edf) else []
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return interior
+        rep = pd.concat(outs, ignore_index=True)
+        return interior.union(_rd.from_arrow(
+            pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
+        ))
+    edges = edge_src.groupby("tok").map_groups(edge_fold, batch_format="pandas")
     return interior.union(edges)
 
 

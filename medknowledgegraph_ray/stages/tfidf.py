@@ -333,11 +333,22 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
         return g[cols]
 
-    edges = (
-        flagged.filter(expr="is_edge == True")
-        .groupby("doc_id")
-        .map_groups(edge_topk, batch_format="pandas")
-    )
+    from .windows import EDGE_REPAIR_DRIVER_MAX
+
+    edge_src = flagged.filter(expr="is_edge == True").materialize()
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        # size-gated driver-side repair — saves the groupby exchange
+        # (windows._sorted_user_op pattern); above the gate the
+        # distributed groupby stands, row-identical
+        edf = edge_src.to_pandas()
+        outs = [edge_topk(g) for _, g in edf.groupby("doc_id", sort=False)] if len(edf) else []
+        if not outs:
+            return interior
+        rep = pd.concat(outs, ignore_index=True)
+        return interior.union(rd.from_arrow(
+            pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
+        ))
+    edges = edge_src.groupby("doc_id").map_groups(edge_topk, batch_format="pandas")
     return interior.union(edges)
 
 
