@@ -131,41 +131,76 @@ class HyperplaneBucketer:
 def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int = 4) -> rd.Dataset:
     """Approximate top-k: corpus and queries hashed by the same seeded
     hyperplanes; each query scores only its bucket.  Recall < 1 by design —
-    rows-only checked; the brute-force path is the correctness baseline."""
+    rows-only checked; the brute-force path is the correctness baseline.
+
+    STREAMING shape (no `groupby(bucket).map_groups` — a whole bucket is
+    corpus/2^n_planes rows, an unbounded single-group materialization at
+    100 TB): each batch computes its vectors' buckets, scores only the
+    rows whose bucket holds a query (a broadcast-tiny bucket→queries map)
+    against just those queries, and emits a per-batch partial top-k; the
+    exact salted two-phase merge then reduces O(k × blocks × queries)
+    rows — the brute-force shape, restricted to bucket-matched pairs, so
+    results are identical to the whole-bucket formulation."""
     qm = _unit(np.asarray(queries["matrix"], dtype=np.float64))
     dim = qm.shape[1]
     bucketer = HyperplaneBucketer(dim, n_planes=n_planes)
     q_buckets = ((qm @ bucketer.planes) >= 0) @ (1 << np.arange(n_planes))
-    by_bucket: dict[int, list[int]] = {}
+    by_bucket: dict[int, np.ndarray] = {}
     for qi, b in enumerate(q_buckets):
         by_bucket.setdefault(int(b), []).append(qi)
+    by_bucket = {b: np.asarray(qis, dtype=np.int64) for b, qis in by_bucket.items()}
     query_ids = np.asarray(queries["query_id"], dtype=np.int64)
+    planes = bucketer.planes
+    pow2 = 1 << np.arange(n_planes)
 
-    bucketed = embeddings.map_batches(
-        HyperplaneBucketer(dim=dim, n_planes=n_planes),
-        batch_format="pandas", batch_size=4096,
-    )
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        buckets = ((m @ planes) >= 0) @ pow2
+        out_q, out_v, out_s = [], [], []
+        for b in np.unique(buckets):
+            qis = by_bucket.get(int(b))
+            if qis is None:
+                continue
+            mask = buckets == b
+            sub_ids = ids[mask]
+            sims = qm[qis] @ m[mask].T  # (len(qis), rows-in-bucket)
+            kk = min(k, sims.shape[1])
+            for row, qi in enumerate(qis):
+                r = np.round(sims[row], 6)
+                idx = np.lexsort((sub_ids, -r))[:kk]
+                out_q.append(np.full(kk, query_ids[qi]))
+                out_v.append(sub_ids[idx])
+                out_s.append(sims[row][idx])
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.array([], dtype="int64"),
+                "vec_id": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "query_id": pd.array(np.concatenate(out_q), dtype="int64"),
+            "vec_id": pd.array(np.concatenate(out_v), dtype="int64"),
+            "score": np.concatenate(out_s),
+        })
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["bucket"].iloc[0])
-        qis = by_bucket.get(b, [])
-        if not qis:
-            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
-                                 "vec_id": pd.array([], dtype="int64"),
-                                 "score": pd.array([], dtype="float64"),
-                                 "rank": pd.array([], dtype="int64")})
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        m = np.stack(g["embedding"].to_numpy())
-        outs = []
-        for qi in qis:
-            sims = np.round(qm[qi] @ m.T, 6)
-            df = pd.DataFrame({"query_id": np.int64(query_ids[qi]), "vec_id": ids, "score": sims})
-            df = df.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-            df["rank"] = pd.array(range(1, len(df) + 1), dtype="int64")
-            outs.append(df)
-        return pd.concat(outs, ignore_index=True)
+    partials = embeddings.map_batches(score_batch, batch_format="pandas", batch_size=4096)
 
-    return bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pandas")
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["score"] = g["score"].round(6)
+        return g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def pick_and_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = pick(g)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    from .skew import salted_grouped_topk
+
+    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
 
 
 class HashingEmbedder:
