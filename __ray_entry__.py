@@ -264,6 +264,24 @@ def _ev_rank(sf_dir: str):
     return windows.ranked_events(readers.read_table(sf_dir, "events"))
 
 
+def _ev_zscore(sf_dir: str):
+    # per-user z-score feature scaling — integer-exact sums, identical
+    # float64 op order as the oracle (stages/windows.zscore_events)
+    return windows.zscore_events(readers.read_table(sf_dir, "events"))
+
+
+# stratum → keep fraction for the stratified-sample entry (language
+# rebalancing: downsample the overrepresented 'en', keep the tail)
+_STRATA_RATES = {"en": 0.25, "zh": 0.8, "es": 0.8, "de": 0.8}
+
+
+def _doc_stratified(sf_dir: str):
+    from medknowledgegraph_ray.stages import shuffle as _sh
+
+    docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return _sh.stratified_sample(docs, _STRATA_RATES, default=0.5)
+
+
 def _ev_pivot(sf_dir: str):
     # pivot / crosstab via one-hot partial aggregation (stages/eventagg.py)
     return eventagg.pivot_event_counts(readers.read_table(sf_dir, "events"))
@@ -839,6 +857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_tumbling": _ev_tumbling,
         "ev_sliding": _ev_sliding,
         "dedup_embedding": _dedup_embedding,
+        "ev_zscore": _ev_zscore,
+        "doc_stratified": _doc_stratified,
         "join_region_counts": analytics.nation_region_counts,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
@@ -1612,6 +1632,40 @@ def oracle_sql() -> dict[str, str]:
             "                        CAST(b.embedding AS DOUBLE[])))) AS c"
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)"
             " SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4"
+        ),
+        # per-user z-score: n/Σv/Σv² are integer-exact at milli scale, and
+        # the mean/variance/σ/z expression below is the EXACT float64 op
+        # order the Ray kernel runs (windows.zscore_events) — no tolerance
+        "ev_zscore": (
+            "WITH e AS (SELECT user_id, event_id,"
+            " CAST(round(value * 1000) AS BIGINT) AS value_e3 FROM events),"
+            " s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+            "  CAST(sum(value_e3) AS BIGINT) AS s1,"
+            "  CAST(sum(value_e3 * value_e3) AS BIGINT) AS s2"
+            "  FROM e GROUP BY 1)"
+            " SELECT e.user_id, e.event_id, e.value_e3,"
+            " CASE WHEN s.n < 2 OR NOT ((CAST(s.s2 AS DOUBLE)"
+            "   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)"
+            "   / (s.n - 1) > 0) THEN 0.0"
+            " ELSE round((CAST(e.value_e3 AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)"
+            "  / sqrt((CAST(s.s2 AS DOUBLE)"
+            "   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)"
+            "   / (s.n - 1)), 6) END AS z"
+            " FROM e JOIN s USING (user_id)"
+        ),
+        # stratified sample: the same splitmix64 key arithmetic as
+        # doc_shuffle (stages/shuffle.shuffle_key_sql), thresholded per
+        # stratum — deterministic, partition-independent, oracle-exact
+        "doc_stratified": (
+            "WITH " + _shuffle.shuffle_key_sql("documents") + ""
+            " SELECT d.doc_id, d.lang FROM documents d"
+            " JOIN keyed k USING (doc_id)"
+            " WHERE k.skey % 1000000 < CASE d.lang"
+            + "".join(
+                f" WHEN '{s}' THEN {round(r * 1e6)}"
+                for s, r in _STRATA_RATES.items()
+            )
+            + " ELSE 500000 END"
         ),
         "ann_topk": (
             "WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qv FROM "

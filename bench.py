@@ -110,6 +110,12 @@ def run_bench() -> dict:
         _ann.brute_force_topk(emb, _ann.fixed_queries(64), k=10).count()
         queries["ann_topk"] = round(time.time() - t0, 3)
         t0 = time.time()
+        _dd.embedding_near_dups(
+            _r.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            threshold=0.4, dim=64,
+        ).count()
+        queries["dedup_embedding"] = round(time.time() - t0, 3)
+        t0 = time.time()
         _w.sliding_window(_r.read_table(sf_dir, "events")).count()
         queries["ev_sliding"] = round(time.time() - t0, 3)
         t0 = time.time()

@@ -84,6 +84,38 @@ def shuffle_key_sql(src: str, seed: int = 20260817, id_col: str = "doc_id") -> s
     )
 
 
+def stratified_sample(
+    docs: rd.Dataset,
+    rates: dict[str, float],
+    *,
+    default: float = 0.0,
+    stratum_col: str = "lang",
+    seed: int = 20260817,
+) -> rd.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    splitmix64(doc_id ⊕ mix(seed)) mod 1e6 < rate(stratum)·1e6 — the
+    language/domain-rebalancing step of a training-data pipeline.
+
+    Map-only (no shuffle, no RNG state): the seeded key makes the sample
+    reproducible under ANY partitioning and ANY re-run, and the identical
+    arithmetic is SQL-expressible via shuffle_key_sql, so the sample is
+    oracle-exact row for row.  `rates` is stratum → keep-fraction; unseen
+    strata fall back to `default`."""
+    million = np.uint64(1_000_000)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        keys = _shuffle_keys(b["doc_id"].to_numpy().astype(np.int64), seed)
+        thr = (
+            b[stratum_col].map(rates).fillna(default).to_numpy(dtype=np.float64)
+        )
+        mask = (keys % million).astype(np.int64) < np.round(thr * 1e6).astype(np.int64)
+        return b[mask]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 def seeded_shard_shuffle(
     docs: rd.Dataset, seed: int = 20260817, n_shards: int = 8
 ) -> rd.Dataset:

@@ -121,7 +121,8 @@ def _run_firsts(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _prep_events(events: rd.Dataset, cols: tuple[str, ...]) -> tuple[rd.Dataset, list[str]]:
     """Project + scale the events table to int64 working columns:
     user_id plus any of event_id / ts_us / value_e6."""
-    src_of = {"event_id": "event_id", "ts_us": "ts", "value_e6": "value"}
+    src_of = {"event_id": "event_id", "ts_us": "ts", "value_e6": "value",
+              "value_e3": "value"}
     src = ["user_id"] + [src_of[c] for c in cols]
 
     # Arrow, not pandas: the output feeds straight into the scaffold's
@@ -138,6 +139,13 @@ def _prep_events(events: rd.Dataset, cols: tuple[str, ...]) -> tuple[rd.Dataset,
         if "value_e6" in cols:
             out["value_e6"] = pc.cast(
                 pc.round(pc.multiply(pc.cast(t["value"], pa.float64()), 1e6)),
+                pa.int64(),
+            )
+        if "value_e3" in cols:
+            # milli scale: squares and per-key sums of squares stay exactly
+            # representable in BOTH int64 and float64 (z-score kernel)
+            out["value_e3"] = pc.cast(
+                pc.round(pc.multiply(pc.cast(t["value"], pa.float64()), 1e3)),
                 pa.int64(),
             )
         return pa.table(out)
@@ -259,6 +267,45 @@ def top_events_per_user(events: rd.Dataset, k: int = 3) -> rd.Dataset:
         prepped, raw, ["user_id", "value_e6", "event_id"], [False, True, False],
         kernel,
         {"user_id": "int64", "event_id": "int64", "value_e6": "int64", "rank": "int64"},
+    )
+
+
+def zscore_events(events: rd.Dataset) -> rd.Dataset:
+    """Per-user z-score normalization of the event value — the grouped
+    feature-scaling primitive of a training-data pipeline.
+
+    EXACT against the SQL oracle without tolerance: values are milli-scaled
+    int64 (v ≤ ~5.6e5 → v² ≤ 3.2e11 and per-user Σv² ≪ 2⁵³), so n/Σv/Σv²
+    are integer-exact in both engines, and mean/variance/σ/z are computed
+    with the IDENTICAL float64 op order as the oracle expression
+    ((Σv² − Σv·Σv/n)/(n−1), sample variance).  Degenerate users (n < 2 or
+    zero variance) emit z = 0."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e3"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(z=pd.array([], dtype="float64"))
+        v = df["value_e3"].to_numpy()
+        g = df.groupby("user_id", sort=False)["value_e3"]
+        n = g.transform("size").to_numpy().astype(np.int64)
+        s1 = g.transform("sum").to_numpy().astype(np.int64)
+        s2 = (
+            df.assign(v2=v * v).groupby("user_id", sort=False)["v2"]
+            .transform("sum").to_numpy().astype(np.int64)
+        )
+        mean = s1.astype(np.float64) / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (s2.astype(np.float64) - s1.astype(np.float64) * s1.astype(np.float64) / n) / (n - 1)
+            z = np.round((v.astype(np.float64) - mean) / np.sqrt(var), 6)
+        z = np.where((n < 2) | ~(var > 0), 0.0, z)
+        out = df.copy()
+        out["z"] = z
+        return out
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "event_id"], [False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e3": "int64", "z": "float64"},
     )
 
 

@@ -33,7 +33,7 @@ SQL_CHECKED = [
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
-    "dedup_embedding",
+    "dedup_embedding", "ev_zscore", "doc_stratified",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -159,6 +159,50 @@ def test_embedding_near_dups_bucket_skew_guard(monkeypatch):
     monkeypatch.setattr(dedupe, "MAX_BUCKET", 10)
     with pytest.raises(Exception, match="MAX_BUCKET"):
         dedupe.embedding_near_dups(emb, threshold=0.95, dim=8).materialize()
+
+
+def test_zscore_matches_numpy_per_user():
+    """zscore_events equals the direct numpy sample-z computed per user."""
+    rng = np.random.RandomState(5)
+    base = 1_700_000_000_000_000
+    rows = [(i, int(rng.randint(0, 5)), pd.Timestamp(base + i, unit="us"),
+             float(rng.uniform(0, 500))) for i in range(200)]
+    rows.append((200, 99, pd.Timestamp(base, unit="us"), 1.0))  # n=1 user
+    out = (
+        windows.zscore_events(_events(rows).repartition(3))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    v = np.round(df["value"].to_numpy() * 1000).astype(np.int64)
+    exp = np.zeros(len(df))
+    for u, g in df.assign(v=v).groupby("user_id"):
+        x = g["v"].to_numpy().astype(np.int64)
+        n = len(x)
+        if n < 2:
+            continue
+        s1, s2 = int(x.sum()), int((x * x).sum())
+        var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+        if not var > 0:
+            continue
+        exp[g.index] = np.round((x.astype(np.float64) - float(s1) / n) / np.sqrt(var), 6)
+    assert out["z"].to_numpy().tolist() == exp[out["event_id"].to_numpy()].tolist()
+    assert (out.loc[out["user_id"] == 99, "z"] == 0.0).all()
+
+
+def test_stratified_sample_deterministic_and_rate_bounded():
+    from medknowledgegraph_ray.stages import shuffle as sh
+
+    df = pd.DataFrame({
+        "doc_id": pd.array(range(20000), dtype="int64"),
+        "lang": ["en", "fr"] * 10000,
+    })
+    ds = lambda: rd.from_pandas(df).repartition(4)  # noqa: E731
+    a = sh.stratified_sample(ds(), {"en": 0.25}, default=0.9).to_pandas()
+    b = sh.stratified_sample(ds(), {"en": 0.25}, default=0.9).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-independent
+    en = (a["lang"] == "en").sum() / 10000
+    fr = (a["lang"] == "fr").sum() / 10000
+    assert abs(en - 0.25) < 0.02 and abs(fr - 0.9) < 0.02
 
 
 def test_scaffold_edge_repair_paths_row_identical(sf_dir, monkeypatch):
