@@ -264,6 +264,12 @@ def _ev_rank(sf_dir: str):
     return windows.ranked_events(readers.read_table(sf_dir, "events"))
 
 
+def _ev_percentile(sf_dir: str):
+    # PERCENT_RANK / CUME_DIST per user (explicit run-position ratios —
+    # stages/windows.percentile_events)
+    return windows.percentile_events(readers.read_table(sf_dir, "events"))
+
+
 def _ev_zscore(sf_dir: str):
     # per-user z-score feature scaling — integer-exact sums, identical
     # float64 op order as the oracle (stages/windows.zscore_events)
@@ -859,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _dedup_embedding,
         "ev_zscore": _ev_zscore,
         "doc_stratified": _doc_stratified,
+        "ev_percentile": _ev_percentile,
         "join_region_counts": analytics.nation_region_counts,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
@@ -1652,6 +1659,23 @@ def oracle_sql() -> dict[str, str]:
             "   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)"
             "   / (s.n - 1)), 6) END AS z"
             " FROM e JOIN s USING (user_id)"
+        ),
+        # PERCENT_RANK / CUME_DIST as explicit run-position ratios with the
+        # Ray kernel's exact float64 op order (windows.percentile_events)
+        "ev_percentile": (
+            "WITH e AS (SELECT user_id, event_id,"
+            " CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events),"
+            " r AS (SELECT user_id, event_id, value_e6,"
+            "  CAST(rank() OVER (PARTITION BY user_id ORDER BY value_e6) AS BIGINT) AS rnk,"
+            "  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,"
+            "  CAST(count(*) OVER (PARTITION BY user_id ORDER BY value_e6)"
+            "   AS BIGINT) AS cd"
+            "  FROM e)"
+            " SELECT user_id, event_id, value_e6,"
+            " CASE WHEN n = 1 THEN 0.0"
+            "  ELSE round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) END AS pct_rank,"
+            " round(CAST(cd AS DOUBLE) / n, 6) AS cume"
+            " FROM r"
         ),
         # stratified sample: the same splitmix64 key arithmetic as
         # doc_shuffle (stages/shuffle.shuffle_key_sql), thresholded per

@@ -309,6 +309,54 @@ def zscore_events(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def percentile_events(events: rd.Dataset) -> rd.Dataset:
+    """PERCENT_RANK and CUME_DIST per user over value ASC — the remaining
+    distribution window functions.  Exact vs the oracle: both are ratios
+    of run-position integers (rank = first index of the value-tie run,
+    cume numerator = last index), divided in float64 with the oracle's
+    exact op order and rounded to 6; single-row users emit pct_rank 0."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e6"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(df)
+        if n_rows == 0:
+            return df.assign(pct_rank=pd.array([], dtype="float64"),
+                             cume=pd.array([], dtype="float64"))
+        u = df["user_id"].to_numpy()
+        v = df["value_e6"].to_numpy()
+        idx = np.arange(n_rows)
+        new_u, first_u = _run_firsts(u)
+        new_uv = new_u.copy()
+        new_uv[1:] |= v[1:] != v[:-1]
+        first_uv = np.where(new_uv, idx, 0)
+        np.maximum.accumulate(first_uv, out=first_uv)
+        # last index of each run = reversed run-firsts
+        last_u = n_rows - 1 - _run_firsts(u[::-1])[1][::-1]
+        rev_uv = _run_firsts(u[::-1])[0]
+        rev_uv[1:] |= v[::-1][1:] != v[::-1][:-1]
+        rev_first = np.where(rev_uv, idx, 0)
+        np.maximum.accumulate(rev_first, out=rev_first)
+        last_uv = n_rows - 1 - rev_first[::-1]
+        rnk = first_uv - first_u + 1
+        cume_num = last_uv - first_u + 1
+        n = last_u - first_u + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.round((rnk - 1).astype(np.float64) / (n - 1), 6)
+        pct = np.where(n == 1, 0.0, pct)
+        cume = np.round(cume_num.astype(np.float64) / n, 6)
+        out = df.copy()
+        out["pct_rank"] = pct
+        out["cume"] = cume
+        return out
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e6", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e6": "int64",
+         "pct_rank": "float64", "cume": "float64"},
+    )
+
+
 def ranked_events(events: rd.Dataset) -> rd.Dataset:
     """ROW_NUMBER / RANK / DENSE_RANK per user over (value desc, event_id)
     — the ranking window functions Ray Data lacks.  rank = first index of

@@ -33,7 +33,7 @@ SQL_CHECKED = [
     "ev_latest", "join_left_counts", "ev_ntile", "ev_moments", "doc_sample_k",
     "join_revenue_region", "corpus_export", "join_full_users",
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
-    "dedup_embedding", "ev_zscore", "doc_stratified",
+    "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
