@@ -740,6 +740,12 @@ def _mm_frames(sf_dir: str):
     return multimodal.sample_frames(multimodal.to_binary_payloads(_docs(sf_dir)))
 
 
+def _mm_audio(sf_dir: str):
+    # REAL stdlib-wave decode of synthesized PCM WAV payloads (rows-only:
+    # DuckDB cannot parse WAV; pytest checks vs an independent decode)
+    return multimodal.audio_features(multimodal.to_wav_payloads(_docs(sf_dir)))
+
+
 def _doc_embed_ann(sf_dir: str):
     # feature-extract → similarity search, end to end: embed the documents
     # with the hashing trick, then brute-force top-k against fixed queries
@@ -930,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _mm_decode,
         "mm_resize": _mm_resize,
         "mm_frame_sample": _mm_frames,
+        "mm_audio": _mm_audio,
     }
 
 

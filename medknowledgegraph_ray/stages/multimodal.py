@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-DECODE KERNEL IS A DETERMINISTIC STUB — but the Ray-side plumbing (binary
-Arrow columns, small batches for large payloads, actor-pool stage shape,
-metadata schema) is real and tested.  Swap `_decode_stub` for a real
-decoder (PIL / torchaudio) in production; nothing else changes.
+Decode reality by modality: AUDIO decode is REAL (PCM WAV via the stdlib
+`wave` module — to_wav_payloads / audio_features below, no external codec
+needed); IMAGE decode is real when PIL is importable (per-actor guard in
+MediaDecoder); VIDEO frame-sampling remains a DETERMINISTIC STUB (no
+codec ships in this container) with the Ray-side plumbing — binary Arrow
+columns, small batches for large payloads, actor-pool stage shape,
+metadata schema — real and tested.  Swap `_decode_stub` for a real
+decoder (torchvision/ffmpeg) in production; nothing else changes.
 """
 
 from __future__ import annotations
@@ -191,6 +194,95 @@ def sample_frames(payloads: rd.Dataset, *, n_frames: int = 8) -> rd.Dataset:
     return payloads.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=256,
+    )
+
+
+def to_wav_payloads(docs: rd.Dataset, *, sample_rate: int = 8000) -> rd.Dataset:
+    """Audio-striped docs as REAL WAV payloads: 16-bit PCM mono,
+    deterministic sample content derived from md5(text) — synthesized with
+    the stdlib `wave` writer, so the decode stage below exercises an actual
+    audio container format, not a fake.  Output: (doc_id, media_type,
+    payload:binary)."""
+    import io
+    import wave
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_pay = [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % 3 != 1:  # the audio stripe of to_binary_payloads
+                continue
+            digest = hashlib.md5((t or "").encode()).digest()
+            n = 1000 + int.from_bytes(digest[:4], "big") % 8000
+            pcm = np.frombuffer((digest * (n * 2 // len(digest) + 1))[: n * 2], dtype="<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample_rate)
+                w.writeframes(pcm.tobytes())
+            out_id.append(doc_id)
+            out_pay.append(buf.getvalue())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(["audio"] * len(out_id), pa.string()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+
+
+class AudioFeatureExtractor:
+    """REAL audio feature extraction — stdlib `wave` decode (no external
+    codec needed for PCM WAV) + numpy: per payload, the container-declared
+    (n_samples, sample_rate, duration_ms) and the signal RMS in [-1, 1]
+    micro-units.  An unparseable payload RAISES (never a silent stub) —
+    the same never-silently-skip policy as the image path."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ids, ns, rates, durs, rms = [], [], [], [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            with wave.open(io.BytesIO(payload), "rb") as w:  # raises on bad bytes
+                n = w.getnframes()
+                rate = w.getframerate()
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError(
+                        f"doc {doc_id}: unsupported WAV layout "
+                        f"(sampwidth={w.getsampwidth()}, channels={w.getnchannels()})"
+                    )
+                x = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64) / 32768.0
+            ids.append(doc_id)
+            ns.append(n)
+            rates.append(rate)
+            durs.append(round(n * 1000 / rate))
+            rms.append(int(round(float(np.sqrt(np.mean(x * x))) * 1e6)) if n else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "rms_e6": pa.array(rms, pa.int64()),
+            }
+        )
+
+
+def audio_features(payloads: rd.Dataset, *, batch_size: int = 256) -> rd.Dataset:
+    """WAV payloads → (doc_id, n_samples, sample_rate, duration_ms, rms_e6)
+    via a REAL stdlib-wave decode per payload (small batches — the
+    large-binary-row rule)."""
+    return payloads.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=config.pool_size(),
     )
 
 

@@ -1239,3 +1239,34 @@ def test_equi_join_modes_match_pandas_randomized(how):
         got_n = _norm(got[["k", "b", "p"]])
         exp_n = _norm(exp[["k", "b", "p"]])
         assert got_n.equals(exp_n), (how, trial, len(got_n), len(exp_n))
+
+
+def test_audio_features_real_wave_decode(sf_dir):
+    """mm_audio is a REAL decode: features must equal an independent
+    stdlib-wave parse of the same payloads, and corrupted bytes raise."""
+    import io
+    import wave
+
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import multimodal
+
+    docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    payloads = multimodal.to_wav_payloads(docs).to_pandas()
+    assert len(payloads) > 0 and all(p[:4] == b"RIFF" for p in payloads["payload"])
+    out = (
+        multimodal.audio_features(multimodal.to_wav_payloads(docs))
+        .to_pandas().set_index("doc_id")
+    )
+    for _, row in payloads.head(20).iterrows():
+        with wave.open(io.BytesIO(row["payload"]), "rb") as w:
+            n, rate = w.getnframes(), w.getframerate()
+            x = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64) / 32768.0
+        got = out.loc[row["doc_id"]]
+        assert got["n_samples"] == n and got["sample_rate"] == rate
+        assert got["duration_ms"] == round(n * 1000 / rate)
+        assert got["rms_e6"] == int(round(float(np.sqrt(np.mean(x * x))) * 1e6))
+    with pytest.raises(Exception):  # corrupted payload fails loudly
+        multimodal.AudioFeatureExtractor()(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"not a wav"], pa.binary())})
+        )
