@@ -262,11 +262,18 @@ def _sentence(rng: random.Random, surfaces: list[str], weights: list[float]) -> 
     return s[0].upper() + s[1:] + "."
 
 
-def _transcript_batches(sf: str, n_convs: int, seed: int):
-    """Yield (shard_idx, pyarrow.Table) per shard of conversations."""
+_SHARD_SIZE = 2000  # convs per shard file (~34k turns, ~6 MB): the
+# realistic many-MB-file layout.  250-conv shards made sf3 an 1,800-file
+# read whose serial driver-side footer prefetch alone cost ~3.5 s — a
+# parallelism-independent term that capped scaling efficiency.  Content is
+# a pure function of (seed, conv index); sharding only sets file boundaries.
+
+
+def _gen_context(seed: int) -> tuple[list[str], list[str], list[float]]:
+    """(disease_names, surfaces, weights) — the deterministic per-seed
+    vocabulary every shard draws from (shipped once to parallel workers)."""
     kb = _kb_tables()
     alias_tab = kb["aliases"]
-    umls = kb["umls_kb"]
     # 1-7-word all-alphabetic aliases for conversation-local abbreviation
     # planting ("long form (SF)" definitions — entityrecognition.py:25-27
     # analog); covers single-word chemicals, two-word disease names, and
@@ -287,20 +294,18 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
     ztot = sum(zipf)
     for s in surfaces:
         weights.append(0.30 if s == hot else 0.70 * zipf[others.index(s)] / ztot)
+    return disease_names, surfaces, weights
 
+
+def _shard_table(shard: int, n_convs: int, seed: int, disease_names, surfaces, weights):
+    """One shard's pa.Table — a pure function of (seed, shard) given the
+    per-seed vocabulary, so shards generate in parallel with byte-identical
+    rows to the serial loop."""
     base_ts = _dt.datetime(2026, 1, 1)
-    # ~2000 conversations (~34k turns, ~6 MB) per shard file: the realistic
-    # many-MB-file layout.  250-conv shards made sf3 an 1,800-file read
-    # whose serial driver-side footer prefetch alone cost ~3.5 s — a
-    # parallelism-independent term that capped scaling efficiency.  Content
-    # is a pure function of (seed, conv index); sharding only sets file
-    # boundaries.
-    shard_size = 2000
-    n_shards = (n_convs + shard_size - 1) // shard_size
-    for shard in range(n_shards):
-        conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
-        lo = shard * shard_size
-        hi = min(n_convs, lo + shard_size)
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    lo = shard * _SHARD_SIZE
+    hi = min(n_convs, lo + _SHARD_SIZE)
+    if True:
         for ci in range(lo, hi):
             rng = random.Random((seed << 20) ^ ci)  # per-conversation stream
             conv_id = f"conv~{ci:06d}"
@@ -331,17 +336,25 @@ def _transcript_batches(sf: str, n_convs: int, seed: int):
                 texts.append(text)
                 tools.append(tool)
                 tss.append(base_ts + _dt.timedelta(seconds=ci * 300 + ti * 7))
-        yield shard, pa.table(
-            {
-                "conv_id": pa.array(conv_ids, pa.string()),
-                "turn_idx": pa.array(turn_idxs, pa.int32()),
-                "role": pa.array(roles, pa.string()),
-                "text": pa.array(texts, pa.string()),
-                "tool": pa.array(tools, pa.string()),
-                "ts": pa.array(tss, schemas.US),
-            },
-            schema=schemas.TRANSCRIPTS,
-        )
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, schemas.US),
+        },
+        schema=schemas.TRANSCRIPTS,
+    )
+
+
+def _transcript_batches(sf: str, n_convs: int, seed: int):
+    """Yield (shard_idx, pyarrow.Table) per shard of conversations."""
+    disease_names, surfaces, weights = _gen_context(seed)
+    n_shards = (n_convs + _SHARD_SIZE - 1) // _SHARD_SIZE
+    for shard in range(n_shards):
+        yield shard, _shard_table(shard, n_convs, seed, disease_names, surfaces, weights)
 
 
 # ---------------------------------------------------------------------------
@@ -381,15 +394,44 @@ def ensure_transcripts(sf_dir: str, seed: int = config.DEFAULT_SEED) -> str:
     """Generate transcript shards for a testdata sf dir; returns the dir.
 
     Deterministic for a given (sf, seed); idempotent and atomic, so the
-    engine, the oracle, tests and bench can all call it freely.
+    engine, the oracle, tests and bench can all call it freely.  Shards
+    are pure functions of (seed, shard), so when a Ray session is live and
+    the corpus is large, generation fans out as one task per shard —
+    ROW-IDENTICAL to the serial loop (tested) — turning the ~60-minute
+    single-core sf10 build into a minutes job; small corpora and
+    Ray-less callers keep the serial path.
     """
     sf = config.sf_name(sf_dir)
     n_convs = config.SF_CONVS[sf]
     target = config.gen_dir(sf_dir)
+    n_shards = (n_convs + _SHARD_SIZE - 1) // _SHARD_SIZE
 
-    def build(tmp: str):
+    def build_serial(tmp: str):
         for shard, tab in _transcript_batches(sf, n_convs, seed):
             pq.write_table(tab, os.path.join(tmp, f"part-{shard:05d}.parquet"))
+
+    def build_parallel(tmp: str):
+        import ray
+
+        ctx_ref = ray.put(_gen_context(seed))
+
+        @ray.remote(num_cpus=1)
+        def gen_shard(shard: int) -> int:
+            disease_names, surfaces, weights = ray.get(ctx_ref)
+            tab = _shard_table(shard, n_convs, seed, disease_names, surfaces, weights)
+            pq.write_table(tab, os.path.join(tmp, f"part-{shard:05d}.parquet"))
+            return tab.num_rows
+
+        ray.get([gen_shard.remote(i) for i in range(n_shards)])
+
+    def build(tmp: str):
+        import ray
+
+        if n_shards >= 8 and ray.is_initialized():
+            build_parallel(tmp)
+        else:
+            build_serial(tmp)
+
     _atomic_build(target, build)
     ensure_kb()
     return target
