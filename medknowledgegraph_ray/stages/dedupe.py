@@ -453,7 +453,12 @@ def _verify_block(t: pa.Table, threshold: float, flag_edges: bool,
 # fully distributed sorted-exchange path below takes over (row-identical —
 # tests/test_datapipe.py asserts it).  The gate reads len(ids), which is
 # already on the driver as the broadcast small side — no extra pass.
+# The PAIR gate is separate: few ids can still mean many pairs (a
+# low-threshold angular LSH degenerates toward all-pairs), and the
+# driver's per-pair score loop melts there while the distributed verify
+# spreads the same loop over every core.
 SMALL_VERIFY_IDS = 50_000
+SMALL_VERIFY_PAIRS = 200_000
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:
@@ -571,7 +576,7 @@ def _verified_pairs(source: rd.Dataset, cands: rd.Dataset, rows_factory,
             schema=_ATTACH_SCHEMA,
         )
 
-    if len(ids) <= SMALL_VERIFY_IDS:
+    if len(ids) <= SMALL_VERIFY_IDS and cands.count() <= SMALL_VERIFY_PAIRS:
         return _verify_driver_side(source, cands, item_rows, threshold, empty,
                                    score, score_col)
 
@@ -655,9 +660,11 @@ def _verify_driver_side(source, cands, item_rows, threshold: float, empty,
         for k, s in zip(set_df["key"], set_df["shingles"])
     }
     pair_df = cands.to_pandas()
-    pairs = set(zip(pair_df["doc_a"].tolist(), pair_df["doc_b"].tolist()))
+    pair_arr = np.unique(  # vectorized distinct pairs, already sorted
+        pair_df[["doc_a", "doc_b"]].to_numpy(dtype=np.int64), axis=0
+    ) if len(pair_df) else np.empty((0, 2), dtype=np.int64)
     out_a, out_b, out_j = [], [], []
-    for a, b in sorted(pairs):
+    for a, b in pair_arr:
         sa, sb = sets.get(a), sets.get(b)
         if sa is None or sb is None or sa.size == 0 or sb.size == 0:
             continue  # unverifiable side — same semantics as _attach_sorted
@@ -978,7 +985,12 @@ def embedding_near_dups(embeddings: rd.Dataset, threshold: float = 0.95,
         HyperplaneBander(dim, planes, bands, seed),
         batch_format="pandas", batch_size=4096,
     )
-    cands = _bucket_pairs(band_rows, distinct_pairs=False)
+    # low thresholds are band-dense (a pair collides in MANY bands — the
+    # curve that makes angular LSH weakly selective there), so spend one
+    # distinct exchange to cut the ~bands× duplicated pair volume before
+    # the verify; at real near-dup thresholds duplicates are rare and the
+    # exchange would be pure overhead
+    cands = _bucket_pairs(band_rows, distinct_pairs=threshold < 0.9)
 
     def rows_factory(id_ref):
         def vec_rows(batch: pd.DataFrame) -> pa.Table:
