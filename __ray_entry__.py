@@ -1661,7 +1661,7 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN s.n < 2 OR NOT ((CAST(s.s2 AS DOUBLE)"
             "   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)"
             "   / (s.n - 1) > 0) THEN 0.0"
-            " ELSE round((CAST(e.value_e3 AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)"
+            " ELSE round_even((CAST(e.value_e3 AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)"
             "  / sqrt((CAST(s.s2 AS DOUBLE)"
             "   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)"
             "   / (s.n - 1)), 6) END AS z"
@@ -1679,9 +1679,11 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT) AS cd"
             "  FROM e)"
             " SELECT user_id, event_id, value_e6,"
+            # round_even = banker's, matching np.round on the structurally
+            # reachable exact midpoints (e.g. cd/n with n a power of two)
             " CASE WHEN n = 1 THEN 0.0"
-            "  ELSE round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) END AS pct_rank,"
-            " round(CAST(cd AS DOUBLE) / n, 6) AS cume"
+            "  ELSE round_even(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) END AS pct_rank,"
+            " round_even(CAST(cd AS DOUBLE) / n, 6) AS cume"
             " FROM r"
         ),
         # stratified sample: the same splitmix64 key arithmetic as

@@ -411,18 +411,30 @@ def ensure_transcripts(sf_dir: str, seed: int = config.DEFAULT_SEED) -> str:
             pq.write_table(tab, os.path.join(tmp, f"part-{shard:05d}.parquet"))
 
     def build_parallel(tmp: str):
+        import io
+
         import ray
 
         ctx_ref = ray.put(_gen_context(seed))
 
         @ray.remote(num_cpus=1)
-        def gen_shard(shard: int) -> int:
+        def gen_shard(shard: int) -> bytes:
+            # tasks return ENCODED PARQUET BYTES and only the driver touches
+            # the filesystem: on a multi-node cluster the tmp dir exists
+            # only on the driver, so a task-side write would land on the
+            # wrong machine (or crash) — generation/encoding is the CPU
+            # cost and parallelizes; the driver's sequential writes are
+            # pure I/O appends
             disease_names, surfaces, weights = ray.get(ctx_ref)
             tab = _shard_table(shard, n_convs, seed, disease_names, surfaces, weights)
-            pq.write_table(tab, os.path.join(tmp, f"part-{shard:05d}.parquet"))
-            return tab.num_rows
+            buf = io.BytesIO()
+            pq.write_table(tab, buf)
+            return buf.getvalue()
 
-        ray.get([gen_shard.remote(i) for i in range(n_shards)])
+        refs = [gen_shard.remote(i) for i in range(n_shards)]
+        for shard, ref in enumerate(refs):
+            with open(os.path.join(tmp, f"part-{shard:05d}.parquet"), "wb") as f:
+                f.write(ray.get(ref))
 
     def build(tmp: str):
         import ray

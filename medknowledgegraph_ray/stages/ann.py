@@ -18,6 +18,30 @@ import ray.data as rd
 from .. import config
 
 
+def _merged_topk(partials: rd.Dataset, pick, pick_and_rank) -> rd.Dataset:
+    """Exact salted two-phase top-k merge, schema-safe for EMPTY partials:
+    an all-empty merge loses its Ray schema entirely (no blocks survive),
+    so the typed empty top-k table is returned instead — the result is
+    query-scale small (≤ k × queries rows), so pinning it is free."""
+    import pyarrow as pa
+
+    from .skew import salted_grouped_topk
+
+    out = salted_grouped_topk(
+        partials, "query_id", "vec_id", pick, final=pick_and_rank
+    ).materialize()
+    # count, not schema(): Ray's to_pandas() on a 0-row dataset returns a
+    # COLUMN-LESS frame even when the dataset still reports a schema
+    if out.count() == 0:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+    return out
+
+
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -100,9 +124,7 @@ def brute_force_topk(
 
     # salted two-phase merge: at corpus scale the per-query partial set is
     # k × #blocks rows — one reducer per query melts without the salt
-    from .skew import salted_grouped_topk
-
-    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
+    return _merged_topk(partials, pick, pick_and_rank)
 
 
 class HyperplaneBucketer:
@@ -153,7 +175,12 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
     planes = bucketer.planes
     pow2 = 1 << np.arange(n_planes)
 
-    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(batch: pd.DataFrame) -> "pa.Table":
+        # ARROW output: a batch whose buckets hold no query emits a TYPED
+        # empty table (an all-empty pandas lineage loses its schema through
+        # Ray entirely, crashing the downstream grouped merge)
+        import pyarrow as pa
+
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         m = _unit(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         buckets = ((m @ planes) >= 0) @ pow2
@@ -173,15 +200,15 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
                 out_v.append(sub_ids[idx])
                 out_s.append(sims[row][idx])
         if not out_q:
-            return pd.DataFrame({
-                "query_id": pd.array([], dtype="int64"),
-                "vec_id": pd.array([], dtype="int64"),
-                "score": pd.array([], dtype="float64"),
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
             })
-        return pd.DataFrame({
-            "query_id": pd.array(np.concatenate(out_q), dtype="int64"),
-            "vec_id": pd.array(np.concatenate(out_v), dtype="int64"),
-            "score": np.concatenate(out_s),
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
     partials = embeddings.map_batches(score_batch, batch_format="pandas", batch_size=4096)
@@ -198,9 +225,7 @@ def lsh_topk(embeddings: rd.Dataset, queries: dict, k: int = 10, n_planes: int =
         g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
         return g
 
-    from .skew import salted_grouped_topk
-
-    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
+    return _merged_topk(partials, pick, pick_and_rank)
 
 
 class HashingEmbedder:
@@ -393,9 +418,7 @@ def ivf_topk(
         g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
         return g
 
-    from .skew import salted_grouped_topk
-
-    return salted_grouped_topk(partials, "query_id", "vec_id", pick, final=pick_and_rank)
+    return _merged_topk(partials, pick, pick_and_rank)
 
 
 def fixed_queries(dim: int, n: int = 3, seed: int = 5) -> dict:

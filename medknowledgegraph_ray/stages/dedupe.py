@@ -362,8 +362,10 @@ def _cosine_score(sa: np.ndarray, sb: np.ndarray) -> float:
     """Cosine of two float64 vectors transported BITCAST as int64 lists (so
     they ride the same `_ATTACH_SCHEMA` exchange as shingle sets).  The
     formula — dot / (sqrt(dot)·sqrt(dot)) on float64 — mirrors the DuckDB
-    oracle's `list_dot_product` expression term for term, so round-6 values
-    agree bit-exactly."""
+    oracle's `list_dot_product` expression term for term.  Accumulation
+    order may still differ at the last ulps (BLAS ddot vs sequential sum),
+    so agreement relies on round-6 + the data's threshold margin (~1e-5 at
+    the 0.40 boundary, verified), not on bit-exact dots."""
     va = sa.view(np.float64)
     vb = sb.view(np.float64)
     if va.size != vb.size:
@@ -535,6 +537,11 @@ def _verified_pairs(source: rd.Dataset, cands: rd.Dataset, rows_factory,
          source payload for non-candidates.
     """
     import ray
+
+    # cands is consumed up to three times (id gather, pair-count gate,
+    # pair halves / driver pull) — pin it once so lazy callers don't
+    # re-run their candidate lineage per consumption
+    cands = cands.materialize()
 
     # ids-only gather (int64 per candidate item; the payloads stay out).
     # The ids land on the driver regardless (they become the broadcast

@@ -303,7 +303,17 @@ def equi_join(
         keys_np = batch[key].to_numpy(zero_copy_only=False)
         payloads = [pc.cast(batch[c], types[c]).to_pylist() for c in build_cols]
         for i, kk in enumerate(keys_np):
-            b_lookup[int(kk)] = tuple(p[i] for p in payloads)
+            k_int = int(kk)
+            if k_int in b_lookup:
+                # the interior fail-fast can't see duplicates whose rows all
+                # sit at block edges (they defer); catch them here instead
+                # of silently keeping the last row
+                raise AssertionError(
+                    f"equi_join: build side has duplicate key {k_int} — the "
+                    "build (left) side must be unique per key "
+                    "(dimension-table contract)"
+                )
+            b_lookup[k_int] = tuple(p[i] for p in payloads)
     # deferred probe rows bind DISTRIBUTED via the broadcast lookup — a hot
     # key spanning many blocks never funnels its rows through the driver
     lut_ref = ray.put(b_lookup)

@@ -196,7 +196,8 @@ def detect_mentions(
     cols += [c for c in (passthrough or []) if c not in cols]
     sel = turns.select_columns(cols)
     if stateful == "actor":
-        lo, hi = concurrency or config.detect_concurrency()
+        conc = concurrency or config.detect_concurrency()
+        lo, hi = (conc, conc) if isinstance(conc, int) else conc
         if input_blocks is not None and input_blocks < lo:
             # fewer blocks than warm actors: split (cheap, no shuffle) so
             # every pre-started actor has work, instead of flooding the

@@ -331,8 +331,9 @@ def percentile_events(events: rd.Dataset) -> rd.Dataset:
         first_uv = np.where(new_uv, idx, 0)
         np.maximum.accumulate(first_uv, out=first_uv)
         # last index of each run = reversed run-firsts
-        last_u = n_rows - 1 - _run_firsts(u[::-1])[1][::-1]
-        rev_uv = _run_firsts(u[::-1])[0]
+        rev_new_u, rev_first_u = _run_firsts(u[::-1])
+        last_u = n_rows - 1 - rev_first_u[::-1]
+        rev_uv = rev_new_u
         rev_uv[1:] |= v[::-1][1:] != v[::-1][:-1]
         rev_first = np.where(rev_uv, idx, 0)
         np.maximum.accumulate(rev_first, out=rev_first)
