@@ -28,6 +28,7 @@ from medknowledgegraph_ray.stages import (
     eventagg,
     multimodal,
     pack,
+    pii,
     rangejoin,
     sketch,
     textstats,
@@ -286,6 +287,37 @@ def _doc_stratified(sf_dir: str):
 
     docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "lang"])
     return _sh.stratified_sample(docs, _STRATA_RATES, default=0.5)
+
+
+def _doc_pii(sf_dir: str):
+    # PII detect + redact over the planted-PII corpus: real compiled-regex
+    # scanner + redaction hash, vectorized per batch (stages/pii.py)
+    return pii.scan_pii(_docs(sf_dir))
+
+
+def _doc_urls(sf_dir: str):
+    # corpus URL-domain frequency: vectorized host findall → sorted-
+    # exchange grouped count (stages/pii.domain_counts)
+    return pii.domain_counts(_docs(sf_dir))
+
+
+def _join_anti_customers(sf_dir: str):
+    # relational anti-join as a first-class query: customers with no
+    # FINALIZED order, on the sorted-exchange EXCEPT
+    # (stages/setops.anti_join_ids — never a broadcast NOT-IN; the removal
+    # side is a corpus fraction).  The status filter rides the scan.
+    from medknowledgegraph_ray.stages import setops
+
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey"])
+    finalized = (
+        readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .map_batches(
+            lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return setops.anti_join_ids(cust, finalized, key="c_custkey")
 
 
 def _ev_pivot(sf_dir: str):
@@ -873,6 +905,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified": _doc_stratified,
         "ev_percentile": _ev_percentile,
         "join_region_counts": analytics.nation_region_counts,
+        # new this session — need their first driver record
+        "doc_pii": _doc_pii,
+        "doc_urls": _doc_urls,
+        "join_anti_customers": _join_anti_customers,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
@@ -1513,6 +1549,57 @@ def oracle_sql() -> dict[str, str]:
             "    AS total_c"
             "  FROM orders GROUP BY o_custkey) o"
             " ON c.c_custkey = o.o_custkey"
+        ),
+        # PII scan/redact: the SQL rebuilds the SAME decorated text the Ray
+        # stage plants (stages/pii.decorate_pii), then runs the IDENTICAL
+        # regex patterns (shared constants — RE2 and re.ASCII agree on these
+        # ASCII classes) and replays the email→phone→ip redaction order.
+        "doc_pii": (
+            "WITH dt AS (SELECT doc_id,"
+            " CASE WHEN doc_id % 5 = 0 THEN 'Contact user' ||"
+            "  CAST(doc_id AS VARCHAR) || '@example.com re account. '"
+            "  ELSE '' END"
+            " || coalesce(text, '')"
+            " || CASE WHEN doc_id % 7 = 0 THEN ' Call +1-202-' ||"
+            "  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'"
+            "  ELSE '' END"
+            " || CASE WHEN doc_id % 11 = 0 THEN ' Origin host 10.' ||"
+            "  CAST((doc_id // 256) % 256 AS VARCHAR) || '.' ||"
+            "  CAST(doc_id % 256 AS VARCHAR) || '.7 flagged.' ELSE '' END"
+            " AS t FROM documents),"
+            " c AS (SELECT doc_id,"
+            f" CAST(length(regexp_extract_all(t, '{pii.EMAIL_PAT}')) AS BIGINT)"
+            "  AS n_emails,"
+            f" CAST(length(regexp_extract_all(t, '{pii.PHONE_PAT}')) AS BIGINT)"
+            "  AS n_phones,"
+            f" CAST(length(regexp_extract_all(t, '{pii.IPV4_PAT}')) AS BIGINT)"
+            "  AS n_ipv4,"
+            " md5(regexp_replace(regexp_replace(regexp_replace(t,"
+            f"  '{pii.EMAIL_PAT}', '<EMAIL>', 'g'),"
+            f"  '{pii.PHONE_PAT}', '<PHONE>', 'g'),"
+            f"  '{pii.IPV4_PAT}', '<IP>', 'g')) AS redacted_hash"
+            " FROM dt)"
+            " SELECT doc_id, n_emails, n_phones, n_ipv4,"
+            " n_emails + n_phones + n_ipv4 AS n_pii, redacted_hash FROM c"
+        ),
+        "doc_urls": (
+            "WITH dt AS (SELECT doc_id, coalesce(text, '')"
+            " || CASE WHEN doc_id % 4 = 0 THEN"
+            "  ' See https://docs.example.org/guide/' ||"
+            "  CAST(doc_id AS VARCHAR) || ' for details.' ELSE '' END"
+            " || CASE WHEN doc_id % 6 = 0 THEN ' Mirror at http://cdn' ||"
+            "  CAST(doc_id % 10 AS VARCHAR) || '.mirror-net.io/pkg?v=' ||"
+            "  CAST(doc_id AS VARCHAR) || '.' ELSE '' END"
+            " AS t FROM documents),"
+            f" d AS (SELECT unnest(regexp_extract_all(t, '{pii.URL_PAT}', 1))"
+            "  AS domain FROM dt)"
+            " SELECT domain, CAST(count(*) AS BIGINT) AS n"
+            " FROM d GROUP BY domain"
+        ),
+        "join_anti_customers": (
+            "SELECT c_custkey FROM customer c"
+            " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

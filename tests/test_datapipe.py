@@ -34,6 +34,7 @@ SQL_CHECKED = [
     "join_revenue_region", "corpus_export", "join_full_users",
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
+    "doc_pii", "doc_urls", "join_anti_customers",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -703,6 +704,56 @@ def test_anti_join_ids_across_partitions():
     # empty right keeps everything
     empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
     assert setops.anti_join_ids(left, empty).count() == 100
+
+
+def test_pii_scanner_counts_and_redaction():
+    import hashlib
+
+    from medknowledgegraph_ray.stages import pii
+
+    # undecorated inputs: the scanner is a general kernel, not tied to the
+    # planted stripes
+    rows = [
+        (1, "write to a.b+tag@mail-host.co.uk or ops@x.io now"),
+        (2, "call +44-555-1234 then +1-202-0007"),
+        (3, "hosts 10.0.0.1 and 192.168.254.7 plus v1.2 notes"),
+        (4, "nothing sensitive here"),
+    ]
+    scanned = (
+        pii.PiiScanner()(
+            pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        )
+        .set_index("doc_id")
+    )
+    assert list(scanned["n_emails"]) == [2, 0, 0, 0]
+    assert list(scanned["n_phones"]) == [0, 2, 0, 0]
+    assert list(scanned["n_ipv4"]) == [0, 0, 2, 0]
+    assert list(scanned["n_pii"]) == [2, 2, 2, 0]
+    # a clean doc's redacted hash is the hash of the original text
+    assert scanned.loc[4, "redacted_hash"] == hashlib.md5(rows[3][1].encode()).hexdigest()
+    # a redacted doc's hash differs and matches the manual replacement
+    red = "call <PHONE> then <PHONE>"
+    assert scanned.loc[2, "redacted_hash"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_pii_domain_counts_allmiss_batch_keeps_schema():
+    from medknowledgegraph_ray.stages import pii
+
+    # doc_ids chosen so NO planted URL fires (odd, not %4 / %6) — the
+    # extractor must still emit a typed empty table from every batch
+    ds = _docs([(1, "plain"), (5, "words only"), (7, "no links")]).repartition(3)
+    out = pii.domain_counts(ds)
+    assert out.count() == 0
+    assert [f.name for f in out.schema().base_schema] == ["domain", "n"]
+
+    # and with planted stripes the counts are exact
+    ds2 = _docs([(0, "a"), (4, "b"), (6, "c"), (12, "d")])
+    got = pii.domain_counts(ds2).to_pandas().set_index("domain")["n"].to_dict()
+    # %4: ids 0,4,12 → docs.example.org; %6: ids 0,6,12 → cdn{id%10}
+    assert got["docs.example.org"] == 3
+    assert got["cdn0.mirror-net.io"] == 1
+    assert got["cdn6.mirror-net.io"] == 1
+    assert got["cdn2.mirror-net.io"] == 1
 
 
 def test_equi_join_matches_pandas_merge():
