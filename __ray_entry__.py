@@ -26,6 +26,7 @@ from medknowledgegraph_ray.stages import (
     components,
     dedupe,
     eventagg,
+    heavyhitters,
     multimodal,
     pack,
     pii,
@@ -299,6 +300,14 @@ def _doc_urls(sf_dir: str):
     # corpus URL-domain frequency: vectorized host findall → sorted-
     # exchange grouped count (stages/pii.domain_counts)
     return pii.domain_counts(_docs(sf_dir))
+
+
+def _doc_top_tokens(sf_dir: str):
+    # EXACT corpus top-20 tokens via a Misra-Gries candidate sketch: two
+    # map-only passes (O(blocks x capacity) driver volume, never a
+    # vocabulary-wide shuffle), separation-checked with a loud exact-
+    # groupby fallback (stages/heavyhitters.py)
+    return heavyhitters.top_tokens_mg(_docs(sf_dir), k=20)
 
 
 def _join_anti_customers(sf_dir: str):
@@ -909,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii": _doc_pii,
         "doc_urls": _doc_urls,
         "join_anti_customers": _join_anti_customers,
+        "doc_top_tokens": _doc_top_tokens,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
@@ -1600,6 +1610,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer c"
             " WHERE NOT EXISTS (SELECT 1 FROM orders o"
             "  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
+        ),
+        # exact top-k tokens (the MG sketch only nominates candidates;
+        # published counts are exact, so a plain GROUP BY is the oracle)
+        "doc_top_tokens": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all("
+            "  lower(coalesce(text, '')), '[a-z0-9]+')) AS token"
+            "  FROM documents)"
+            " SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks"
+            " GROUP BY token ORDER BY n DESC, token LIMIT 20"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

@@ -34,7 +34,7 @@ SQL_CHECKED = [
     "join_revenue_region", "corpus_export", "join_full_users",
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
-    "doc_pii", "doc_urls", "join_anti_customers",
+    "doc_pii", "doc_urls", "join_anti_customers", "doc_top_tokens",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -1321,3 +1321,65 @@ def test_audio_features_real_wave_decode(sf_dir):
             pa.table({"doc_id": pa.array([1], pa.int64()),
                       "payload": pa.array([b"not a wav"], pa.binary())})
         )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (stages/heavyhitters.py)
+# ---------------------------------------------------------------------------
+
+def _token_truth(rows, k):
+    from collections import Counter
+
+    from medknowledgegraph_ray.functions.text import TOKEN_RE
+
+    cnt = Counter()
+    for _, text in rows:
+        cnt.update(TOKEN_RE.findall(text.lower()))
+    df = pd.DataFrame(sorted(cnt.items()), columns=["token", "n"])
+    df["n"] = df["n"].astype("int64")
+    return (
+        df.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(k).reset_index(drop=True)
+    )
+
+
+def test_mg_prune_bounds():
+    from collections import Counter
+
+    from medknowledgegraph_ray.stages.heavyhitters import _prune
+
+    cnt = Counter({f"t{i}": i + 1 for i in range(100)})
+    pruned, d = _prune(cnt, 10)
+    assert len(pruned) <= 10 and d > 0
+    for t, c in pruned.items():
+        # stored in [true - d, true]: the MG undercount guarantee
+        assert cnt[t] - d <= c <= cnt[t]
+    # survivors are exactly the entries whose count exceeds the pivot
+    assert set(pruned) == {t for t, c in cnt.items() if c > d}
+
+
+def test_top_tokens_mg_sketch_path_exact(monkeypatch):
+    # skewed corpus, ample capacity: the sketch path must certify and
+    # match ground truth WITHOUT touching the exact-groupby fallback
+    from medknowledgegraph_ray.stages import heavyhitters
+
+    rows = [(i, ("alpha beta " * (20 if i % 7 == 0 else 2))
+             + f"rare{i} gamma delta epsilon word{i % 31}")
+            for i in range(120)]
+
+    def boom(*a, **kw):  # proves the fallback was not taken
+        raise AssertionError("fallback taken")
+
+    monkeypatch.setattr(heavyhitters, "_exact_topk", boom)
+    out = heavyhitters.top_tokens_mg(_docs(rows).repartition(5), k=8)
+    assert out.equals(_token_truth(rows, 8))
+
+
+def test_top_tokens_mg_flat_corpus_falls_back_exact():
+    # every token unique -> no separation possible at a tiny capacity;
+    # the loud fallback must still produce the exact answer
+    from medknowledgegraph_ray.stages import heavyhitters
+
+    rows = [(i, f"u{i}a u{i}b u{i}c") for i in range(60)]
+    out = heavyhitters.top_tokens_mg(_docs(rows).repartition(4), k=5, cap=8)
+    assert out.equals(_token_truth(rows, 5))
