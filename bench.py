@@ -166,6 +166,11 @@ def run_bench() -> dict:
         t0 = time.time()
         _corpus.corpus_rows(sf_dir).count()
         queries["corpus_export"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import heavyhitters as _hh
+
+        t0 = time.time()
+        _hh.top_tokens_mg(docs(), k=20)
+        queries["doc_top_tokens"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);
