@@ -28,6 +28,7 @@ from medknowledgegraph_ray.stages import (
     eventagg,
     heavyhitters,
     multimodal,
+    orderedagg,
     pack,
     pii,
     rangejoin,
@@ -308,6 +309,28 @@ def _doc_top_tokens(sf_dir: str):
     # vocabulary-wide shuffle), separation-checked with a loud exact-
     # groupby fallback (stages/heavyhitters.py)
     return heavyhitters.top_tokens_mg(_docs(sf_dir), k=20)
+
+
+def _ev_user_paths(sf_dir: str):
+    # distributed string_agg(event_type, '>' ORDER BY event_id) per user:
+    # one range sort, per-BLOCK vectorized fold, gated edge repair
+    # (stages/orderedagg.ordered_concat — the generic form of the KG
+    # pipeline's conversation assembly)
+    ev = readers.read_table(sf_dir, "events", columns=["user_id", "event_id", "event_type"])
+    return orderedagg.ordered_concat(
+        ev, "user_id", ["event_id"], "event_type", ">",
+        out_col="path", count_col="n_events",
+    )
+
+
+def _doc_seg_dedup(sf_dir: str):
+    # CCNet-style segment-level exact dedup: corpus-wide first occurrence
+    # per 15-word segment, surviving segments re-assembled in order — two
+    # sorted exchanges, no join (stages/orderedagg.seg_dedup)
+    return orderedagg.seg_dedup(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        seg_words=15,
+    )
 
 
 def _join_anti_customers(sf_dir: str):
@@ -919,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_urls": _doc_urls,
         "join_anti_customers": _join_anti_customers,
         "doc_top_tokens": _doc_top_tokens,
+        "ev_user_paths": _ev_user_paths,
+        "doc_seg_dedup": _doc_seg_dedup,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
@@ -1619,6 +1644,26 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents)"
             " SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks"
             " GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        "ev_user_paths": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " string_agg(event_type, '>' ORDER BY event_id) AS path"
+            " FROM events GROUP BY user_id"
+        ),
+        "doc_seg_dedup": (
+            "WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ')"
+            "  AS toks FROM documents),"
+            " s AS (SELECT doc_id, j // 15 AS seg_idx,"
+            "   array_to_string(list_slice(toks, j+1, j+15), ' ') AS seg"
+            "  FROM t, unnest(range(0, greatest(len(toks),1), 15)) AS u(j)),"
+            " f AS (SELECT doc_id, seg_idx, seg FROM ("
+            "   SELECT doc_id, seg_idx, seg,"
+            "    ROW_NUMBER() OVER (PARTITION BY seg"
+            "     ORDER BY doc_id, seg_idx) AS rn"
+            "   FROM s) WHERE rn = 1)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+            "  string_agg(seg, ' ' ORDER BY seg_idx) AS text"
+            " FROM f GROUP BY doc_id"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

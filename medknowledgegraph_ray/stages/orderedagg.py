@@ -1,0 +1,195 @@
+"""Ordered grouped aggregation: string_agg(val, sep ORDER BY ...) per key,
+plus keep-first-row-per-group — and segment-level exact dedup on top.
+
+The reference's assembly step concatenates a conversation's turns in order
+(stages/assemble.py specializes it for the KG pipeline); this module is the
+GENERIC operator: one global range sort on (key, order...), a per-block
+vectorized fold of every interior key's run (work is per BLOCK, never per
+group — the inverted-index shape, stages/invindex.py), and only the keys
+straddling a block edge re-folded, driver-side under the usual
+EDGE_REPAIR_DRIVER_MAX gate (distributed map_groups above it — edge keys
+number ≤ 2 per block regardless of corpus size).
+
+Both operators read the sorted, materialized blocks TWICE (interior fold,
+then raw edge extraction) rather than flagging rows in one pass: the edge
+rows keep their exact original dtypes that way, and the second pass is a
+zero-copy scan of blocks already in the object store.
+
+`seg_dedup` is the CCNet/RefinedWeb line-dedup analog for corpora without
+newlines: split each document into fixed-width word segments, keep only the
+corpus-wide FIRST occurrence of each distinct segment (lexicographic
+(doc_id, seg_idx) min — one keep_first exchange), and re-assemble surviving
+segments per document (one ordered_concat exchange).  Two exchanges total;
+no join, no per-group tasks, no driver-side corpus pull.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_PACK_BITS = 20  # seg_idx packs into the low 20 bits of the first-occurrence key
+
+
+def _literal_union(interior: rd.Dataset, rep: pd.DataFrame) -> rd.Dataset:
+    if not len(rep):
+        return interior
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
+    ))
+
+
+def _edge_rows(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Rows of this sorted block whose key equals the block's first or last
+    key — the only keys whose run may straddle a block boundary."""
+    if len(df) == 0:
+        return df
+    k = df[key].to_numpy()
+    return df[(k == k[0]) | (k == k[-1])]
+
+
+def ordered_concat(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str,
+    out_col: str = "seq",
+    count_col: str = "n",
+) -> rd.Dataset:
+    """One row per `key`: (key, count_col, out_col) with out_col the
+    sep-joined `val_col` values in `order_cols` order — the distributed
+    string_agg(val, sep ORDER BY order_cols)."""
+    out_cols = [key, count_col, out_col]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive sorted by (key, *order_cols); sort=False keeps runs
+        g = df.groupby(key, sort=False)[val_col]
+        out = g.agg(lambda s: sep.join(map(str, s))).rename(out_col).reset_index()
+        out[count_col] = g.size().to_numpy().astype("int64")
+        return out[out_cols]
+
+    s = (
+        ds.select_columns([key, *order_cols, val_col])
+        .sort([key, *order_cols])
+        .materialize()
+    )
+
+    def interior_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return fold(df)
+        k = df[key].to_numpy()
+        return fold(df[(k != k[0]) & (k != k[-1])])
+
+    interior = s.map_batches(interior_fold, batch_format="pandas", batch_size=None)
+    edge_src = s.map_batches(
+        lambda df: _edge_rows(df, key), batch_format="pandas", batch_size=None
+    ).materialize()
+
+    from .windows import EDGE_REPAIR_DRIVER_MAX
+
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        edf = edge_src.to_pandas()
+        if not len(edf):
+            return interior
+        # the global sort only interleaves an edge key's rows ACROSS blocks;
+        # re-sort the gathered rows, then fold once driver-side
+        rep = fold(edf.sort_values([key, *order_cols], kind="mergesort"))
+        return _literal_union(interior, rep)
+
+    return interior.union(
+        edge_src.groupby(key).map_groups(
+            lambda g: fold(g.sort_values(order_cols, kind="mergesort")),
+            batch_format="pandas",
+        )
+    )
+
+
+def keep_first(ds: rd.Dataset, group_col: str, order_col: str) -> rd.Dataset:
+    """Keep, per distinct `group_col` value, the single row with the minimum
+    `order_col` — distributed argmin as ONE sorted exchange (interior runs
+    take their first row; only block-edge groups re-reduce)."""
+    s = ds.sort([group_col, order_col]).materialize()
+
+    def interior_first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        g = df[group_col].to_numpy()
+        inner = df[(g != g[0]) & (g != g[-1])]
+        gi = inner[group_col].to_numpy()
+        first = np.ones(len(inner), dtype=bool)
+        first[1:] = gi[1:] != gi[:-1]
+        return inner[first]
+
+    interior = s.map_batches(interior_first, batch_format="pandas", batch_size=None)
+    edge_src = s.map_batches(
+        lambda df: _edge_rows(df, group_col), batch_format="pandas", batch_size=None
+    ).materialize()
+
+    from .windows import EDGE_REPAIR_DRIVER_MAX
+
+    if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
+        edf = edge_src.to_pandas()
+        if not len(edf):
+            return interior
+        rep = edf.sort_values([group_col, order_col], kind="mergesort").drop_duplicates(
+            group_col, keep="first"
+        )
+        return _literal_union(interior, rep)
+    return interior.union(
+        edge_src.groupby(group_col).map_groups(
+            lambda g: g.sort_values(order_col, kind="mergesort").head(1),
+            batch_format="pandas",
+        )
+    )
+
+
+def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
+    """Corpus-wide segment-level exact dedup: split each document's text
+    into `seg_words`-word segments, keep only each distinct segment's first
+    occurrence (min (doc_id, seg_idx) across the corpus), re-assemble the
+    survivors per document.  Documents whose every segment appeared earlier
+    vanish; the rest shrink.  Returns (doc_id, n_kept, text)."""
+
+    def segments(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        idxs: list[int] = []
+        segs: list[str] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = text.split(" ")
+            for j in range(0, len(toks), seg_words):
+                ids.append(int(doc_id))
+                idxs.append(j // seg_words)
+                segs.append(" ".join(toks[j : j + seg_words]))
+        assert not idxs or max(idxs) < (1 << _PACK_BITS), "document too long to pack"
+        packed = (np.array(ids, dtype=np.int64) << _PACK_BITS) | np.array(
+            idxs, dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "seg": pd.Series(segs, dtype="object"),
+                "packed": pd.array(packed, dtype="int64"),
+            }
+        )
+
+    segs = docs.select_columns(["doc_id", "text"]).map_batches(
+        segments, batch_format="pandas", batch_size=None
+    )
+    firsts = keep_first(segs, "seg", "packed")
+
+    def unpack(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["packed"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(p >> _PACK_BITS, dtype="int64"),
+                "seg_idx": pd.array(p & ((1 << _PACK_BITS) - 1), dtype="int64"),
+                "seg": batch["seg"],
+            }
+        )
+
+    kept = firsts.map_batches(unpack, batch_format="pandas")
+    return ordered_concat(
+        kept, "doc_id", ["seg_idx"], "seg", " ", out_col="text", count_col="n_kept"
+    )

@@ -35,6 +35,7 @@ SQL_CHECKED = [
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
     "doc_pii", "doc_urls", "join_anti_customers", "doc_top_tokens",
+    "ev_user_paths", "doc_seg_dedup",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -1383,3 +1384,99 @@ def test_top_tokens_mg_flat_corpus_falls_back_exact():
     rows = [(i, f"u{i}a u{i}b u{i}c") for i in range(60)]
     out = heavyhitters.top_tokens_mg(_docs(rows).repartition(4), k=5, cap=8)
     assert out.equals(_token_truth(rows, 5))
+
+
+# ---- ordered grouped aggregation + segment dedup (stages/orderedagg) ----
+
+def _path_expect(df: pd.DataFrame) -> pd.DataFrame:
+    s = df.sort_values(["k", "o"], kind="mergesort")
+    g = s.groupby("k", sort=False)["v"]
+    out = g.agg(lambda x: "|".join(map(str, x))).rename("seq").reset_index()
+    out["n"] = g.size().to_numpy().astype("int64")
+    return out[["k", "n", "seq"]]
+
+
+@pytest.mark.parametrize("force_groupby", [False, True])
+def test_ordered_concat_cross_block_runs(monkeypatch, force_groupby):
+    from medknowledgegraph_ray.stages import orderedagg
+
+    if force_groupby:
+        monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            # few hot keys so runs straddle many block edges
+            "k": rng.integers(0, 7, n).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": [f"t{i % 13}" for i in range(n)],
+        }
+    )
+    out = (
+        orderedagg.ordered_concat(
+            rd.from_pandas(df).repartition(9), "k", ["o"], "v", "|"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = _path_expect(df).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "n", "seq"]], exp)
+
+
+@pytest.mark.parametrize("force_groupby", [False, True])
+def test_keep_first_matches_pandas(monkeypatch, force_groupby):
+    from medknowledgegraph_ray.stages import orderedagg
+
+    if force_groupby:
+        monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": [f"s{v}" for v in rng.integers(0, 40, n)],
+            "ord": rng.permutation(n).astype("int64"),
+            "payload": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    out = (
+        orderedagg.keep_first(rd.from_pandas(df).repartition(8), "g", "ord")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "ord"], kind="mergesort")
+        .drop_duplicates("g", keep="first")
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[list(exp.columns)], exp)
+
+
+def test_seg_dedup_semantics():
+    from medknowledgegraph_ray.stages import orderedagg
+
+    seg_a = " ".join(f"a{i}" for i in range(15))
+    seg_b = " ".join(f"b{i}" for i in range(15))
+    seg_c = " ".join(f"c{i}" for i in range(15))
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": [
+                seg_a + " " + seg_b,  # original
+                seg_a + " " + seg_b,  # full duplicate -> vanishes
+                seg_b + " " + seg_c,  # partial -> keeps only seg_c
+            ],
+        }
+    )
+    out = (
+        orderedagg.seg_dedup(rd.from_pandas(docs).repartition(3), seg_words=15)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_kept"].tolist() == [2, 1]
+    assert out.loc[0, "text"] == seg_a + " " + seg_b
+    assert out.loc[1, "text"] == seg_c
