@@ -171,6 +171,11 @@ def run_bench() -> dict:
         t0 = time.time()
         _hh.top_tokens_mg(docs(), k=20)
         queries["doc_top_tokens"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import orderedagg as _oa
+
+        t0 = time.time()
+        _oa.seg_dedup(docs()).count()
+        queries["doc_seg_dedup"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);

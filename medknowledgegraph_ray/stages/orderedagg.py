@@ -107,21 +107,45 @@ def ordered_concat(
     )
 
 
-def keep_first(ds: rd.Dataset, group_col: str, order_col: str) -> rd.Dataset:
-    """Keep, per distinct `group_col` value, the single row with the minimum
-    `order_col` — distributed argmin as ONE sorted exchange (interior runs
-    take their first row; only block-edge groups re-reduce)."""
-    s = ds.sort([group_col, order_col]).materialize()
+def keep_first(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str | list[str],
+    count_col: str | None = None,
+    k: int = 1,
+) -> rd.Dataset:
+    """Keep, per distinct `group_col` value, the `k` rows minimizing the
+    `order_col` column(s) lexicographically — distributed per-group top-k
+    as ONE sorted exchange (interior runs take their first k rows; only
+    block-edge groups re-reduce).  With `count_col`, every kept row also
+    carries its group's TOTAL row count (k=1 is the canonical-document
+    shape: winner + cluster size in one pass; k>1 is the per-domain /
+    per-language corpus cap)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    s = ds.sort([group_col, *order_cols]).materialize()
 
     def interior_first(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
+            if count_col:
+                df = df.assign(**{count_col: pd.array([], dtype="int64")})
             return df
         g = df[group_col].to_numpy()
         inner = df[(g != g[0]) & (g != g[-1])]
         gi = inner[group_col].to_numpy()
         first = np.ones(len(inner), dtype=bool)
         first[1:] = gi[1:] != gi[:-1]
-        return inner[first]
+        fidx = np.flatnonzero(first)
+        lens = np.diff(np.append(fidx, len(inner)))
+        # position of each row within its run: arange minus its run's start
+        pos = np.arange(len(inner)) - np.repeat(fidx, lens)
+        keep = pos < k
+        out = inner[keep]
+        if count_col:
+            out = out.assign(
+                **{count_col: pd.array(
+                    np.repeat(lens, lens)[keep], dtype="int64")}
+            )
+        return out
 
     interior = s.map_batches(interior_first, batch_format="pandas", batch_size=None)
     edge_src = s.map_batches(
@@ -134,15 +158,24 @@ def keep_first(ds: rd.Dataset, group_col: str, order_col: str) -> rd.Dataset:
         edf = edge_src.to_pandas()
         if not len(edf):
             return interior
-        rep = edf.sort_values([group_col, order_col], kind="mergesort").drop_duplicates(
-            group_col, keep="first"
-        )
+        srt = edf.sort_values([group_col, *order_cols], kind="mergesort")
+        rep = srt[srt.groupby(group_col, sort=False).cumcount() < k]
+        if count_col:
+            sizes = srt.groupby(group_col, sort=False).size()
+            rep = rep.assign(
+                **{count_col: pd.array(
+                    sizes.loc[rep[group_col]].to_numpy(), dtype="int64")}
+            )
         return _literal_union(interior, rep)
+
+    def edge_first(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(order_cols, kind="mergesort").head(k)
+        if count_col:
+            out = out.assign(**{count_col: pd.array([len(g)] * len(out), dtype="int64")})
+        return out
+
     return interior.union(
-        edge_src.groupby(group_col).map_groups(
-            lambda g: g.sort_values(order_col, kind="mergesort").head(1),
-            batch_format="pandas",
-        )
+        edge_src.groupby(group_col).map_groups(edge_first, batch_format="pandas")
     )
 
 
