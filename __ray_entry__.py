@@ -333,6 +333,39 @@ def _doc_seg_dedup(sf_dir: str):
     )
 
 
+def _dedup_canonical(sf_dir: str):
+    # exact dedup keeping the full winning row + cluster size in ONE
+    # keep_first sorted exchange — "trusted source wins" canonicalization
+    # (stages/dedupe.canonical_docs over stages/orderedagg.keep_first)
+    return dedupe.canonical_docs(
+        readers.read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+        )
+    )
+
+
+def _doc_cap_per_lang(sf_dir: str):
+    # hard per-language corpus cap: at most 50 docs per lang by seeded
+    # splitmix64 priority — one keep_first(k) sorted exchange
+    # (stages/shuffle.cap_per_stratum over stages/orderedagg.keep_first)
+    return _shuffle.cap_per_stratum(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "lang"]),
+        k=50,
+    )
+
+
+def _dedup_incremental(sf_dir: str):
+    # dedup the "new crawl" (source src0) against the rest of the corpus:
+    # surviving src0 doc_ids via a payload-carrying anti-join on 64-bit
+    # text hashes (stages/dedupe.incremental_dedup)
+    return dedupe.incremental_dedup(
+        readers.read_table(
+            sf_dir, "documents", columns=["doc_id", "text", "source"]
+        ),
+        new_source="src0",
+    )
+
+
 def _join_anti_customers(sf_dir: str):
     # relational anti-join as a first-class query: customers with no
     # FINALIZED order, on the sorted-exchange EXCEPT
@@ -944,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": _doc_top_tokens,
         "ev_user_paths": _ev_user_paths,
         "doc_seg_dedup": _doc_seg_dedup,
+        "dedup_canonical": _dedup_canonical,
+        "doc_cap_per_lang": _doc_cap_per_lang,
+        "dedup_incremental": _dedup_incremental,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
@@ -1664,6 +1700,35 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
             "  string_agg(seg, ' ' ORDER BY seg_idx) AS text"
             " FROM f GROUP BY doc_id"
+        ),
+        "dedup_canonical": (
+            "SELECT md5(text) AS text_hash, doc_id AS keep_doc_id, lang,"
+            " source,"
+            " CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_dups"
+            " FROM documents"
+            " QUALIFY row_number() OVER (PARTITION BY md5(text)"
+            "  ORDER BY source, doc_id) = 1"
+        ),
+        "doc_cap_per_lang": (
+            # same splitmix64 priority arithmetic as doc_shuffle
+            # (stages/shuffle.shuffle_key_sql), capped per language
+            "WITH " + _shuffle.shuffle_key_sql("documents") + ","
+            " j AS (SELECT d.lang, d.doc_id, k.skey AS priority,"
+            "  CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT)"
+            "   AS n_stratum"
+            "  FROM documents d JOIN keyed k USING (doc_id))"
+            " SELECT lang, doc_id, priority, n_stratum FROM j"
+            " QUALIFY row_number() OVER (PARTITION BY lang"
+            "  ORDER BY priority, doc_id) <= 50"
+        ),
+        "dedup_incremental": (
+            # same 64-bit md5 truncation as the engine key (the NOT-IN
+            # decision is over the identical hash domain on both sides)
+            "WITH h AS (SELECT doc_id, source,"
+            "  CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS key"
+            "  FROM documents)"
+            " SELECT doc_id FROM h WHERE source = 'src0' AND key NOT IN"
+            "  (SELECT key FROM h WHERE source <> 'src0')"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

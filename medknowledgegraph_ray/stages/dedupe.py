@@ -73,6 +73,76 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def canonical_docs(docs: rd.Dataset) -> rd.Dataset:
+    """Exact dedup that keeps the winning ROW (full payload), not just the
+    group key: per distinct text, the row minimizing (source, doc_id) — a
+    "trusted source wins" policy — plus its cluster size.  ONE keep_first
+    sorted exchange (stages/orderedagg); no agg-then-join-back.  The text
+    itself is dropped before the exchange so only the 32-byte hash shuffles.
+    """
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_hash": [
+                    hashlib.md5(t.encode()).hexdigest()
+                    for t in batch["text"].fillna("")
+                ],
+                "keep_doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "source": batch["source"],
+            }
+        )
+
+    hashed = docs.map_batches(hash_batch, batch_format="pandas")
+
+    from .orderedagg import keep_first
+
+    return keep_first(
+        hashed, "text_hash", ["source", "keep_doc_id"], count_col="n_dups"
+    )
+
+
+def incremental_dedup(docs: rd.Dataset, new_source: str) -> rd.Dataset:
+    """Cross-corpus (incremental) exact dedup: doc_ids of `new_source` docs
+    whose text does NOT already appear in the rest of the corpus — the
+    "dedup the new crawl against the existing corpus" step.  Key = 64-bit
+    truncated md5 (same truncation on the SQL side, so the decision is
+    deterministic and oracle-exact); one payload-carrying anti-join sorted
+    exchange (stages/setops.anti_join_rows).  Duplicates WITHIN the new
+    shard all survive here — intra-shard dedup is exact_dedup's job."""
+
+    def hash_split(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in batch["text"].fillna("")
+            ),
+            dtype=np.uint64,
+            count=len(batch),
+        )
+        return pd.DataFrame(
+            {
+                "key": pd.array(keys, dtype="uint64"),
+                "doc_id": batch["doc_id"].astype("int64"),
+                "is_new": (batch["source"] == new_source).to_numpy(),
+            }
+        )
+
+    hashed = docs.map_batches(
+        hash_split, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    from .setops import anti_join_rows
+
+    return anti_join_rows(
+        hashed.filter(expr="is_new == True"),
+        hashed.filter(expr="is_new == False"),
+        key="key",
+        id_col="doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -85,3 +85,78 @@ def anti_join_ids(
         return interior
     rep = pd.DataFrame({key: pd.array(kept, dtype="int64")})
     return interior.union(rd.from_pandas(rep))
+
+
+def anti_join_rows(
+    left: rd.Dataset, right: rd.Dataset, key: str = "key", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Rows of `left` (columns `key`, `id_col`) whose `key` never appears in
+    `right` (column `key`) — the payload-carrying anti-join.  Unlike
+    anti_join_ids, left keys MAY repeat (several left rows sharing a key all
+    survive or all drop together); keys are uint64 (content hashes).  Same
+    single sorted exchange + bounded edge deferral as anti_join_ids."""
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b[key].astype("uint64"),
+                "kind": pd.array(np.zeros(len(b), dtype=np.int8), dtype="int8"),
+                id_col: b[id_col].astype("int64"),
+            }
+        )
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b[key].astype("uint64"),
+                "kind": pd.array(np.ones(len(b), dtype=np.int8), dtype="int8"),
+                id_col: pd.array(np.full(len(b), -1, dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    unioned = (
+        left.map_batches(tag_left, batch_format="pandas", batch_size=None)
+        .union(right.map_batches(tag_right, batch_format="pandas", batch_size=None))
+        .sort(["key", "kind"])
+    )
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.array([], dtype="uint64"),
+                    "kind": pd.array([], dtype="int8"),
+                    id_col: pd.array([], dtype="int64"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )
+        k = b["key"].to_numpy()
+        kind = b["kind"].to_numpy()
+        flagged = (k == k[0]) | (k == k[-1])
+        blocked = np.unique(k[(kind == 1) & ~flagged])
+        keep = (kind == 0) & ~flagged & ~np.isin(k, blocked)
+        out = b[keep | flagged].copy()
+        out["is_edge"] = pd.array(flagged[keep | flagged], dtype="bool")
+        return out
+
+    flagged = unioned.map_batches(
+        resolve, batch_format="pandas", batch_size=None
+    ).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col].astype("int64")}),
+        batch_format="pandas",
+    )
+    deferred = flagged.filter(expr="is_edge == True").take_all()
+    if not deferred:
+        return interior
+    seen_right = {int(r["key"]) for r in deferred if r["kind"] == 1}
+    kept = sorted(
+        int(r[id_col])
+        for r in deferred
+        if r["kind"] == 0 and int(r["key"]) not in seen_right
+    )
+    if not kept:
+        return interior
+    rep = pd.DataFrame({id_col: pd.array(kept, dtype="int64")})
+    return interior.union(rd.from_pandas(rep))

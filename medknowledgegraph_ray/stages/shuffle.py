@@ -212,3 +212,38 @@ def seeded_shard_shuffle(
         return out
 
     return s.map_batches(enumerate_block, batch_format="pandas", batch_size=None)
+
+
+def cap_per_stratum(
+    docs: rd.Dataset,
+    k: int,
+    *,
+    stratum_col: str = "lang",
+    seed: int = 20260817,
+) -> rd.Dataset:
+    """Deterministic per-stratum corpus cap: keep at most `k` documents per
+    `stratum_col` value, chosen by ascending seeded splitmix64 priority —
+    "no domain/language may exceed k docs", the hard-cap companion to
+    stratified_sample's rate-based rebalancing.  ONE keep_first sorted
+    exchange (stages/orderedagg); the priority arithmetic is the
+    shuffle_key_sql one, so the kept set is oracle-exact row for row."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                stratum_col: b[stratum_col],
+                "doc_id": pd.array(ids, dtype="int64"),
+                "priority": pd.array(_shuffle_keys(ids, seed), dtype="uint64"),
+            }
+        )
+
+    from .orderedagg import keep_first
+
+    return keep_first(
+        docs.map_batches(keyed, batch_format="pandas", batch_size=None),
+        stratum_col,
+        ["priority", "doc_id"],
+        count_col="n_stratum",
+        k=k,
+    )

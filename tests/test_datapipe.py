@@ -35,7 +35,8 @@ SQL_CHECKED = [
     "doc_decontaminate", "doc_logprob", "ev_funnel", "ev_retention",
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
     "doc_pii", "doc_urls", "join_anti_customers", "doc_top_tokens",
-    "ev_user_paths", "doc_seg_dedup",
+    "ev_user_paths", "doc_seg_dedup", "dedup_canonical", "doc_cap_per_lang",
+    "dedup_incremental",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -705,6 +706,66 @@ def test_anti_join_ids_across_partitions():
     # empty right keeps everything
     empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
     assert setops.anti_join_ids(left, empty).count() == 100
+
+
+def test_anti_join_rows_payload_and_repeated_keys():
+    from medknowledgegraph_ray.stages import setops
+
+    rng = np.random.default_rng(31)
+    # left keys repeat: rows sharing a key survive or drop together
+    lkeys = rng.integers(0, 60, 300).astype(np.uint64)
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "key": pd.array(lkeys, dtype="uint64"),
+                "doc_id": pd.array(range(300), dtype="int64"),
+            }
+        )
+    ).repartition(7)
+    rkeys = np.array([3, 3, 7, 20, 20, 20, 41, 90, 91], dtype=np.uint64)
+    right = rd.from_pandas(
+        pd.DataFrame({"key": pd.array(rkeys, dtype="uint64")})
+    ).repartition(3)
+    out = setops.anti_join_rows(left, right).to_pandas()
+    blocked = set(rkeys.tolist())
+    exp = sorted(i for i, k in enumerate(lkeys.tolist()) if k not in blocked)
+    assert sorted(out["doc_id"]) == exp
+    # empty right keeps every left row (duplicates included)
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "key": pd.array([], dtype="uint64"),
+                "doc_id": pd.array([], dtype="int64"),
+            }
+        )
+    )
+    assert setops.anti_join_rows(left, empty).count() == 300
+
+
+def test_incremental_dedup_cross_source():
+    from medknowledgegraph_ray.stages import dedupe
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(8), dtype="int64"),
+            "text": [
+                "alpha beta",   # 0 new, dup of base doc 4 -> dropped
+                "gamma delta",  # 1 new, unique -> kept
+                "alpha beta",   # 2 new, dup of base -> dropped
+                "zeta eta",     # 3 new, dup WITHIN new only -> kept
+                "alpha beta",   # 4 base
+                "theta iota",   # 5 base
+                "zeta eta",     # 6 new, dup within new -> kept
+                "kappa",        # 7 base
+            ],
+            "source": ["new", "new", "new", "new", "base", "base", "new", "base"],
+        }
+    )
+    out = (
+        dedupe.incremental_dedup(rd.from_pandas(docs).repartition(4), "new")
+        .to_pandas()
+    )
+    assert sorted(out["doc_id"]) == [1, 3, 6]
 
 
 def test_pii_scanner_counts_and_redaction():
@@ -1450,6 +1511,42 @@ def test_keep_first_matches_pandas(monkeypatch, force_groupby):
         .drop_duplicates("g", keep="first")
         .sort_values("g")
         .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[list(exp.columns)], exp)
+
+
+@pytest.mark.parametrize("force_groupby", [False, True])
+def test_keep_first_multi_order_with_counts(monkeypatch, force_groupby):
+    from medknowledgegraph_ray.stages import orderedagg
+
+    if force_groupby:
+        monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "g": [f"s{v}" for v in rng.integers(0, 9, n)],  # hot keys
+            "o1": [f"src{v}" for v in rng.integers(0, 3, n)],
+            "o2": rng.permutation(n).astype("int64"),
+            "payload": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    out = (
+        orderedagg.keep_first(
+            rd.from_pandas(df).repartition(7), "g", ["o1", "o2"], count_col="cnt"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "o1", "o2"], kind="mergesort")
+        .drop_duplicates("g", keep="first")
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp["cnt"] = (
+        df.groupby("g").size().loc[exp["g"]].to_numpy().astype("int64")
     )
     pd.testing.assert_frame_equal(out[list(exp.columns)], exp)
 
