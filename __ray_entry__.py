@@ -36,6 +36,7 @@ from medknowledgegraph_ray.stages import (
     textstats,
     windows,
 )
+from medknowledgegraph_ray.stages import selection as selection_mod
 from medknowledgegraph_ray.stages import shuffle as _shuffle
 
 _SF001 = "/root/testdata/sf0.01"
@@ -363,6 +364,18 @@ def _dedup_incremental(sf_dir: str):
             sf_dir, "documents", columns=["doc_id", "text", "source"]
         ),
         new_source="src0",
+    )
+
+
+def _doc_iqr_filter(sf_dir: str):
+    # length-outlier trim with EXACT global cut points: keep docs whose
+    # n_chars lies within the corpus [p25, p75] band — two order
+    # statistics by distributed selection, then a map-only filter
+    # (stages/selection.quantile_band_filter)
+    return selection_mod.quantile_band_filter(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        col="n_chars",
+        uid_col="doc_id",
     )
 
 
@@ -980,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": _dedup_canonical,
         "doc_cap_per_lang": _doc_cap_per_lang,
         "dedup_incremental": _dedup_incremental,
+        "doc_iqr_filter": _doc_iqr_filter,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
@@ -1729,6 +1743,12 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents)"
             " SELECT doc_id FROM h WHERE source = 'src0' AND key NOT IN"
             "  (SELECT key FROM h WHERE source <> 'src0')"
+        ),
+        "doc_iqr_filter": (
+            "WITH q AS (SELECT quantile_disc(n_chars, 0.25) AS lo,"
+            "  quantile_disc(n_chars, 0.75) AS hi FROM documents)"
+            " SELECT doc_id, n_chars FROM documents, q"
+            " WHERE n_chars BETWEEN lo AND hi"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

@@ -95,3 +95,40 @@ def exact_quantiles(
     out = {name: pd.array([int(v)], dtype="int64")
            for name, v in zip(rows["name"], rows["value"])}
     return pd.DataFrame({k: out[k] for k in qs})
+
+
+def quantile_band_filter(
+    ds: rd.Dataset,
+    col: str,
+    uid_col: str,
+    lo_q: float = 0.25,
+    hi_q: float = 0.75,
+) -> rd.Dataset:
+    """Keep rows whose int64 `col` lies within the corpus's exact
+    [lo_q, hi_q] discrete-quantile band — the length-outlier trim of a
+    training-data pipeline, with EXACT global cut points (two order
+    statistics via exact_quantiles' O(blocks) selection; the filter pass
+    itself is map-only).  Returns (uid_col, col)."""
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                col: b[col].astype("int64"),
+                "uid": b[uid_col].astype("int64"),
+            }
+        )
+
+    vals = ds.select_columns([uid_col, col]).map_batches(
+        project, batch_format="pandas", batch_size=None
+    ).materialize()
+    q = exact_quantiles(vals, col, {"lo": lo_q, "hi": hi_q})
+    lo, hi = int(q["lo"].iloc[0]), int(q["hi"].iloc[0])
+
+    def band(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy()
+        out = b[(v >= lo) & (v <= hi)]
+        return pd.DataFrame(
+            {uid_col: out["uid"].astype("int64"), col: out[col].astype("int64")}
+        )
+
+    return vals.map_batches(band, batch_format="pandas")

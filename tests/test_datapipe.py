@@ -36,7 +36,7 @@ SQL_CHECKED = [
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
     "doc_pii", "doc_urls", "join_anti_customers", "doc_top_tokens",
     "ev_user_paths", "doc_seg_dedup", "dedup_canonical", "doc_cap_per_lang",
-    "dedup_incremental",
+    "dedup_incremental", "doc_iqr_filter",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
