@@ -970,14 +970,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _doc_stats,
         "doc_lang_id": _lang_id,
         "doc_quality": _quality,
-        "doc_tokens_bpe": _tokens_bpe,
         "doc_sample": _doc_sample,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "ann_topk": _ann_topk,
-        "mm_metadata": _mm_metadata,
-        "ev_tumbling": _ev_tumbling,
-        "ev_sliding": _ev_sliding,
         "dedup_embedding": _dedup_embedding,
         "ev_zscore": _ev_zscore,
         "doc_stratified": _doc_stratified,
@@ -994,6 +990,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cap_per_lang": _doc_cap_per_lang,
         "dedup_incremental": _dedup_incremental,
         "doc_iqr_filter": _doc_iqr_filter,
+        # demoted below the driver's 50-row cap so the never-recorded
+        # entries above get their first record; these four were green in
+        # CORRECTNESS_r02 and stay pytest-parity-checked at sf0.001
+        "doc_tokens_bpe": _tokens_bpe,
+        "mm_metadata": _mm_metadata,
+        "ev_tumbling": _ev_tumbling,
+        "ev_sliding": _ev_sliding,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
