@@ -297,3 +297,42 @@ def props_field_stats(events: rd.Dataset) -> rd.Dataset:
             ("k", "max", "k_max"),
         ],
     )
+
+
+def mode_event_per_user(events: rd.Dataset) -> rd.Dataset:
+    """Grouped MODE: each user's most frequent event_type (ties broken by
+    event_type ascending), with its count — an algebraic grouped count
+    followed by one keep_first argmin exchange on the (small) per-(user,
+    type) count table; never a per-user materialization."""
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    counts = grouped_agg(
+        events.select_columns(["user_id", "event_type"]).map_batches(
+            keyed, batch_format="pandas", batch_size=None
+        ),
+        ["user_id", "event_type"],
+        [("one", "count", "n")],
+    )
+
+    def negate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["neg_n"] = -b["n"].astype("int64")
+        return b
+
+    from .orderedagg import keep_first
+
+    top = keep_first(
+        counts.map_batches(negate, batch_format="pandas", batch_size=None),
+        "user_id",
+        ["neg_n", "event_type"],
+    )
+    return top.map_batches(
+        lambda b: b[["user_id", "event_type", "n"]], batch_format="pandas"
+    )

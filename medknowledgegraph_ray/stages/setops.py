@@ -160,3 +160,67 @@ def anti_join_rows(
         return interior
     rep = pd.DataFrame({id_col: pd.array(kept, dtype="int64")})
     return interior.union(rd.from_pandas(rep))
+
+
+def semi_join_ids(
+    left: rd.Dataset, right: rd.Dataset, key: str = "doc_id"
+) -> rd.Dataset:
+    """ids in `left` (column `key`) that DO appear in `right` (same column)
+    — the EXISTS / semi-join complement of anti_join_ids, on the identical
+    single sorted exchange.  Left ids are assumed unique; right may hold
+    duplicates."""
+
+    def tag(kind: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": b[key].astype("int64"),
+                    "kind": pd.array(np.full(len(b), kind, dtype=np.int8), dtype="int8"),
+                }
+            )
+
+        return f
+
+    unioned = (
+        left.map_batches(tag(0), batch_format="pandas", batch_size=None)
+        .union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+        .sort(["key", "kind"])
+    )
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.array([], dtype="int64"),
+                    "kind": pd.array([], dtype="int8"),
+                    "is_edge": pd.array([], dtype="bool"),
+                }
+            )
+        k = b["key"].to_numpy()
+        kind = b["kind"].to_numpy()
+        flagged = (k == k[0]) | (k == k[-1])
+        matched = np.unique(k[(kind == 1) & ~flagged])
+        keep = (kind == 0) & ~flagged & np.isin(k, matched)
+        out = b[keep | flagged].copy()
+        out["is_edge"] = pd.array(flagged[keep | flagged], dtype="bool")
+        return out
+
+    flagged = unioned.map_batches(
+        resolve, batch_format="pandas", batch_size=None
+    ).materialize()
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        lambda b: pd.DataFrame({key: b["key"].astype("int64")}),
+        batch_format="pandas",
+    )
+    deferred = flagged.filter(expr="is_edge == True").take_all()
+    if not deferred:
+        return interior
+    seen_right = {int(r["key"]) for r in deferred if r["kind"] == 1}
+    kept = sorted(
+        {int(r["key"]) for r in deferred if r["kind"] == 0} & seen_right
+    )
+    if not kept:
+        return interior
+    rep = pd.DataFrame({key: pd.array(kept, dtype="int64")})
+    return interior.union(rd.from_pandas(rep))
