@@ -2,12 +2,15 @@
 
 Decode reality by modality: AUDIO decode is REAL (PCM WAV via the stdlib
 `wave` module — to_wav_payloads / audio_features below, no external codec
-needed); IMAGE decode is real when PIL is importable (per-actor guard in
-MediaDecoder); VIDEO frame-sampling remains a DETERMINISTIC STUB (no
-codec ships in this container) with the Ray-side plumbing — binary Arrow
-columns, small batches for large payloads, actor-pool stage shape,
-metadata schema — real and tested.  Swap `_decode_stub` for a real
-decoder (torchvision/ffmpeg) in production; nothing else changes.
+needed); VIDEO frame-sampling is REAL for uncompressed YUV4MPEG2 (.y4m)
+containers (to_y4m_payloads / video_frame_features — a public plain-bytes
+format needing no codec: header line + FRAME-delimited planar YUV); IMAGE
+decode is real when PIL is importable (per-actor guard in MediaDecoder).
+Only COMPRESSED video/image codecs stay behind `_decode_stub` (none ship
+in this container) with the Ray-side plumbing — binary Arrow columns,
+small batches for large payloads, actor-pool stage shape, metadata
+schema — real and tested.  Swap `_decode_stub` for ffmpeg/torchvision in
+production; nothing else changes.
 """
 
 from __future__ import annotations
@@ -292,3 +295,137 @@ def media_metadata(docs: rd.Dataset) -> rd.Dataset:
     digest/n_bytes are SQL-checkable (md5(text) / strlen(text)); the
     synthetic dims are deterministic from the digest."""
     return decode_media(to_binary_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# REAL video: uncompressed YUV4MPEG2 (.y4m) — public plain-bytes container
+# (mjpegtools), parseable with the stdlib: one ASCII header line
+# ("YUV4MPEG2 W<w> H<h> F<rate> C<colorspace>\n"), then per frame an ASCII
+# "FRAME\n" marker + the planar YUV bytes.
+# ---------------------------------------------------------------------------
+
+_Y4M_FRAME_BYTES = {"420": lambda w, h: w * h * 3 // 2,
+                    "422": lambda w, h: w * h * 2,
+                    "444": lambda w, h: w * h * 3,
+                    "mono": lambda w, h: w * h}
+
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, [frame luma+chroma bytes]) of a y4m payload; raises
+    on anything malformed — never a silent skip."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    cs = "420jpeg"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:].decode("ascii")
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    try:
+        fb = next(f for p, f in _Y4M_FRAME_BYTES.items() if cs.startswith(p))(w, h)
+    except StopIteration:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}") from None
+    frames: list[bytes] = []
+    off = nl + 1
+    n = len(payload)
+    while off < n:
+        fnl = payload.find(b"\n", off)
+        if fnl < 0 or payload[off:off + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {off}")
+        data = payload[fnl + 1: fnl + 1 + fb]
+        if len(data) < fb:
+            raise ValueError(f"truncated frame {len(frames)}")
+        frames.append(data)
+        off = fnl + 1 + fb
+    return w, h, frames
+
+
+def to_y4m_payloads(docs: rd.Dataset, *, width: int = 16, height: int = 8) -> rd.Dataset:
+    """Video-striped docs as REAL .y4m payloads: C420 planar frames with
+    deterministic content derived from md5(text) — an actual public video
+    container, so the sampler below parses real bytes, not a fake.
+    Output: (doc_id, media_type, payload:binary)."""
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()
+    fb = _Y4M_FRAME_BYTES["420"](width, height)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_pay = [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % 3 != 2:  # the video stripe of to_binary_payloads
+                continue
+            digest = hashlib.md5((t or "").encode()).digest()
+            n_frames = 4 + digest[0] % 28
+            chunks = [header]
+            for i in range(n_frames):
+                fd = hashlib.md5(digest + i.to_bytes(4, "big")).digest()
+                chunks.append(b"FRAME\n")
+                chunks.append((fd * (fb // len(fd) + 1))[:fb])
+            out_id.append(doc_id)
+            out_pay.append(b"".join(chunks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(["video"] * len(out_id), pa.string()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+
+
+class VideoFrameSampler:
+    """REAL frame sampling over y4m payloads: parse the container, take
+    `n_frames` evenly spaced frames, emit per sampled frame the frame
+    index, the mean luma (Y-plane, micro-units) and the frame digest.
+    Malformed payloads RAISE — the never-silently-skip policy."""
+
+    def __init__(self, n_frames: int = 8):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, total, luma, digs = [], [], [], [], []
+        for doc_id, payload in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            w, h, frames = _parse_y4m(payload)
+            n = len(frames)
+            step = max(1, n // self.n_frames)
+            for i in range(0, min(n, step * self.n_frames), step):
+                y = np.frombuffer(frames[i][: w * h], dtype=np.uint8)
+                ids.append(doc_id)
+                fidx.append(i)
+                total.append(n)
+                luma.append(int(round(float(y.mean()) * 1e6)))
+                digs.append(hashlib.md5(frames[i]).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_frames": pa.array(total, pa.int64()),
+                "mean_luma_e6": pa.array(luma, pa.int64()),
+                "frame_digest": pa.array(digs, pa.string()),
+            }
+        )
+
+
+def video_frame_features(payloads: rd.Dataset, *, n_frames: int = 8,
+                         batch_size: int = 64) -> rd.Dataset:
+    """y4m payloads → one row per sampled frame via a REAL container parse
+    (small batches — the large-binary-row rule; a production ffmpeg
+    decoder drops into VideoFrameSampler unchanged)."""
+    return payloads.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=config.pool_size(),
+    )
