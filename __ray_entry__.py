@@ -398,6 +398,58 @@ def _join_anti_customers(sf_dir: str):
     return setops.anti_join_ids(cust, finalized, key="c_custkey")
 
 
+def _join_semi_customers(sf_dir: str):
+    # relational semi-join (EXISTS): customers with at least one
+    # high-value order, on the same sorted exchange as the anti-join
+    # (stages/setops.semi_join_ids); the price filter rides the scan
+    from medknowledgegraph_ray.stages import setops
+
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey"])
+    big = (
+        readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 150000")
+        .map_batches(
+            lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return setops.semi_join_ids(cust, big, key="c_custkey")
+
+
+def _ev_mode(sf_dir: str):
+    # grouped MODE (most frequent event_type per user): algebraic grouped
+    # count, then one keep_first argmin exchange over the count table
+    # (stages/eventagg.mode_event_per_user)
+    return eventagg.mode_event_per_user(
+        readers.read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    )
+
+
+def _join_pairs_orders(sf_dir: str):
+    # many-to-many fact ⋈ fact: every (finalized, open) order pair of the
+    # same customer — run-expansion sorted-merge join, duplicates on BOTH
+    # sides (stages/joinmany.join_many; equi_join's unique-build contract
+    # cannot express this)
+    from medknowledgegraph_ray.stages.joinmany import join_many
+
+    orders = readers.read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderstatus"]
+    )
+
+    def side(status: str, out: str):
+        return orders.filter(expr=f"o_orderstatus == '{status}'").map_batches(
+            lambda t, out=out: t.select(["o_custkey", "o_orderkey"]).rename_columns(
+                ["custkey", out]
+            ),
+            batch_format="pyarrow",
+        )
+
+    return join_many(
+        side("F", "f_orderkey"), side("O", "o_orderkey"),
+        "custkey", ["f_orderkey"], ["o_orderkey"],
+    )
+
+
 def _ev_pivot(sf_dir: str):
     # pivot / crosstab via one-hot partial aggregation (stages/eventagg.py)
     return eventagg.pivot_event_counts(readers.read_table(sf_dir, "events"))
@@ -856,6 +908,15 @@ def _mm_audio(sf_dir: str):
     return multimodal.audio_features(multimodal.to_wav_payloads(_docs(sf_dir)))
 
 
+def _mm_video(sf_dir: str):
+    # REAL YUV4MPEG2 container parse + frame sampling over synthesized
+    # .y4m payloads (rows-only: DuckDB cannot parse y4m; pytest checks vs
+    # an independent parse)
+    return multimodal.video_frame_features(
+        multimodal.to_y4m_payloads(_docs(sf_dir))
+    )
+
+
 def _doc_embed_ann(sf_dir: str):
     # feature-extract → similarity search, end to end: embed the documents
     # with the hashing trick, then brute-force top-k against fixed queries
@@ -967,10 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
         "kg_mentions_hourly": kg.hourly_mentions,
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _lang_id,
         "doc_quality": _quality,
-        "doc_sample": _doc_sample,
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
         "ann_topk": _ann_topk,
@@ -990,9 +1048,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cap_per_lang": _doc_cap_per_lang,
         "dedup_incremental": _dedup_incremental,
         "doc_iqr_filter": _doc_iqr_filter,
+        "join_semi_customers": _join_semi_customers,
+        "ev_mode": _ev_mode,
+        "join_pairs_orders": _join_pairs_orders,
         # demoted below the driver's 50-row cap so the never-recorded
-        # entries above get their first record; these four were green in
+        # entries above get their first record; these were green in
         # CORRECTNESS_r02 and stay pytest-parity-checked at sf0.001
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_sample": _doc_sample,
         "doc_tokens_bpe": _tokens_bpe,
         "mm_metadata": _mm_metadata,
         "ev_tumbling": _ev_tumbling,
@@ -1061,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_resize": _mm_resize,
         "mm_frame_sample": _mm_frames,
         "mm_audio": _mm_audio,
+        "mm_video": _mm_video,
     }
 
 
@@ -1752,6 +1817,24 @@ def oracle_sql() -> dict[str, str]:
             "  quantile_disc(n_chars, 0.75) AS hi FROM documents)"
             " SELECT doc_id, n_chars FROM documents, q"
             " WHERE n_chars BETWEEN lo AND hi"
+        ),
+        "join_semi_customers": (
+            "SELECT c_custkey FROM customer c WHERE EXISTS"
+            " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+            "  AND o.o_totalprice > 150000)"
+        ),
+        "ev_mode": (
+            "SELECT user_id, event_type, n FROM"
+            " (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n"
+            "  FROM events GROUP BY user_id, event_type)"
+            " QUALIFY row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY n DESC, event_type) = 1"
+        ),
+        "join_pairs_orders": (
+            "SELECT f.o_custkey AS custkey, f.o_orderkey AS f_orderkey,"
+            " o.o_orderkey AS o_orderkey"
+            " FROM orders f JOIN orders o ON f.o_custkey = o.o_custkey"
+            " WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'"
         ),
         "ev_moments": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n,"

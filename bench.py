@@ -148,6 +148,9 @@ def run_bench() -> dict:
         t0 = time.time()
         _entry.queries()["ev_range_join"](sf_dir).count()
         queries["ev_range_join"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _entry.queries()["join_pairs_orders"](sf_dir).count()
+        queries["join_pairs_orders"] = round(time.time() - t0, 3)
         from medknowledgegraph_ray.stages import sketch as _sk
 
         t0 = time.time()

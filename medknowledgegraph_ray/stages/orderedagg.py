@@ -124,30 +124,33 @@ def keep_first(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     s = ds.sort([group_col, *order_cols]).materialize()
 
-    def interior_first(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def interior_first(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: empty blocks keep their schema (a pandas
+        # empty with object columns trips Ray's size estimator and loses
+        # string dtypes), and the take is zero-copy-ish
+        if t.num_rows == 0:
             if count_col:
-                df = df.assign(**{count_col: pd.array([], dtype="int64")})
-            return df
-        g = df[group_col].to_numpy()
-        inner = df[(g != g[0]) & (g != g[-1])]
-        gi = inner[group_col].to_numpy()
-        first = np.ones(len(inner), dtype=bool)
+                t = t.append_column(count_col, pa.array([], pa.int64()))
+            return t
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        inner_idx = np.flatnonzero((g != g[0]) & (g != g[-1]))
+        gi = g[inner_idx]
+        first = np.ones(len(inner_idx), dtype=bool)
         first[1:] = gi[1:] != gi[:-1]
         fidx = np.flatnonzero(first)
-        lens = np.diff(np.append(fidx, len(inner)))
+        lens = np.diff(np.append(fidx, len(inner_idx)))
         # position of each row within its run: arange minus its run's start
-        pos = np.arange(len(inner)) - np.repeat(fidx, lens)
+        pos = np.arange(len(inner_idx)) - np.repeat(fidx, lens)
         keep = pos < k
-        out = inner[keep]
+        out = t.take(pa.array(inner_idx[keep], pa.int64()))
         if count_col:
-            out = out.assign(
-                **{count_col: pd.array(
-                    np.repeat(lens, lens)[keep], dtype="int64")}
+            out = out.append_column(
+                count_col,
+                pa.array(np.repeat(lens, lens)[keep].astype(np.int64), pa.int64()),
             )
         return out
 
-    interior = s.map_batches(interior_first, batch_format="pandas", batch_size=None)
+    interior = s.map_batches(interior_first, batch_format="pyarrow", batch_size=None)
     edge_src = s.map_batches(
         lambda df: _edge_rows(df, group_col), batch_format="pandas", batch_size=None
     ).materialize()

@@ -36,7 +36,8 @@ SQL_CHECKED = [
     "dedup_embedding", "ev_zscore", "doc_stratified", "ev_percentile",
     "doc_pii", "doc_urls", "join_anti_customers", "doc_top_tokens",
     "ev_user_paths", "doc_seg_dedup", "dedup_canonical", "doc_cap_per_lang",
-    "dedup_incremental", "doc_iqr_filter",
+    "dedup_incremental", "doc_iqr_filter", "join_semi_customers", "ev_mode",
+    "join_pairs_orders",
 ]
 
 TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
@@ -708,6 +709,23 @@ def test_anti_join_ids_across_partitions():
     assert setops.anti_join_ids(left, empty).count() == 100
 
 
+def test_semi_join_ids_across_partitions():
+    from medknowledgegraph_ray.stages import setops
+
+    left = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array(range(100), dtype="int64")})
+    ).repartition(6)
+    right = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.array(
+            [3, 3, 7, 50, 51, 51, 200, 201], dtype="int64")})
+    ).repartition(3)
+    out = setops.semi_join_ids(left, right).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 7, 50, 51]
+    # empty right keeps nothing
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64")}))
+    assert setops.semi_join_ids(left, empty).count() == 0
+
+
 def test_anti_join_rows_payload_and_repeated_keys():
     from medknowledgegraph_ray.stages import setops
 
@@ -1352,6 +1370,80 @@ def test_equi_join_modes_match_pandas_randomized(how):
         got_n = _norm(got[["k", "b", "p"]])
         exp_n = _norm(exp[["k", "b", "p"]])
         assert got_n.equals(exp_n), (how, trial, len(got_n), len(exp_n))
+
+
+@pytest.mark.parametrize("force_groupby", [False, True])
+def test_join_many_matches_pandas_randomized(monkeypatch, force_groupby):
+    from medknowledgegraph_ray.stages.joinmany import join_many
+
+    if force_groupby:
+        monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)
+    rng = np.random.RandomState(41)
+    for trial in range(3):
+        # duplicates on BOTH sides, plus keys unique to each side
+        lkeys = rng.choice(np.arange(0, 30), size=70, replace=True).astype("int64")
+        rkeys = rng.choice(np.arange(10, 40), size=55, replace=True).astype("int64")
+        ldf = pd.DataFrame({"k": lkeys, "a": np.arange(70, dtype="int64")})
+        rdf = pd.DataFrame({"k": rkeys, "b": np.arange(55, dtype="int64") * 3})
+        got = (
+            join_many(
+                rd.from_pandas(ldf).repartition(2 + trial * 2),
+                rd.from_pandas(rdf).repartition(3 + trial),
+                "k", ["a"], ["b"],
+            )
+            .to_pandas()
+        )
+        exp = ldf.merge(rdf, on="k", how="inner")
+        got_n = _norm(got[["k", "a", "b"]])
+        exp_n = _norm(exp[["k", "a", "b"]])
+        assert got_n.equals(exp_n), (trial, len(got_n), len(exp_n))
+
+
+def test_join_many_pair_guard_and_collision():
+    from medknowledgegraph_ray.stages import joinmany
+
+    one_key = pd.DataFrame({"k": pd.array([1] * 50, dtype="int64"),
+                            "a": pd.array(range(50), dtype="int64")})
+    with pytest.raises(ValueError, match="collide"):
+        joinmany.join_many(rd.from_pandas(one_key), rd.from_pandas(one_key),
+                           "k", ["a"], ["a"])
+
+
+def test_video_frame_sampling_real_y4m_parse(sf_dir):
+    """mm_video is a REAL container parse: sampled-frame features must
+    equal an independent byte-level y4m walk, and corrupted bytes raise."""
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import multimodal
+
+    docs = readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    payloads = multimodal.to_y4m_payloads(docs).to_pandas()
+    assert len(payloads) > 0
+    assert all(p.startswith(b"YUV4MPEG2 W16 H8 ") for p in payloads["payload"])
+    out = (
+        multimodal.video_frame_features(multimodal.to_y4m_payloads(docs))
+        .to_pandas()
+    )
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    for _, row in payloads.head(10).iterrows():
+        p = row["payload"]
+        # independent walk: header line, then FRAME\n + 16*8*3/2 bytes each
+        body = p[p.index(b"\n") + 1:]
+        fb = 16 * 8 * 3 // 2
+        rec = len(b"FRAME\n") + fb
+        assert len(body) % rec == 0
+        n = len(body) // rec
+        frames = [body[i * rec + 6 : (i + 1) * rec] for i in range(n)]
+        g = by_doc[row["doc_id"]].sort_values("frame_idx")
+        assert (g["n_frames"] == n).all()
+        step = max(1, n // 8)
+        assert g["frame_idx"].tolist() == list(range(0, min(n, step * 8), step))
+        for _, fr in g.iterrows():
+            y = np.frombuffer(frames[fr["frame_idx"]][: 16 * 8], dtype=np.uint8)
+            assert fr["mean_luma_e6"] == int(round(float(y.mean()) * 1e6))
+    with pytest.raises(Exception, match="FRAME|YUV4MPEG2"):
+        multimodal._parse_y4m(b"YUV4MPEG2 W16 H8\nGARBAGE" + b"\x00" * 300)
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        multimodal._parse_y4m(b"RIFF not a video")
 
 
 def test_audio_features_real_wave_decode(sf_dir):
