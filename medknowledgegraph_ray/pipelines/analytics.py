@@ -321,3 +321,141 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         ["r_name"],
         [("revenue_c", "sum", "revenue_c"), ("n_orders", "sum", "n_orders")],
     )
+
+
+# small-side gate for gathering the filtered build keys driver-side; past
+# it the bloom build itself must distribute (per-block partial bit arrays
+# OR-merged driver-side — each partial is the same 128 KiB)
+BLOOM_BUILD_MAX = 2_000_000
+
+
+def segment_orders_bloom(sf_dir: str, segment: str = "BUILDING") -> rd.Dataset:
+    """Order count + exact revenue cents per order status, restricted to
+    customers of one market segment — the selective-dimension join shape
+    where a Bloom pre-filter (stages/bloom.py) prunes the fact-table
+    exchange: non-matching orders die at the scan, the exact sorted-merge
+    join then drops the filter's few false positives, so the result is
+    bit-identical to the unfiltered join at a fraction of the exchanged
+    volume."""
+    from ..stages import bloom
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    cust = readers.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr=f"c_mktsegment == '{segment}'")
+
+    def ckey(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": pc.cast(t["c_custkey"], pa.int64())})
+
+    cust = cust.map_batches(ckey, batch_format="pyarrow", batch_size=None)
+    n_build = cust.count()
+    if n_build > BLOOM_BUILD_MAX:
+        raise NotImplementedError(
+            f"bloom build side {n_build} rows > {BLOOM_BUILD_MAX}: gather "
+            "per-block partial bit arrays and OR-merge instead of a "
+            "driver-side id gather"
+        )
+    build_ids = cust.to_pandas()["custkey"].to_numpy()
+
+    orders = readers.read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def okey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    probe = bloom.bloom_prefilter(
+        orders.map_batches(okey, batch_format="pyarrow", batch_size=None),
+        "custkey", build_ids,
+    )
+    joined = equi_join(cust, probe, "custkey", [], ["o_orderstatus", "price_c", "one"])
+    return grouped_agg(
+        joined, ["o_orderstatus"],
+        [("one", "sum", "n_orders"), ("price_c", "sum", "total_cents")],
+    )
+
+
+def promo_revenue_ratio(sf_dir: str) -> rd.Dataset:
+    """Promotion revenue share (TPC-H Q14 shape): lineitem ⋈ part on
+    partkey, revenue split by whether the part is a PROMO type, one output
+    row (promo_rev_e4, total_rev_e4, promo_ratio).
+
+    EXACT: revenue per line is cents × (100 − discount%) — int64 at e-4
+    dollar scale on both sides — so the two sums are integer-exact and the
+    ratio is one float64 division, identical op order to the oracle.  The
+    part dimension joins DISTRIBUTED (build side unique on p_partkey, no
+    broadcast: at production scale part is itself large); the single-row
+    roll-up reduces per-block partials, never the corpus."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    part = readers.read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def pkey(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "promo": pc.cast(pc.equal(t["p_type"], pa.scalar("PROMO")), pa.int64()),
+            }
+        )
+
+    li = readers.read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def lkey(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev_e4": pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc)),
+            }
+        )
+
+    joined = equi_join(
+        part.map_batches(pkey, batch_format="pyarrow", batch_size=None),
+        li.map_batches(lkey, batch_format="pyarrow", batch_size=None),
+        "partkey", ["promo"], ["rev_e4"],
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "promo_rev_e4": pc.multiply(t["rev_e4"], t["promo"]),
+                "rev_e4": t["rev_e4"],
+            }
+        )
+
+    agg = grouped_agg(
+        joined.map_batches(split, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        [("promo_rev_e4", "sum", "promo_rev_e4"), ("rev_e4", "sum", "total_rev_e4")],
+    ).to_pandas()
+    promo = agg["promo_rev_e4"].astype("int64")
+    total = agg["total_rev_e4"].astype("int64")
+    ratio = np.round(promo.to_numpy().astype(np.float64)
+                     / total.to_numpy().astype(np.float64), 6)
+    return pd.DataFrame(
+        {
+            "promo_rev_e4": promo,
+            "total_rev_e4": total,
+            "promo_ratio": pd.array(ratio, dtype="float64"),
+        }
+    )

@@ -660,3 +660,107 @@ def running_aggregates(events: rd.Dataset, w: int = 3) -> rd.Dataset:
         {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
          "value_e6": "int64", "cum_value_e6": "int64", "roll_value_e6": "int64"},
     )
+
+
+def gap_stats(events: rd.Dataset) -> rd.Dataset:
+    """Per-user inter-arrival gap statistics (count / min / max / sum of
+    consecutive timestamp deltas in µs) — the cadence profile a streaming
+    sessionization or bot-detection pass starts from.
+
+    All-integer exact: gaps are int64 µs deltas over the per-user
+    timestamp-sorted run, so every aggregate is exact under any block
+    split (ties in ts contribute 0-gaps identically in any tie order).
+    Users with a single event have no gap and emit no row."""
+    prepped, raw = _prep_events(events, ("ts_us",))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.array([], dtype="int64"),
+                "n_gaps": pd.array([], dtype="int64"),
+                "gap_min_us": pd.array([], dtype="int64"),
+                "gap_max_us": pd.array([], dtype="int64"),
+                "gap_sum_us": pd.array([], dtype="int64"),
+            })
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        n = len(df)
+        gap = np.full(n, np.nan)
+        if n > 1:
+            gap[1:] = np.where(u[1:] == u[:-1], (ts[1:] - ts[:-1]).astype(np.float64), np.nan)
+        agg = (
+            pd.DataFrame({"user_id": u, "gap": gap})
+            .dropna(subset=["gap"])
+            .groupby("user_id", sort=False)["gap"]
+            .agg(["count", "min", "max", "sum"])
+            .reset_index()
+        )
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "n_gaps": agg["count"].astype("int64"),
+            "gap_min_us": agg["min"].astype("int64"),
+            "gap_max_us": agg["max"].astype("int64"),
+            "gap_sum_us": agg["sum"].astype("int64"),
+        })
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us"], [False, False],
+        kernel,
+        {"user_id": "int64", "n_gaps": "int64", "gap_min_us": "int64",
+         "gap_max_us": "int64", "gap_sum_us": "int64"},
+    )
+
+
+def trend_corr(events: rd.Dataset) -> rd.Dataset:
+    """Per-user Pearson correlation between event ORDER (row position by
+    (ts, event_id)) and event value — "is this user's value drifting over
+    time", the grouped two-variable statistic (CORR ... OVER) Ray Data has
+    no aggregate for.
+
+    EXACT against the SQL oracle without tolerance: positions r = 1..n and
+    milli-scaled values v are int64, all six sums (n, Σr, Σr², Σv, Σv²,
+    Σrv) accumulate in int64 (exact under any block split), and the final
+    correlation is ONE fixed float64 expression —
+    (n·Σrv − Σr·Σv) / (√(n·Σr² − Σr·Σr) · √(n·Σv² − Σv·Σv)) — evaluated in
+    the identical op order on both sides.  Degenerate users (n < 2 or zero
+    value variance) emit 0."""
+    prepped, raw = _prep_events(events, ("ts_us", "event_id", "value_e3"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.array([], dtype="int64"),
+                "n": pd.array([], dtype="int64"),
+                "trend_corr": pd.array([], dtype="float64"),
+            })
+        u = df["user_id"].to_numpy()
+        v = df["value_e3"].to_numpy()
+        m = len(df)
+        new, first = _run_firsts(u)
+        starts = np.flatnonzero(new)
+        r = np.arange(m, dtype=np.int64) - first + 1
+        n = np.diff(np.append(starts, m)).astype(np.int64)
+        sr = np.add.reduceat(r, starts)
+        srr = np.add.reduceat(r * r, starts)
+        sv = np.add.reduceat(v, starts)
+        svv = np.add.reduceat(v * v, starts)
+        srv = np.add.reduceat(r * v, starts)
+        nf = n.astype(np.float64)
+        srf, srrf = sr.astype(np.float64), srr.astype(np.float64)
+        svf, svvf = sv.astype(np.float64), svv.astype(np.float64)
+        srvf = srv.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = np.sqrt(nf * srrf - srf * srf) * np.sqrt(nf * svvf - svf * svf)
+            corr = np.round((nf * srvf - srf * svf) / den, 6)
+        corr = np.where((n < 2) | ~(den > 0), 0.0, corr)
+        return pd.DataFrame({
+            "user_id": pd.array(u[starts], dtype="int64"),
+            "n": pd.array(n, dtype="int64"),
+            "trend_corr": pd.array(corr, dtype="float64"),
+        })
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "n": "int64", "trend_corr": "float64"},
+    )

@@ -38,10 +38,12 @@ SQL_CHECKED = [
     "ev_user_paths", "doc_seg_dedup", "dedup_canonical", "doc_cap_per_lang",
     "dedup_incremental", "doc_iqr_filter", "join_semi_customers", "ev_mode",
     "join_pairs_orders",
+    "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
+    "join_promo_ratio",
 ]
 
-TABLES = ["region", "nation", "customer", "orders", "lineitem", "events",
-          "documents", "embeddings"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -1669,3 +1671,84 @@ def test_seg_dedup_semantics():
     assert out["n_kept"].tolist() == [2, 1]
     assert out.loc[0, "text"] == seg_a + " " + seg_b
     assert out.loc[1, "text"] == seg_c
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    from medknowledgegraph_ray.stages import bloom
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    bits = bloom.build_bloom(members)
+    # every inserted id MUST pass (the join-correctness invariant)
+    assert bloom.bloom_contains(bits, members).all()
+    # non-members pass only at ~(1-e^{-kn/m})^k ≈ 0.24% for these params
+    outsiders = (members.max() + 1 + np.arange(100_000)).astype(np.int64)
+    fp = bloom.bloom_contains(bits, outsiders).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_prefilter_keeps_exactly_survivors():
+    from medknowledgegraph_ray.stages import bloom
+
+    probe = pd.DataFrame(
+        {
+            "custkey": pd.array(np.arange(2000, dtype=np.int64), dtype="int64"),
+            "payload": pd.array(np.arange(2000, dtype=np.int64) * 7, dtype="int64"),
+        }
+    )
+    build = np.arange(0, 2000, 5, dtype=np.int64)  # every 5th key
+    out = bloom.bloom_prefilter(
+        rd.from_pandas(probe).repartition(4), "custkey", build
+    ).to_pandas()
+    kept = set(out["custkey"])
+    assert set(build) <= kept  # no false negatives, across partitions
+    # payload rides through untouched
+    assert (out["payload"] == out["custkey"] * 7).all()
+
+
+def test_global_row_number_partition_invariant():
+    from medknowledgegraph_ray.stages import ranks
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(rng.permutation(n).astype(np.int64), dtype="int64"),
+            "n_chars": pd.array(rng.integers(0, 50, n).astype(np.int64), dtype="int64"),
+        }
+    )
+    exp = df.sort_values(["n_chars", "doc_id"], kind="mergesort").reset_index(drop=True)
+    exp["rn"] = pd.array(np.arange(1, n + 1), dtype="int64")
+    for parts in (1, 7, 64):
+        out = (
+            ranks.global_row_number(
+                rd.from_pandas(df).repartition(parts), ["n_chars", "doc_id"]
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["doc_id", "n_chars", "rn"]],
+                                      exp[["doc_id", "n_chars", "rn"]])
+
+
+def test_gap_stats_single_event_users_and_ties():
+    from medknowledgegraph_ray.stages import windows
+
+    # user 1: ts 0,10,10,25 -> gaps 10,0,15; user 2: single event -> no row
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+            "ts": pd.to_datetime([0, 10, 10, 25, 99], unit="us").astype("datetime64[us]"),
+            "user_id": pd.array([1, 1, 1, 1, 2], dtype="int64"),
+            "event_type": ["a"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    out = windows.gap_stats(rd.from_pandas(ev).repartition(3)).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["n_gaps"].tolist() == [3]
+    assert out["gap_min_us"].tolist() == [0]
+    assert out["gap_max_us"].tolist() == [15]
+    assert out["gap_sum_us"].tolist() == [25]
