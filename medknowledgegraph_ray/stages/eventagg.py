@@ -336,3 +336,125 @@ def mode_event_per_user(events: rd.Dataset) -> rd.Dataset:
     return top.map_batches(
         lambda b: b[["user_id", "event_type", "n"]], batch_format="pandas"
     )
+
+
+def window_distinct_users(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
+    """COUNT(DISTINCT user_id) per tumbling window — the time-bucketed
+    distinct the per-user profile (user_type_profile) does per key, here
+    per window: two algebraic exchanges (distinct (window, user) pairs,
+    then pair counts per window), so neither pass ever materializes a
+    window's users in one place."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = b["ts"].astype("int64")
+        return pd.DataFrame(
+            {
+                "window_id": (epoch_us // (width_sec * 1_000_000)).astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    pairs = grouped_agg(
+        events.select_columns(["ts", "user_id"]).map_batches(
+            keyed, batch_format="pandas", batch_size=None
+        ),
+        ["window_id", "user_id"],
+        [("one", "count", "c")],
+    )
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_id": b["window_id"].astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    return grouped_agg(
+        pairs.map_batches(one, batch_format="pandas", batch_size=None),
+        ["window_id"],
+        [("one", "sum", "n_users")],
+    )
+
+
+def event_type_cooccurrence(events: rd.Dataset) -> rd.Dataset:
+    """Market-basket pair counts: for every unordered pair of event types,
+    how many users performed BOTH — the co-occurrence / association-rule
+    primitive.
+
+    Shape: distinct (user, type) pairs via one algebraic exchange, then a
+    per-user pair expansion on the ordered scan (each user's distinct
+    types are contiguous after the sort; pairs per user are C(t,2) with t
+    bounded by the type vocabulary, never the event count), then a final
+    key-bounded pair-count exchange.  The expansion kernel is vectorized
+    by run size (one triu_indices per distinct per-user type count)."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    distinct = grouped_agg(
+        events.select_columns(["user_id", "event_type"]).map_batches(
+            keyed, batch_format="pandas", batch_size=None
+        ),
+        ["user_id", "event_type"],
+        [("one", "count", "c")],
+    ).select_columns(["user_id", "event_type"])
+
+    from .windows import _sorted_user_op
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"type_a": pd.array([], dtype="object"),
+                 "type_b": pd.array([], dtype="object")}
+            )
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        n = len(df)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        a_parts, b_parts = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            runs = starts[counts == c]
+            ii, jj = np.triu_indices(int(c), k=1)
+            a_parts.append(t[(runs[:, None] + ii[None, :]).ravel()])
+            b_parts.append(t[(runs[:, None] + jj[None, :]).ravel()])
+        if not a_parts:
+            return pd.DataFrame(
+                {"type_a": pd.array([], dtype="object"),
+                 "type_b": pd.array([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"type_a": np.concatenate(a_parts), "type_b": np.concatenate(b_parts)}
+        )
+
+    pairs = _sorted_user_op(
+        distinct, ["user_id", "event_type"], ["user_id", "event_type"],
+        [False, False], kernel, {"type_a": "object", "type_b": "object"},
+    )
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    return grouped_agg(
+        pairs.map_batches(one, batch_format="pandas", batch_size=None),
+        ["type_a", "type_b"],
+        [("one", "sum", "n_users")],
+    )

@@ -247,3 +247,65 @@ def cap_per_stratum(
         count_col="n_stratum",
         k=k,
     )
+
+
+def weighted_sample_k(
+    docs: rd.Dataset,
+    k: int = 25,
+    *,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 20260817,
+) -> "pd.DataFrame":
+    """Deterministic weighted sample-without-replacement of k rows: select
+    the k smallest priorities u/w, where u = splitmix64(id ⊕ mix(seed)) is
+    the seeded per-row uniform and w the row's weight — heavier rows draw
+    smaller priorities, pairwise P(i beats j) = wᵢ/(wᵢ+wⱼ) (the
+    priority-sampling analog of Efraimidis–Spirakis with a uniform
+    instead of exponential key).
+
+    Oracle-EXACT: priority is ONE float64 division of bit-identical inputs
+    (u from shuffle_key_sql, integer w), so both engines order identical
+    doubles; ties (only possible at equal (u, w) ratios) break by id.
+    Zero/negative-weight rows are excluded on both sides.
+
+    Scale shape: per-block partial top-k, then an O(blocks × k) driver
+    merge — no global sort, no shuffle."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[weight_col] > 0]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.array([], dtype="int64"),
+                    weight_col: pd.array([], dtype="int64"),
+                    "pri": pd.array([], dtype="float64"),
+                }
+            )
+        ids = b[id_col].to_numpy().astype(np.int64)
+        w = b[weight_col].to_numpy().astype(np.int64)
+        pri = _shuffle_keys(ids, seed).astype(np.float64) / w.astype(np.float64)
+        out = pd.DataFrame(
+            {
+                id_col: pd.array(ids, dtype="int64"),
+                weight_col: pd.array(w, dtype="int64"),
+                "pri": pd.array(pri, dtype="float64"),
+            }
+        )
+        return out.sort_values(["pri", id_col], kind="mergesort").head(k)
+
+    cand = docs.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    if "pri" not in cand.columns:
+        # fully-empty candidate set: Ray keeps no blocks (and no schema)
+        # for an all-empty dataset — type the empty result explicitly
+        return pd.DataFrame(
+            {
+                id_col: pd.array([], dtype="int64"),
+                weight_col: pd.array([], dtype="int64"),
+            }
+        )
+    return (
+        cand.sort_values(["pri", id_col], kind="mergesort")
+        .head(k)[[id_col, weight_col]]
+        .reset_index(drop=True)
+    )

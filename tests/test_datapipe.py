@@ -39,7 +39,8 @@ SQL_CHECKED = [
     "dedup_incremental", "doc_iqr_filter", "join_semi_customers", "ev_mode",
     "join_pairs_orders",
     "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
-    "join_promo_ratio",
+    "join_promo_ratio", "ev_window_users", "ev_type_pairs",
+    "doc_weighted_sample",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -1671,6 +1672,59 @@ def test_seg_dedup_semantics():
     assert out["n_kept"].tolist() == [2, 1]
     assert out.loc[0, "text"] == seg_a + " " + seg_b
     assert out.loc[1, "text"] == seg_c
+
+
+def test_event_type_cooccurrence_partition_invariant():
+    from medknowledgegraph_ray.stages import eventagg
+
+    # user 1: {a,b,c} -> ab ac bc; user 2: {a,b} -> ab; user 3: {c} -> none
+    types = {1: ["a", "b", "c", "a"], 2: ["b", "a"], 3: ["c", "c"]}
+    rows = [(u, t) for u, ts in types.items() for t in ts]
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(rows)), dtype="int64"),
+            "ts": pd.to_datetime(range(len(rows)), unit="s").astype("datetime64[us]"),
+            "user_id": pd.array([u for u, _ in rows], dtype="int64"),
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    exp = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    for parts in (1, 5):
+        out = (
+            eventagg.event_type_cooccurrence(rd.from_pandas(ev).repartition(parts))
+            .to_pandas()
+        )
+        got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
+        assert got == exp, (parts, got)
+
+
+def test_weighted_sample_deterministic_and_weight_biased():
+    from medknowledgegraph_ray.stages import shuffle as sh
+
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array(np.arange(n), dtype="int64"),
+            # second half 100x heavier
+            "n_chars": pd.array(
+                np.where(np.arange(n) < n // 2, 1, 100), dtype="int64"
+            ),
+        }
+    )
+    outs = [
+        sh.weighted_sample_k(rd.from_pandas(df).repartition(p), k=50)
+        for p in (1, 8)
+    ]
+    # partition-invariant and deterministic
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # heavy rows dominate the sample (100:1 weights -> expect ~99% heavy)
+    heavy = (outs[0]["doc_id"] >= n // 2).mean()
+    assert heavy > 0.8, heavy
+    # zero-weight rows can never be sampled
+    df0 = df.assign(n_chars=pd.array(np.zeros(n, dtype=np.int64), dtype="int64"))
+    assert len(sh.weighted_sample_k(rd.from_pandas(df0), k=50)) == 0
 
 
 def test_bloom_no_false_negatives_and_bounded_fp():
