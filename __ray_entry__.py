@@ -745,6 +745,15 @@ def _ev_global_quantiles(sf_dir: str):
     )
 
 
+def _ev_quantile_sketch(sf_dir: str):
+    # shuffle-free ONE-PASS approximate quantiles (rows-only: the estimate
+    # is partitioning-dependent within a ±1/(2·compactor) rank band;
+    # tests/test_datapipe.py pins it against the exact distributed
+    # selection) — stages/sketch.quantile_sketch
+    ev = readers.read_table(sf_dir, "events", columns=["value"])
+    return sketch.quantile_sketch(ev, "value", qs=(0.5, 0.9, 0.99))
+
+
 def _ev_histogram(sf_dir: str):
     # fixed-width value histogram: map-only bucketing + the partial-agg
     # sorted exchange (groupagg.grouped_agg) — one row per bucket crosses
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
         "doc_vocab_hll": _doc_vocab_hll,
+        "ev_quantile_sketch": _ev_quantile_sketch,
         "emb_kmeans": _emb_kmeans,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,

@@ -1674,6 +1674,40 @@ def test_seg_dedup_semantics():
     assert out.loc[1, "text"] == seg_c
 
 
+def test_quantile_sketch_within_rank_band():
+    from medknowledgegraph_ray.stages import sketch
+
+    rng = np.random.default_rng(3)
+    n, comp = 100_000, 512
+    vals = rng.lognormal(0.0, 2.0, n)  # heavy-tailed, adversarial for bins
+    df = pd.DataFrame({"value": pd.array(vals, dtype="float64")})
+    srt = np.sort(vals)
+    for parts in (1, 16, 64):
+        out = sketch.quantile_sketch(
+            rd.from_pandas(df).repartition(parts), "value",
+            qs=(0.5, 0.9, 0.99), compactor=comp,
+        )
+        for q, est in zip(out["q"], out["estimate"]):
+            # guaranteed one-sided rank band: ≤ N/compactor off the target
+            rank = np.searchsorted(srt, est, side="right")
+            tol = n / comp + parts  # + per-block integer-split slack
+            assert abs(rank - q * n) <= tol, (parts, q, rank, q * n)
+
+
+def test_quantile_sketch_empty_and_exact_on_small():
+    from medknowledgegraph_ray.stages import sketch
+
+    empty = pd.DataFrame({"value": pd.array([], dtype="float64")})
+    out = sketch.quantile_sketch(rd.from_pandas(empty), "value")
+    assert out["estimate"].isna().all()
+    # compactor >= n: the sketch degenerates to the exact lower quantile
+    small = pd.DataFrame({"value": pd.array(np.arange(100.0), dtype="float64")})
+    out = sketch.quantile_sketch(
+        rd.from_pandas(small).repartition(1), "value", qs=(0.5,), compactor=512
+    )
+    assert out["estimate"].tolist() == [49.0]
+
+
 def test_event_type_cooccurrence_partition_invariant():
     from medknowledgegraph_ray.stages import eventagg
 
