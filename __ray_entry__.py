@@ -486,6 +486,15 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _doc_typo_pairs(sf_dir: str):
+    # edit-distance-1 similarity join over the transcript vocabulary via
+    # FastSS deletion neighborhoods: recall-1 bucketing theorem + exact
+    # verify (stages/editdist.py); the oracle is the all-pairs Levenshtein
+    from medknowledgegraph_ray.stages import editdist
+
+    return editdist.typo_pairs(readers.read_transcripts(sf_dir, ["text"]))
+
+
 def _ev_window_users(sf_dir: str):
     # COUNT(DISTINCT user_id) per tumbling hour: two algebraic exchanges,
     # no per-window materialization (stages/eventagg.window_distinct_users)
@@ -1089,7 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
         "kg_abbrev_defs": kg.abbrev_definitions,
-        "kg_mentions_resolved": kg.mentions_resolved,
+        "doc_typo_pairs": _doc_typo_pairs,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_mentions_resolved": kg.mentions_resolved,
         "kg_mentions_user": kg.user_mentions,
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
@@ -1913,6 +1923,18 @@ def oracle_sql() -> dict[str, str]:
             " o.o_orderkey AS o_orderkey"
             " FROM orders f JOIN orders o ON f.o_custkey = o.o_custkey"
             " WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'"
+        ),
+        # all-pairs Levenshtein over the length-filtered vocabulary — the
+        # exact oracle for the FastSS deletion-neighborhood join (recall 1
+        # by the shared-variant theorem, precision from the verify pass)
+        "doc_typo_pairs": (
+            "WITH t0 AS (SELECT DISTINCT"
+            "  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok"
+            f"  FROM read_parquet('{_gen_paths()['transcripts']}')),"
+            " t AS (SELECT tok FROM t0 WHERE length(tok) >= 6)"
+            " SELECT a.tok AS tok_a, b.tok AS tok_b FROM t a JOIN t b"
+            " ON a.tok < b.tok AND abs(length(a.tok) - length(b.tok)) <= 1"
+            " AND levenshtein(a.tok, b.tok) <= 1"
         ),
         "ev_window_users": (
             "SELECT epoch_us(ts) // 3600000000 AS window_id,"

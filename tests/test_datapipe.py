@@ -1674,6 +1674,61 @@ def test_seg_dedup_semantics():
     assert out.loc[1, "text"] == seg_c
 
 
+def test_lev_le1_kernel_and_typo_pairs_guard():
+    from medknowledgegraph_ray.stages import editdist
+
+    le1 = editdist._lev_le1
+    assert le1("receive", "recieve") is False      # transposition = 2 edits
+    assert le1("receive", "receive") is True
+    assert le1("receive", "rezeive") is True       # substitution
+    assert le1("receive", "receives") is True      # insertion
+    assert le1("receive", "recive") is True        # deletion
+    assert le1("banana", "bananas") is True
+    assert le1("abc", "abcde") is False            # distance 2
+
+    # hot-variant bucket must fail loudly
+    toks = [f"aa{i:03d}" for i in range(30)]
+    docs = pd.DataFrame({"text": [" ".join(toks)]})
+    import pytest as _pytest
+    old = editdist.MAX_BUCKET
+    editdist.MAX_BUCKET = 3
+    try:
+        with _pytest.raises(RuntimeError, match="variant bucket"):
+            editdist.typo_pairs(rd.from_pandas(docs), min_len=5).to_pandas()
+    finally:
+        editdist.MAX_BUCKET = old
+
+
+def test_typo_pairs_matches_brute_force():
+    from medknowledgegraph_ray.stages import editdist
+
+    rng = np.random.default_rng(5)
+    base = ["gradient", "gradiant", "gradients", "descent", "descend",
+            "descents", "softmax", "sofmax", "logits", "digits", "dights",
+            "attention", "atention", "attentions", "pooling", "cooling"]
+    texts = [" ".join(rng.choice(base, 6)) for _ in range(40)]
+    docs = pd.DataFrame({"text": texts})
+    out = editdist.typo_pairs(rd.from_pandas(docs).repartition(7), min_len=6)
+    got = {tuple(r) for r in out.to_pandas()[["tok_a", "tok_b"]].values}
+    vocab = sorted({t for txt in texts for t in txt.split() if len(t) >= 6})
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = {(a, b) for i, a in enumerate(vocab) for b in vocab[i + 1:]
+           if lev(a, b) <= 1}
+    assert got == exp
+
+
 def test_quantile_sketch_within_rank_band():
     from medknowledgegraph_ray.stages import sketch
 

@@ -40,7 +40,8 @@ def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["kg_mentions", "kg_links", "kg_top_cuis", "kg_edges", "kg_nodes"]
+    "name", ["kg_mentions", "kg_links", "kg_top_cuis", "kg_edges", "kg_nodes",
+             "doc_typo_pairs"]
 )
 def test_oracle_parity(name, sf_dir):
     eng = _entry.queries()[name](sf_dir).to_pandas()
