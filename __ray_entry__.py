@@ -486,6 +486,20 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _ev_time_window(sf_dir: str):
+    # time-based RANGE-frame rolling sum (peers included) — all-integer
+    # exact, one cumsum + two binary searches per run
+    # (stages/windows.time_window_sum)
+    return windows.time_window_sum(readers.read_table(sf_dir, "events"))
+
+
+def _agg_grouping_sets(sf_dir: str):
+    # GROUP BY GROUPING SETS ((flag),(status)) — the arbitrary-set member
+    # of the rollup/cube family, key-bounded re-aggregation of one corpus
+    # pass (pipelines/analytics.lineitem_grouping_sets)
+    return analytics.lineitem_grouping_sets(sf_dir)
+
+
 def _doc_typo_pairs(sf_dir: str):
     # edit-distance-1 similarity join over the transcript vocabulary via
     # FastSS deletion neighborhoods: recall-1 bucketing theorem + exact
@@ -1095,10 +1109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
-        "kg_term_convs": _kg_term_convs,
-        "kg_top_cuis_strict": _kg_top_cuis_strict,
         "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
+        "ev_time_window": _ev_time_window,
+        "agg_grouping_sets": _agg_grouping_sets,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1132,6 +1146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_term_convs": _kg_term_convs,
+        "kg_top_cuis_strict": _kg_top_cuis_strict,
         "kg_mentions_resolved": kg.mentions_resolved,
         "kg_mentions_user": kg.user_mentions,
         "kg_tool_counts": kg.tool_counts,
@@ -1923,6 +1939,29 @@ def oracle_sql() -> dict[str, str]:
             " o.o_orderkey AS o_orderkey"
             " FROM orders f JOIN orders o ON f.o_custkey = o.o_custkey"
             " WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'"
+        ),
+        # RANGE frame: peers of the current ts are included regardless of
+        # tie order, so the tie-broken sort is value-invariant
+        "ev_time_window": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events)"
+            " SELECT user_id, event_id, ts_us, value_e6,"
+            "  CAST(SUM(value_e6) OVER (PARTITION BY user_id ORDER BY ts_us"
+            "   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            "   AS win_sum_e6"
+            " FROM e"
+        ),
+        "agg_grouping_sets": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"
+            " COALESCE(l_linestatus, 'ALL') AS l_linestatus,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            "  AS sum_base_price_c,"
+            " CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS sum_revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem"
+            " GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
         ),
         # all-pairs Levenshtein over the length-filtered vocabulary — the
         # exact oracle for the FastSS deletion-neighborhood join (recall 1

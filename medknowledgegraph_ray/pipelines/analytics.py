@@ -231,6 +231,24 @@ def lineitem_cube(sf_dir: str) -> "pd.DataFrame":
     return out
 
 
+def lineitem_grouping_sets(sf_dir: str) -> "pd.DataFrame":
+    """GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)): the two
+    single-dimension marginals WITHOUT the finest level or grand total —
+    the arbitrary-set member of the rollup/cube family.  Same key-bounded
+    funnel: one corpus pass (lineitem_agg), marginals re-aggregated from
+    its few rows."""
+    fin = lineitem_agg(sf_dir).to_pandas()
+    vals = ["sum_qty", "sum_base_price_c", "sum_revenue_e4", "n_rows"]
+    by_flag = fin.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_flag.insert(1, "l_linestatus", "ALL")
+    by_status = fin.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_status.insert(0, "l_returnflag", "ALL")
+    out = pd.concat([by_flag, by_status], ignore_index=True)
+    for c in vals:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def per_customer_order_totals(sf_dir: str) -> rd.Dataset:
     """Per-customer order revenue (exact cents) and order count — the fact
     table pre-aggregated on the partial exchange (corpus → |customers|

@@ -662,6 +662,47 @@ def running_aggregates(events: rd.Dataset, w: int = 3) -> rd.Dataset:
     )
 
 
+def time_window_sum(events: rd.Dataset, window_sec: int = 3600) -> rd.Dataset:
+    """Per-user time-based rolling sum — SUM(value) OVER (PARTITION BY user
+    ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW), the
+    RANGE-frame companion to running_aggregates' ROWS frame.
+
+    All-integer exact (µs timestamps, e-6 values), and tie-correct: a RANGE
+    frame includes every PEER of the current timestamp, even rows ordered
+    after it, which the kernel honors via searchsorted(side='right').  The
+    scan is one cumsum plus two binary searches per run — the Python loop
+    is per RUN (keys per block), never per row."""
+    w_us = window_sec * 1_000_000
+    prepped, raw = _prep_events(events, ("event_id", "ts_us", "value_e6"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return df.assign(win_sum_e6=pd.array([], dtype="int64"))
+        u = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        v = df["value_e6"].to_numpy()
+        new, _ = _run_firsts(u)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        cs = np.cumsum(v)
+        pre = cs - v  # exclusive prefix
+        out = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            t_run = ts[s:e]
+            lo = s + np.searchsorted(t_run, t_run - w_us, side="left")
+            hi = s + np.searchsorted(t_run, t_run, side="right") - 1
+            out[s:e] = cs[hi] - pre[lo]
+        return df.assign(win_sum_e6=pd.array(out, dtype="int64"))
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "value_e6": "int64", "win_sum_e6": "int64"},
+    )
+
+
 def gap_stats(events: rd.Dataset) -> rd.Dataset:
     """Per-user inter-arrival gap statistics (count / min / max / sum of
     consecutive timestamp deltas in µs) — the cadence profile a streaming

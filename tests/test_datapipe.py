@@ -40,7 +40,7 @@ SQL_CHECKED = [
     "join_pairs_orders",
     "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
     "join_promo_ratio", "ev_window_users", "ev_type_pairs",
-    "doc_weighted_sample",
+    "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -1672,6 +1672,36 @@ def test_seg_dedup_semantics():
     assert out["n_kept"].tolist() == [2, 1]
     assert out.loc[0, "text"] == seg_a + " " + seg_b
     assert out.loc[1, "text"] == seg_c
+
+
+def test_time_window_sum_peers_and_boundaries():
+    from medknowledgegraph_ray.stages import windows
+
+    # user 1 at ts (µs): 0, 50, 100, 100, 161 with window 100µs
+    # row at 161: frame [61, 161] -> excludes 0 and 50
+    # rows at 100 (peers): frame [0, 100] includes BOTH 100s + 50 + 0
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+            "ts": pd.to_datetime([0, 50, 100, 100, 161], unit="us").astype("datetime64[us]"),
+            "user_id": pd.array([1] * 5, dtype="int64"),
+            "event_type": ["a"] * 5,
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    out = (
+        windows.time_window_sum(rd.from_pandas(ev).repartition(3), window_sec=0.0001)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # window_sec 0.0001 -> 100µs
+    assert out["win_sum_e6"].tolist() == [
+        1_000_000,            # [−100, 0]: just itself
+        3_000_000,            # [−50, 50]: 1+2
+        15_000_000,           # [0, 100]: 1+2+4+8 (peer included)
+        15_000_000,           # same frame for the peer
+        28_000_000,           # [61, 161]: 4+8+16
+    ]
 
 
 def test_lev_le1_kernel_and_typo_pairs_guard():
