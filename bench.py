@@ -179,6 +179,19 @@ def run_bench() -> dict:
         t0 = time.time()
         _oa.seg_dedup(docs()).count()
         queries["doc_seg_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _w.time_window_sum(_r.read_table(sf_dir, "events")).count()
+        queries["ev_time_window"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import editdist as _ed
+
+        t0 = time.time()
+        _ed.typo_pairs(_r.read_transcripts(sf_dir, ["text"])).count()
+        queries["doc_typo_pairs"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.pipelines import analytics as _an
+
+        t0 = time.time()
+        _an.segment_orders_bloom(sf_dir).count()
+        queries["join_bloom_orders"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);

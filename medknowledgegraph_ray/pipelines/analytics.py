@@ -366,15 +366,17 @@ def segment_orders_bloom(sf_dir: str, segment: str = "BUILDING") -> rd.Dataset:
     def ckey(t: pa.Table) -> pa.Table:
         return pa.table({"custkey": pc.cast(t["c_custkey"], pa.int64())})
 
-    cust = cust.map_batches(ckey, batch_format="pyarrow", batch_size=None)
-    n_build = cust.count()
-    if n_build > BLOOM_BUILD_MAX:
+    cust = cust.map_batches(ckey, batch_format="pyarrow", batch_size=None).materialize()
+    # bounded single gather: limit(+1) caps driver memory even when the
+    # gate trips, and avoids a separate count() execution of the filter
+    capped = cust.limit(BLOOM_BUILD_MAX + 1).to_pandas()
+    if len(capped) > BLOOM_BUILD_MAX:
         raise NotImplementedError(
-            f"bloom build side {n_build} rows > {BLOOM_BUILD_MAX}: gather "
+            f"bloom build side exceeds {BLOOM_BUILD_MAX} rows: gather "
             "per-block partial bit arrays and OR-merge instead of a "
             "driver-side id gather"
         )
-    build_ids = cust.to_pandas()["custkey"].to_numpy()
+    build_ids = capped["custkey"].to_numpy()
 
     orders = readers.read_table(
         sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"]
