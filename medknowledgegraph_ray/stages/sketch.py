@@ -128,6 +128,12 @@ def distinct_token_count(docs: rd.Dataset) -> pd.DataFrame:
     )
 
 
+# flat driver gathers above this many summary points route through one
+# hierarchical re-compaction pass (costing one extra N/compactor of
+# one-sided rank error) so driver state stays bounded at any block count
+DRIVER_SUMMARY_MAX = 1_000_000
+
+
 def quantile_sketch(
     ds: rd.Dataset, col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     compactor: int = 512,
@@ -168,9 +174,40 @@ def quantile_sketch(
             }
         )
 
-    summ = ds.map_batches(
+    def compact(b: pd.DataFrame) -> pd.DataFrame:
+        """Re-compact a batch of weighted summary points to `compactor`
+        points — the hierarchical combine step.  Same one-sided rule: each
+        kept point is the max of the weight range it absorbs, adding at
+        most (batch weight)/compactor of one-sided rank error."""
+        if len(b) <= compactor:
+            return b
+        b = b.sort_values("v", kind="mergesort")
+        cw = b["w"].to_numpy().cumsum()
+        total = cw[-1]
+        targets = np.minimum((np.arange(1, compactor + 1) * total) // compactor, total)
+        idx = np.searchsorted(cw, targets, side="left")
+        idx = np.unique(idx)
+        kept_cw = cw[idx]
+        w = np.diff(np.concatenate([[0], kept_cw])).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "v": pd.array(b["v"].to_numpy()[idx], dtype="float64"),
+                "w": pd.array(w, dtype="int64"),
+            }
+        )
+
+    summaries = ds.map_batches(
         summarize, batch_format="pandas", batch_size=None
-    ).to_pandas()
+    ).materialize()  # small (blocks × compactor rows); count() is metadata
+    # hierarchical combine: at 100 TB the flat gather is blocks × compactor
+    # rows (10⁵ blocks → ~5·10⁷ points) — too much driver state.  One
+    # repartition + per-partition re-compaction bounds the gather at
+    # partitions × compactor for one extra N/compactor of one-sided error.
+    if summaries.count() > DRIVER_SUMMARY_MAX:
+        summaries = summaries.repartition(32).map_batches(
+            compact, batch_format="pandas", batch_size=None
+        )
+    summ = summaries.to_pandas()
     if len(summ) == 0:
         return pd.DataFrame(
             {"q": pd.array(list(qs), dtype="float64"),

@@ -1674,6 +1674,41 @@ def test_seg_dedup_semantics():
     assert out.loc[1, "text"] == seg_c
 
 
+def test_time_window_sum_randomized_vs_duckdb():
+    from medknowledgegraph_ray.stages import windows
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    # dense ts with many exact collisions to stress peer semantics
+    ts_us = rng.integers(0, 2_000, n) * 1_000_000
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(np.arange(n), dtype="int64"),
+            "ts": pd.to_datetime(ts_us, unit="us").astype("datetime64[us]"),
+            "user_id": pd.array(rng.integers(0, 25, n), dtype="int64"),
+            "event_type": ["a"] * n,
+            "value": rng.integers(0, 1000, n) / 4.0,
+            "props": ["{}"] * n,
+        }
+    )
+    out = (
+        windows.time_window_sum(rd.from_pandas(ev).repartition(9), window_sec=300)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", ev)
+    exp = con.sql(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+        " CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM ev)"
+        " SELECT user_id, event_id, ts_us, value_e6,"
+        " CAST(SUM(value_e6) OVER (PARTITION BY user_id ORDER BY ts_us"
+        "  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        "  AS win_sum_e6 FROM e ORDER BY event_id"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out[list(exp.columns)], exp)
+
+
 def test_time_window_sum_peers_and_boundaries():
     from medknowledgegraph_ray.stages import windows
 
@@ -1777,6 +1812,27 @@ def test_quantile_sketch_within_rank_band():
             rank = np.searchsorted(srt, est, side="right")
             tol = n / comp + parts  # + per-block integer-split slack
             assert abs(rank - q * n) <= tol, (parts, q, rank, q * n)
+
+
+def test_quantile_sketch_hierarchical_path_within_band(monkeypatch):
+    from medknowledgegraph_ray.stages import sketch
+
+    rng = np.random.default_rng(17)
+    n, comp = 60_000, 256
+    vals = rng.normal(0.0, 10.0, n)
+    df = pd.DataFrame({"value": pd.array(vals, dtype="float64")})
+    srt = np.sort(vals)
+    # force the hierarchical re-compaction pass (an extra N/compactor of
+    # one-sided error on top of the per-block band)
+    monkeypatch.setattr(sketch, "DRIVER_SUMMARY_MAX", 100)
+    out = sketch.quantile_sketch(
+        rd.from_pandas(df).repartition(32), "value", qs=(0.5, 0.95),
+        compactor=comp,
+    )
+    for q, est in zip(out["q"], out["estimate"]):
+        rank = np.searchsorted(srt, est, side="right")
+        tol = 2 * n / comp + 64
+        assert abs(rank - q * n) <= tol, (q, rank, q * n)
 
 
 def test_quantile_sketch_empty_and_exact_on_small():
