@@ -486,6 +486,12 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _ev_coverage(sf_dir: str):
+    # per-user interval-UNION coverage (overlapping activity halos merged
+    # by a vectorized sweep line) — stages/windows.activity_coverage
+    return windows.activity_coverage(readers.read_table(sf_dir, "events"))
+
+
 def _ev_time_window(sf_dir: str):
     # time-based RANGE-frame rolling sum (peers included) — all-integer
     # exact, one cumsum + two binary searches per run
@@ -1108,11 +1114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
-        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
         "agg_grouping_sets": _agg_grouping_sets,
+        "ev_coverage": _ev_coverage,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1146,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
         "kg_mentions_resolved": kg.mentions_resolved,
@@ -1939,6 +1946,24 @@ def oracle_sql() -> dict[str, str]:
             " o.o_orderkey AS o_orderkey"
             " FROM orders f JOIN orders o ON f.o_custkey = o.o_custkey"
             " WHERE f.o_orderstatus = 'F' AND o.o_orderstatus = 'O'"
+        ),
+        # interval union by islands: a start can never open an island at a
+        # ts tie (the peer's end ≥ its start), so the window order is
+        # value-invariant; all µs integers
+        "ev_coverage": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS s,"
+            "  epoch_us(ts) + 300000000 AS e FROM events),"
+            " o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id"
+            "  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "  AS prev_max FROM e),"
+            " f AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL"
+            "  OR s > prev_max THEN 1 ELSE 0 END AS ni FROM o),"
+            " g AS (SELECT user_id, s, e, sum(ni) OVER (PARTITION BY user_id"
+            "  ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM f),"
+            " i AS (SELECT user_id, island, max(e) - min(s) AS cov"
+            "  FROM g GROUP BY 1, 2)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,"
+            " CAST(sum(cov) AS BIGINT) AS coverage_us FROM i GROUP BY 1"
         ),
         # RANGE frame: peers of the current ts are included regardless of
         # tie order, so the tie-broken sort is value-invariant

@@ -703,6 +703,63 @@ def time_window_sum(events: rd.Dataset, window_sec: int = 3600) -> rd.Dataset:
     )
 
 
+def activity_coverage(events: rd.Dataset, halo_sec: int = 300) -> rd.Dataset:
+    """Per-user interval-UNION length: each event spans [ts, ts + halo];
+    overlapping spans merge (sweep line), and the user's coverage is the
+    summed length of the merged islands — "how much wall-clock was this
+    user active", the interval-coverage primitive session gaps can't give.
+
+    Vectorized sweep line on the ordered scan: running max of interval
+    ends per run, an island starts where the next start exceeds every
+    previous end, reduceat over island boundaries.  All int64 µs — exact,
+    and tie-order invariant (equal starts can never open an island: the
+    peer's end ≥ its start)."""
+    h_us = halo_sec * 1_000_000
+    prepped, raw = _prep_events(events, ("ts_us", "event_id"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.array([], dtype="int64"),
+                "n_islands": pd.array([], dtype="int64"),
+                "coverage_us": pd.array([], dtype="int64"),
+            })
+        u = df["user_id"].to_numpy()
+        s = df["ts_us"].to_numpy()
+        e = s + h_us
+        n = len(df)
+        new_run, first = _run_firsts(u)
+        # running max of e within each run (reset at run starts): standard
+        # segmented cummax via offsetting each run into a disjoint band is
+        # overflow-prone at µs scale, so do it per run — runs per block,
+        # never rows
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        ce = np.empty(n, dtype=np.int64)
+        for a, b in zip(starts, ends):
+            ce[a:b] = np.maximum.accumulate(e[a:b])
+        new_island = new_run.copy()
+        new_island[1:] |= (~new_run[1:]) & (s[1:] > ce[:-1])
+        isl = np.flatnonzero(new_island)
+        isl_end = np.append(isl[1:], n)
+        cov = ce[isl_end - 1] - s[isl]
+        run_of_island = np.searchsorted(starts, isl, side="right") - 1
+        n_isl = np.bincount(run_of_island, minlength=len(starts)).astype(np.int64)
+        cov_sum = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(cov_sum, run_of_island, cov)
+        return pd.DataFrame({
+            "user_id": pd.array(u[starts], dtype="int64"),
+            "n_islands": pd.array(n_isl, dtype="int64"),
+            "coverage_us": pd.array(cov_sum, dtype="int64"),
+        })
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "n_islands": "int64", "coverage_us": "int64"},
+    )
+
+
 def gap_stats(events: rd.Dataset) -> rd.Dataset:
     """Per-user inter-arrival gap statistics (count / min / max / sum of
     consecutive timestamp deltas in µs) — the cadence profile a streaming

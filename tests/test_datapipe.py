@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
     "join_promo_ratio", "ev_window_users", "ev_type_pairs",
     "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
+    "ev_coverage",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -1672,6 +1673,29 @@ def test_seg_dedup_semantics():
     assert out["n_kept"].tolist() == [2, 1]
     assert out.loc[0, "text"] == seg_a + " " + seg_b
     assert out.loc[1, "text"] == seg_c
+
+
+def test_activity_coverage_islands():
+    from medknowledgegraph_ray.stages import windows
+
+    # halo 100µs; user 1 at ts 0, 50, 300 -> islands [0,150] + [300,400]
+    # = 250µs; user 2 single event -> 100µs
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "ts": pd.to_datetime([0, 50, 300, 999], unit="us").astype("datetime64[us]"),
+            "user_id": pd.array([1, 1, 1, 2], dtype="int64"),
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    out = (
+        windows.activity_coverage(rd.from_pandas(ev).repartition(3), halo_sec=0.0001)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["n_islands"].tolist() == [2, 1]
+    assert out["coverage_us"].tolist() == [250, 100]
 
 
 def test_time_window_sum_randomized_vs_duckdb():
