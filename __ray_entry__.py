@@ -486,6 +486,12 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _dedup_cluster_sizes(sf_dir: str):
+    # duplicate-cluster size histogram (corpus-QA report): two algebraic
+    # exchanges over the exact-dedup counts (stages/dedupe.dup_cluster_sizes)
+    return dedupe.dup_cluster_sizes(_docs(sf_dir))
+
+
 def _ev_coverage(sf_dir: str):
     # per-user interval-UNION coverage (overlapping activity halos merged
     # by a vectorized sweep line) — stages/windows.activity_coverage
@@ -1113,12 +1119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg.nodes,
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
-        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
         "agg_grouping_sets": _agg_grouping_sets,
         "ev_coverage": _ev_coverage,
+        "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1152,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         "kg_term_convs": _kg_term_convs,
         "kg_top_cuis_strict": _kg_top_cuis_strict,
@@ -1975,6 +1982,12 @@ def oracle_sql() -> dict[str, str]:
             "   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)"
             "   AS win_sum_e6"
             " FROM e"
+        ),
+        "dedup_cluster_sizes": (
+            "WITH c AS (SELECT md5(text) AS k, count(*) AS n"
+            " FROM documents GROUP BY 1)"
+            " SELECT CAST(n AS BIGINT) AS cluster_size,"
+            " CAST(count(*) AS BIGINT) AS n_clusters FROM c GROUP BY 1"
         ),
         "agg_grouping_sets": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,"

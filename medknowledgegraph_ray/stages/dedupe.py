@@ -73,6 +73,31 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def dup_cluster_sizes(docs: rd.Dataset) -> rd.Dataset:
+    """Duplicate-cluster size histogram — the corpus-QA report behind an
+    exact dedup: how many text clusters exist at each multiplicity
+    (cluster_size 1 = unique docs, 2+ = duplicated).  Two algebraic
+    exchanges (per-hash counts, then counts-of-counts); the second input
+    is |distinct texts| rows, the output |distinct multiplicities|."""
+    from .groupagg import grouped_agg
+
+    counts = exact_dedup(docs)
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster_size": b["n_dups"].astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    return grouped_agg(
+        counts.map_batches(one, batch_format="pandas", batch_size=None),
+        ["cluster_size"],
+        [("one", "sum", "n_clusters")],
+    )
+
+
 def canonical_docs(docs: rd.Dataset) -> rd.Dataset:
     """Exact dedup that keeps the winning ROW (full payload), not just the
     group key: per distinct text, the row minimizing (source, doc_id) — a

@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
     "join_promo_ratio", "ev_window_users", "ev_type_pairs",
     "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
-    "ev_coverage",
+    "ev_coverage", "dedup_cluster_sizes",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -1673,6 +1673,23 @@ def test_seg_dedup_semantics():
     assert out["n_kept"].tolist() == [2, 1]
     assert out.loc[0, "text"] == seg_a + " " + seg_b
     assert out.loc[1, "text"] == seg_c
+
+
+def test_dup_cluster_sizes_histogram():
+    from medknowledgegraph_ray.stages import dedupe
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(7), dtype="int64"),
+            "text": ["a", "a", "a", "b", "b", "c", "d"],
+        }
+    )
+    out = (
+        dedupe.dup_cluster_sizes(rd.from_pandas(docs).repartition(4))
+        .to_pandas().sort_values("cluster_size").reset_index(drop=True)
+    )
+    assert out["cluster_size"].tolist() == [1, 2, 3]
+    assert out["n_clusters"].tolist() == [2, 1, 1]
 
 
 def test_activity_coverage_islands():
