@@ -486,6 +486,13 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _ev_transitions(sf_dir: str):
+    # Markov transition counts (consecutive event-type pairs per user):
+    # ordered scan -> key-bounded count exchange
+    # (stages/eventagg.event_transitions)
+    return eventagg.event_transitions(readers.read_table(sf_dir, "events"))
+
+
 def _dedup_cluster_sizes(sf_dir: str):
     # duplicate-cluster size histogram (corpus-QA report): two algebraic
     # exchanges over the exact-dedup counts (stages/dedupe.dup_cluster_sizes)
@@ -1118,13 +1125,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
-        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
         "agg_grouping_sets": _agg_grouping_sets,
         "ev_coverage": _ev_coverage,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "ev_transitions": _ev_transitions,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1158,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
         "kg_term_convs": _kg_term_convs,
@@ -1982,6 +1990,14 @@ def oracle_sql() -> dict[str, str]:
             "   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)"
             "   AS win_sum_e6"
             " FROM e"
+        ),
+        "ev_transitions": (
+            "WITH e AS (SELECT user_id, event_type, lead(event_type) OVER"
+            " (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt"
+            " FROM events)"
+            " SELECT event_type AS type_from, nxt AS type_to,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2"
         ),
         "dedup_cluster_sizes": (
             "WITH c AS (SELECT md5(text) AS k, count(*) AS n"

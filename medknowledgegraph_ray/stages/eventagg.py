@@ -338,6 +338,67 @@ def mode_event_per_user(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def event_transitions(events: rd.Dataset) -> rd.Dataset:
+    """Markov transition counts: for every ordered pair of event types,
+    how often one immediately follows the other within a user's stream —
+    the behavioral-sequence primitive (funnel discovery, next-action
+    models).  One ordered scan emitting consecutive-pair rows per run,
+    then a key-bounded (|types|²) count exchange."""
+    from .windows import _sorted_user_op
+
+    # event_type must ride the scan; windows._prep_events only scales
+    # numerics, so project directly and sort on (user, ts, event_id)
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    prepped = events.select_columns(["user_id", "ts", "event_id", "event_type"]).map_batches(
+        keyed, batch_format="pandas", batch_size=None
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"type_from": pd.array([], dtype="object"),
+             "type_to": pd.array([], dtype="object")}
+        )
+        n = len(df)
+        if n < 2:
+            return empty
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        return pd.DataFrame({"type_from": t[:-1][same], "type_to": t[1:][same]})
+
+    pairs = _sorted_user_op(
+        prepped, ["user_id", "ts_us", "event_id", "event_type"],
+        ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel, {"type_from": "object", "type_to": "object"},
+    )
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "type_from": b["type_from"],
+                "type_to": b["type_to"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    return grouped_agg(
+        pairs.map_batches(one, batch_format="pandas", batch_size=None),
+        ["type_from", "type_to"],
+        [("one", "sum", "n")],
+    )
+
+
 def window_distinct_users(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
     """COUNT(DISTINCT user_id) per tumbling window — the time-bucketed
     distinct the per-user profile (user_type_profile) does per key, here

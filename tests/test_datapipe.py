@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "ev_gaps", "ev_trend", "doc_length_rank", "join_bloom_orders",
     "join_promo_ratio", "ev_window_users", "ev_type_pairs",
     "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
-    "ev_coverage", "dedup_cluster_sizes",
+    "ev_coverage", "dedup_cluster_sizes", "ev_transitions",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
