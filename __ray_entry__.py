@@ -486,6 +486,13 @@ def _join_promo_ratio(sf_dir: str):
     return analytics.promo_revenue_ratio(sf_dir)
 
 
+def _ev_running_distinct(sf_dir: str):
+    # running COUNT(DISTINCT event_type) per user — first-occurrence flags
+    # + segmented cumsum on one ordered scan
+    # (stages/eventagg.running_distinct_types)
+    return eventagg.running_distinct_types(readers.read_table(sf_dir, "events"))
+
+
 def _ev_transitions(sf_dir: str):
     # Markov transition counts (consecutive event-type pairs per user):
     # ordered scan -> key-bounded count exchange
@@ -1119,7 +1126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_selected_cuis": kg.selected_cuis,
         "kg_genes": kg.genes,
         "kg_snomed": kg.snomed,
-        "kg_clinical_features": kg.clinical_features,
         "kg_proteins": kg.proteins,
         "kg_go": kg.go_terms,
         "kg_edges": kg.edges,
@@ -1132,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_coverage": _ev_coverage,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "ev_transitions": _ev_transitions,
+        "ev_running_distinct": _ev_running_distinct,
         "ev_window_users": _ev_window_users,
         "ev_type_pairs": _ev_type_pairs,
         "doc_weighted_sample": _doc_weighted_sample,
@@ -1165,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
@@ -1990,6 +1998,19 @@ def oracle_sql() -> dict[str, str]:
             "   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)"
             "   AS win_sum_e6"
             " FROM e"
+        ),
+        # COUNT(DISTINCT) OVER is unsupported in SQL windows; equivalent:
+        # first-occurrence flag per (user, type), then a running sum
+        "ev_running_distinct": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "  event_type FROM events),"
+            " f AS (SELECT user_id, event_id, ts_us,"
+            "  CASE WHEN row_number() OVER (PARTITION BY user_id, event_type"
+            "   ORDER BY ts_us, event_id) = 1 THEN 1 ELSE 0 END AS fst FROM e)"
+            " SELECT user_id, event_id, ts_us,"
+            " CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts_us, event_id"
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen"
+            " FROM f"
         ),
         "ev_transitions": (
             "WITH e AS (SELECT user_id, event_type, lead(event_type) OVER"

@@ -399,6 +399,61 @@ def event_transitions(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def running_distinct_types(events: rd.Dataset) -> rd.Dataset:
+    """Running COUNT(DISTINCT event_type) per user over time — "how many
+    distinct actions has this user taken so far", the cumulative-novelty
+    curve.  SQL window functions cannot COUNT(DISTINCT) directly; here it
+    is one ordered scan: flag each row that is its (user, type)'s first
+    occurrence (vectorized duplicated() on the time-sorted frame), then a
+    segmented cumsum of the flags."""
+    from .windows import _run_firsts, _sorted_user_op
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    prepped = events.select_columns(["user_id", "ts", "event_id", "event_type"]).map_batches(
+        keyed, batch_format="pandas", batch_size=None
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "ts_us": pd.array([], dtype="int64"),
+                    "n_types_seen": pd.array([], dtype="int64"),
+                }
+            )
+        first = (~df.duplicated(["user_id", "event_type"])).to_numpy().astype(np.int64)
+        cs = np.cumsum(first)
+        _, run_first = _run_firsts(df["user_id"].to_numpy())
+        seen = cs - (cs[run_first] - first[run_first])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "ts_us": df["ts_us"].to_numpy(),
+                "n_types_seen": pd.array(seen, dtype="int64"),
+            }
+        )
+
+    return _sorted_user_op(
+        prepped, ["user_id", "ts_us", "event_id", "event_type"],
+        ["user_id", "ts_us", "event_id"], [False, False, False],
+        kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "n_types_seen": "int64"},
+    )
+
+
 def window_distinct_users(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
     """COUNT(DISTINCT user_id) per tumbling window — the time-bucketed
     distinct the per-user profile (user_type_profile) does per key, here

@@ -42,6 +42,7 @@ SQL_CHECKED = [
     "join_promo_ratio", "ev_window_users", "ev_type_pairs",
     "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
     "ev_coverage", "dedup_cluster_sizes", "ev_transitions",
+    "ev_running_distinct",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
