@@ -52,6 +52,43 @@ def _variants(tok: str) -> list[str]:
     return list({tok, *(tok[:i] + tok[i + 1:] for i in range(len(tok)))})
 
 
+def _expand_variant_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-run candidate pair expansion over a (variant, tok)-sorted frame
+    — the bucket kernel, with the loud hot-variant guard."""
+    empty = pd.DataFrame(
+        {"tok_a": pd.array([], dtype="object"),
+         "tok_b": pd.array([], dtype="object")}
+    )
+    if len(df) == 0:
+        return empty
+    v = df["variant"].to_numpy()
+    t = df["tok"].to_numpy()
+    n = len(df)
+    new = np.ones(n, dtype=bool)
+    new[1:] = v[1:] != v[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n))
+    big = counts.max(initial=0)
+    if big > MAX_BUCKET:
+        raise RuntimeError(
+            f"typo_pairs: variant bucket of {big} tokens > {MAX_BUCKET} "
+            f"(hot deletion variant) — raise min_len or shard the bucket"
+        )
+    a_parts, b_parts = [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        runs = starts[counts == c]
+        ii, jj = np.triu_indices(int(c), k=1)
+        a_parts.append(t[(runs[:, None] + ii[None, :]).ravel()])
+        b_parts.append(t[(runs[:, None] + jj[None, :]).ravel()])
+    if not a_parts:
+        return empty
+    return pd.DataFrame(
+        {"tok_a": np.concatenate(a_parts), "tok_b": np.concatenate(b_parts)}
+    )
+
+
 def typo_pairs(docs: rd.Dataset, text_col: str = "text", min_len: int = 6) -> rd.Dataset:
     """All unordered token pairs (tok_a < tok_b) of the corpus vocabulary
     (tokens of length ≥ `min_len`) within Levenshtein distance 1."""
@@ -82,38 +119,7 @@ def typo_pairs(docs: rd.Dataset, text_col: str = "text", min_len: int = 6) -> rd
     rows = vocab.map_batches(expand, batch_format="pandas", batch_size=None)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"tok_a": pd.array([], dtype="object"),
-             "tok_b": pd.array([], dtype="object")}
-        )
-        if len(df) == 0:
-            return empty
-        v = df["variant"].to_numpy()
-        t = df["tok"].to_numpy()
-        n = len(df)
-        new = np.ones(n, dtype=bool)
-        new[1:] = v[1:] != v[:-1]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, n))
-        big = counts.max(initial=0)
-        if big > MAX_BUCKET:
-            raise RuntimeError(
-                f"typo_pairs: variant bucket of {big} tokens > {MAX_BUCKET} "
-                f"(hot deletion variant) — raise min_len or shard the bucket"
-            )
-        a_parts, b_parts = [], []
-        for c in np.unique(counts):
-            if c < 2:
-                continue
-            runs = starts[counts == c]
-            ii, jj = np.triu_indices(int(c), k=1)
-            a_parts.append(t[(runs[:, None] + ii[None, :]).ravel()])
-            b_parts.append(t[(runs[:, None] + jj[None, :]).ravel()])
-        if not a_parts:
-            return empty
-        return pd.DataFrame(
-            {"tok_a": np.concatenate(a_parts), "tok_b": np.concatenate(b_parts)}
-        )
+        return _expand_variant_pairs(df)
 
     cand = _sorted_user_op(
         rows, ["variant", "tok"], ["variant", "tok"], [False, False],

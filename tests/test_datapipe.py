@@ -1793,15 +1793,17 @@ def test_lev_le1_kernel_and_typo_pairs_guard():
     assert le1("banana", "bananas") is True
     assert le1("abc", "abcde") is False            # distance 2
 
-    # hot-variant bucket must fail loudly
-    toks = [f"aa{i:03d}" for i in range(30)]
-    docs = pd.DataFrame({"text": [" ".join(toks)]})
+    # hot-variant bucket must fail loudly — exercise the kernel directly
+    # (driver-side, deterministic; the Ray path wraps the same function)
+    frame = pd.DataFrame(
+        {"variant": ["aa00"] * 30, "tok": [f"aa00{i}" for i in range(30)]}
+    )
     import pytest as _pytest
     old = editdist.MAX_BUCKET
     editdist.MAX_BUCKET = 3
     try:
         with _pytest.raises(RuntimeError, match="variant bucket"):
-            editdist.typo_pairs(rd.from_pandas(docs), min_len=5).to_pandas()
+            editdist._expand_variant_pairs(frame)
     finally:
         editdist.MAX_BUCKET = old
 
