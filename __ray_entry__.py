@@ -1124,10 +1124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_entities": kg.top_entities,
         "kg_top_cuis": kg.top_cui_links,
         "kg_selected_cuis": kg.selected_cuis,
-        "kg_genes": kg.genes,
-        "kg_snomed": kg.snomed,
-        "kg_proteins": kg.proteins,
-        "kg_go": kg.go_terms,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
@@ -1166,12 +1162,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_semi_customers": _join_semi_customers,
         "ev_mode": _ev_mode,
         "join_pairs_orders": _join_pairs_orders,
+        # new this session (TPC-H Q13/Q18/Q22/Q7 shapes) — need their
+        # first driver record; four kg enrichment entries (kg_genes/
+        # kg_snomed/kg_proteins/kg_go, r02-green) moved to the demoted
+        # block to make room under the 50-row cap
+        "agg_order_dist": analytics.order_count_distribution,
+        "join_big_orders": analytics.large_quantity_orders,
+        "agg_dormant_customers": analytics.dormant_rich_customers,
+        "join_nation_volume": analytics.nation_volume,
         # demoted below the driver's 50-row cap so the never-recorded
         # entries above get their first record; these were green in
         # CORRECTNESS_r02 (doc_quality/dedup_exact/dedup_minhash/ann_topk
         # also in r01) and stay pytest-parity-checked at sf0.001 — at r4
         # an r02 record is 2 rounds old, the allowed maximum; rotate these
         # back to the lead in r5
+        "kg_genes": kg.genes,
+        "kg_snomed": kg.snomed,
+        "kg_proteins": kg.proteins,
+        "kg_go": kg.go_terms,
         "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
@@ -1825,6 +1833,71 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation n ON c.c_nationkey = n.n_nationkey"
             " JOIN region r ON n.n_regionkey = r.r_regionkey"
             " GROUP BY r.r_name"
+        ),
+        # TPC-H Q13 shape: order-count distribution including the
+        # zero-order bucket (LEFT-join semantics)
+        "agg_order_dist": (
+            "SELECT CAST(c_count AS BIGINT) AS c_count,"
+            " CAST(count(*) AS BIGINT) AS custdist"
+            " FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count"
+            "   FROM customer c LEFT JOIN orders o"
+            "     ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'"
+            "   GROUP BY c.c_custkey)"
+            " GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        # TPC-H Q18 shape: GROUP BY + HAVING on the fact table, join-back
+        # to orders and customer, top-100 by order value (total order on
+        # (price_c DESC, o_orderkey) makes the LIMIT boundary exact)
+        "join_big_orders": (
+            "WITH hot AS (SELECT l_orderkey,"
+            "  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty"
+            " FROM lineitem GROUP BY l_orderkey"
+            " HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)"
+            " SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,"
+            "  CAST(o.o_orderkey AS BIGINT) AS o_orderkey,"
+            "  epoch_us(o.o_orderdate) AS odate_us,"
+            "  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,"
+            "  h.sum_qty"
+            " FROM hot h"
+            " JOIN orders o ON o.o_orderkey = h.l_orderkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " ORDER BY price_c DESC, o_orderkey LIMIT 100"
+        ),
+        # TPC-H Q22 shape: the mean comparison is the integer
+        # cross-multiplication acctbal_c * n > s — bit-identical to the
+        # Ray side (pipelines/analytics.dormant_rich_customers), so no
+        # float-average boundary rows
+        "agg_dormant_customers": (
+            "WITH cb AS (SELECT c_custkey,"
+            "  CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            "  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c"
+            " FROM customer),"
+            " t AS (SELECT CAST(sum(acctbal_c) AS BIGINT) AS s,"
+            "  CAST(count(*) AS BIGINT) AS n FROM cb WHERE acctbal_c > 0)"
+            " SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,"
+            "  CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c"
+            " FROM cb, t"
+            " WHERE acctbal_c * t.n > t.s"
+            "  AND NOT EXISTS (SELECT 1 FROM orders o"
+            "   WHERE o.o_custkey = cb.c_custkey"
+            "    AND o.o_orderdate >= TIMESTAMP '2000-07-01')"
+            " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # TPC-H Q7 shape: nation-pair shipping volume per order year;
+        # revenue is the per-row 1e-4-unit integer of agg_lineitem
+        "join_nation_volume": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,"
+            " CAST(year(o.o_orderdate) AS BIGINT) AS l_year,"
+            " CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS revenue_e4"
+            " FROM lineitem l"
+            " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            " JOIN customer c ON c.c_custkey = o.o_custkey"
+            " JOIN nation ns ON ns.n_nationkey = s.s_nationkey"
+            " JOIN nation nc ON nc.n_nationkey = c.c_nationkey"
+            " WHERE s.s_nationkey <> c.c_nationkey"
+            " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "join_left_counts": (
             "SELECT c.c_custkey, c.c_name,"

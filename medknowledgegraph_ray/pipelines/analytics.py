@@ -479,3 +479,388 @@ def promo_revenue_ratio(sf_dir: str) -> rd.Dataset:
             "promo_ratio": pd.array(ratio, dtype="float64"),
         }
     )
+
+
+# dimension tables within this many rows broadcast as sorted numpy arrays
+# (ray.put once, searchsorted per batch — same gate scale as
+# tfidf.VOCAB_BROADCAST_MAX); larger dims ride the sorted-exchange
+# equi-join so nothing corpus-sized ever lands on one worker
+DIM_BROADCAST_MAX = 2_000_000
+
+
+def _attach_dim(
+    probe: rd.Dataset,
+    dim: rd.Dataset,
+    key: str,
+    val_cols: list[str],
+    probe_cols: list[str],
+    force: str | None = None,
+) -> rd.Dataset:
+    """Attach `val_cols` from a unique-keyed int64 dimension to every probe
+    row (FK integrity required: a probe key missing from the dim raises on
+    the broadcast path and is dropped by the join path, so callers must
+    hold the reference's complete-FK contract).  Output columns:
+    [key] + probe_cols + val_cols, all preserved dtypes."""
+    import ray
+
+    from ..stages.join import equi_join
+
+    mode = force or ("broadcast" if dim.count() <= DIM_BROADCAST_MAX else "join")
+    if mode == "join":
+        j = equi_join(dim, probe, key, val_cols, probe_cols)
+        return j.map_batches(
+            lambda t: t.select([key] + probe_cols + val_cols),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    # empty blocks can carry a divergent (pre-map) schema — drop them
+    # before the concat; they add no keys
+    tabs = [t for t in ray.get(dim.to_arrow_refs()) if t.num_rows > 0]
+    if not tabs:
+        raise ValueError(f"_attach_dim: dimension on {key} is empty")
+    tab = pa.concat_tables(tabs).combine_chunks()
+    keys = tab[key].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put(
+        (keys[order], {c: tab[c].to_numpy()[order] for c in val_cols})
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        skeys, vals = ray.get(ref)
+        pk = t[key].to_numpy()
+        idx = np.searchsorted(skeys, pk)
+        ok = (idx < len(skeys)) & (skeys[np.minimum(idx, len(skeys) - 1)] == pk)
+        if not ok.all():
+            missing = pk[~ok][:5]
+            raise ValueError(f"_attach_dim: probe keys missing from dim {key}: {missing}")
+        out = {key: t[key]}
+        for c in probe_cols:
+            out[c] = t[c]
+        for c in val_cols:
+            out[c] = pa.array(vals[c][idx])
+        return pa.table(out)
+
+    return probe.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def order_count_distribution(sf_dir: str, status: str = "O") -> rd.Dataset:
+    """Customer distribution by order count (TPC-H Q13 shape): how many
+    customers placed exactly k orders of the given status — INCLUDING the
+    zero-order bucket, i.e. LEFT-join semantics without materializing the
+    left join.
+
+    Scale shape: the per-customer counts stay distributed (grouped_agg,
+    corpus → |customers| rows); only the counts-of-counts histogram — whose
+    cardinality is bounded by the max per-customer order count — is
+    gathered, and the zero bucket falls out arithmetically:
+    |customer| − |customers with ≥1 matching order| (both O(1) driver
+    scalars), so no customer row ever reaches the driver."""
+    from ..stages.groupagg import grouped_agg
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar(status)))
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+        ["o_custkey"], [("one", "sum", "c_count")],
+        types={"o_custkey": pa.int64(), "one": pa.int64()},
+    )
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": t["c_count"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    dist = grouped_agg(
+        counts.map_batches(to_hist, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+        ["c_count"], [("one", "sum", "custdist")],
+        types={"c_count": pa.int64(), "one": pa.int64()},
+    ).to_pandas()  # counts-of-counts: ≤ max-orders-per-customer rows
+    n_total = readers.read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_total - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    dist = dist.sort_values(["custdist", "c_count"], ascending=[False, False],
+                            kind="mergesort").reset_index(drop=True)
+    return rd.from_pandas(dist)
+
+
+def large_quantity_orders(sf_dir: str, threshold: int = 300) -> rd.Dataset:
+    """Large-volume orders (TPC-H Q18 shape): orders whose total lineitem
+    quantity exceeds `threshold`, joined back to orders and customer for
+    the report row, top-100 by order value.
+
+    Scale shape: GROUP BY + HAVING on the fact table first (grouped_agg,
+    corpus → |orders| → tiny hot set), then the hot set is the UNIQUE-keyed
+    build side of two sorted-merge equi-joins — orders, then customer —
+    so neither full table is ever broadcast or gathered; the final sort is
+    over the hot rows only."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    sums = grouped_agg(
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["o_orderkey"], [("qty", "sum", "sum_qty")],
+        types={"o_orderkey": pa.int64(), "qty": pa.int64()},
+    )
+    hot = sums.filter(expr=f"sum_qty > {int(threshold)}")
+
+    orders = readers.read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    j1 = equi_join(
+        hot, orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["sum_qty"], ["c_custkey", "odate_us", "price_c"],
+        types={"o_orderkey": pa.int64(), "sum_qty": pa.int64(),
+               "c_custkey": pa.int64(), "odate_us": pa.int64(),
+               "price_c": pa.int64()},
+    )
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": pc.cast(t["c_custkey"], pa.int64()), "c_name": t["c_name"]}
+        )
+
+    j2 = equi_join(
+        cust.map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True),
+        j1, "c_custkey", ["c_name"],
+        ["o_orderkey", "odate_us", "price_c", "sum_qty"],
+        types={"c_custkey": pa.int64(), "c_name": pa.string(),
+               "o_orderkey": pa.int64(), "odate_us": pa.int64(),
+               "price_c": pa.int64(), "sum_qty": pa.int64()},
+    )
+    return j2.sort(["price_c", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def dormant_rich_customers(sf_dir: str, cutoff: str = "2000-07-01") -> rd.Dataset:
+    """Above-average-balance customers with no recent orders, rolled up per
+    nation (TPC-H Q22 shape: scalar subquery + NOT EXISTS + GROUP BY).
+
+    Exactness: the mean comparison is the integer cross-multiplication
+    acctbal_c · n_pos > sum_c (no float average, so no boundary-row ULP
+    divergence vs the oracle).  Scale shape: the positive-balance total is
+    a per-block partial reduce (O(blocks) driver rows); the NOT EXISTS is
+    the payload-carrying sorted-exchange anti-join (stages/setops.
+    anti_join_cols — the recent-orders side is a corpus fraction, never a
+    broadcast set); the nation roll-up is key-bounded."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.setops import anti_join_cols
+
+    cust = readers.read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "acctbal_c": pc.cast(
+                    pc.round(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    cb = cust.map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = t["acctbal_c"].to_numpy()
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    parts = cb.map_batches(pos_partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None).take_all()  # O(blocks) rows
+    sum_c = sum(r["s"] for r in parts)
+    n_pos = sum(r["n"] for r in parts)
+
+    def rich_filter(t: pa.Table) -> pa.Table:
+        mask = pc.greater(
+            pc.multiply(t["acctbal_c"], pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_c, pa.int64()),
+        )
+        return t.filter(mask)
+
+    rich = cb.map_batches(rich_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    cut = pd.Timestamp(cutoff).to_pydatetime()
+    orders = readers.read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+        return pa.table({"c_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    recent_keys = orders.map_batches(recent, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+    surv = anti_join_cols(
+        rich, recent_keys, key="c_custkey",
+        cols=["c_nationkey", "acctbal_c"],
+        dtypes={"c_nationkey": "int64", "acctbal_c": "int64"},
+    )
+
+    def to_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+                "acctbal_c": b["acctbal_c"].astype("int64"),
+            }
+        )
+
+    return grouped_agg(
+        surv.map_batches(to_agg, batch_format="pandas", batch_size=None),
+        ["c_nationkey"],
+        [("one", "sum", "numcust"), ("acctbal_c", "sum", "totacctbal_c")],
+        types={"c_nationkey": pa.int64(), "one": pa.int64(),
+               "acctbal_c": pa.int64()},
+    ).sort("c_nationkey")
+
+
+def nation_volume(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
+    """Cross-nation shipping volume (TPC-H Q7 shape): revenue between
+    supplier nation and customer nation per order year, over
+    lineitem ⋈ orders ⋈ supplier ⋈ customer ⋈ nation².
+
+    Join strategy by side size: orders joins DISTRIBUTED (unique-keyed
+    build of the sorted-merge equi-join — it is fact-sized); supplier and
+    customer attach via the size-gated dim attach (_attach_dim: broadcast
+    sorted arrays under DIM_BROADCAST_MAX, sorted-exchange join above);
+    the 25-row nation name map is a driver dict on the final key-bounded
+    aggregate.  Revenue is exact integer 1e-4 units per row (the
+    agg_lineitem scaling), summed associatively."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    j1 = equi_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["c_custkey", "o_year"], ["s_suppkey", "rev_e4"],
+    )
+
+    supp = readers.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = _attach_dim(j1, supp, "s_suppkey", ["s_nat"],
+                     ["c_custkey", "o_year", "rev_e4"], force=force_dim)
+
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j3 = _attach_dim(j2, cust, "c_custkey", ["c_nat"],
+                     ["o_year", "rev_e4", "s_nat"], force=force_dim)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
+
+    agg = grouped_agg(
+        j3.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["s_nat", "c_nat", "o_year"], [("rev_e4", "sum", "revenue_e4")],
+        types={"s_nat": pa.int64(), "c_nat": pa.int64(), "o_year": pa.int64(),
+               "rev_e4": pa.int64()},
+    )
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+
+    def name_up(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": b["s_nat"].map(names),
+                "cust_nation": b["c_nat"].map(names),
+                "l_year": b["o_year"].astype("int64"),
+                "revenue_e4": b["revenue_e4"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(name_up, batch_format="pandas", batch_size=None).sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )

@@ -224,3 +224,97 @@ def semi_join_ids(
         return interior
     rep = pd.DataFrame({key: pd.array(kept, dtype="int64")})
     return interior.union(rd.from_pandas(rep))
+
+
+def anti_join_cols(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    cols: list[str],
+    dtypes: dict[str, str],
+) -> rd.Dataset:
+    """Rows of `left` (int64 `key` plus numeric payload `cols`) whose key
+    never appears in `right` (column `key`) — the payload-carrying
+    NOT-EXISTS, same single sorted exchange + bounded edge deferral as
+    anti_join_ids.  Left keys MAY repeat (all rows of a blocked key drop
+    together); `dtypes` (col → pandas dtype string) types the right side's
+    filler columns and the empty block so the union stays schema-stable.
+
+    Reference parity: the relational NOT EXISTS shape of TPC-H Q22
+    (customers with no recent orders), kept distributed because neither
+    side is broadcastable at corpus scale."""
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "key": b[key].astype("int64"),
+            "kind": pd.array(np.zeros(len(b), dtype=np.int8), dtype="int8"),
+        }
+        for c in cols:
+            out[c] = b[c].astype(dtypes[c])
+        return pd.DataFrame(out)
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "key": b[key].astype("int64"),
+            "kind": pd.array(np.ones(len(b), dtype=np.int8), dtype="int8"),
+        }
+        for c in cols:
+            out[c] = pd.array(np.zeros(len(b), dtype=dtypes[c]), dtype=dtypes[c])
+        return pd.DataFrame(out)
+
+    unioned = (
+        left.map_batches(tag_left, batch_format="pandas", batch_size=None)
+        .union(right.map_batches(tag_right, batch_format="pandas", batch_size=None))
+        .sort(["key", "kind"])
+    )
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            out = {
+                "key": pd.array([], dtype="int64"),
+                "kind": pd.array([], dtype="int8"),
+            }
+            for c in cols:
+                out[c] = pd.array([], dtype=dtypes[c])
+            out["is_edge"] = pd.array([], dtype="bool")
+            return pd.DataFrame(out)
+        k = b["key"].to_numpy()
+        kind = b["kind"].to_numpy()
+        flagged = (k == k[0]) | (k == k[-1])
+        blocked = np.unique(k[(kind == 1) & ~flagged])
+        keep = (kind == 0) & ~flagged & ~np.isin(k, blocked)
+        out = b[keep | flagged].copy()
+        out["is_edge"] = pd.array(flagged[keep | flagged], dtype="bool")
+        return out
+
+    flagged = unioned.map_batches(
+        resolve, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        out = {key: b["key"].astype("int64")}
+        for c in cols:
+            out[c] = b[c].astype(dtypes[c])
+        return pd.DataFrame(out)
+
+    interior = flagged.filter(expr="is_edge == False").map_batches(
+        strip, batch_format="pandas"
+    )
+    deferred = flagged.filter(expr="is_edge == True").take_all()
+    if not deferred:
+        return interior
+    seen_right = {int(r["key"]) for r in deferred if r["kind"] == 1}
+    kept = sorted(
+        (r for r in deferred if r["kind"] == 0 and int(r["key"]) not in seen_right),
+        key=lambda r: int(r["key"]),
+    )
+    if not kept:
+        return interior
+    rep = pd.DataFrame(
+        {
+            key: pd.array([int(r["key"]) for r in kept], dtype="int64"),
+            **{c: pd.array([r[c] for r in kept], dtype=dtypes[c]) for c in cols},
+        }
+    )
+    return interior.union(rd.from_pandas(rep))

@@ -43,6 +43,8 @@ SQL_CHECKED = [
     "doc_weighted_sample", "ev_time_window", "agg_grouping_sets",
     "ev_coverage", "dedup_cluster_sizes", "ev_transitions",
     "ev_running_distinct",
+    "agg_order_dist", "join_big_orders", "agg_dormant_customers",
+    "join_nation_volume",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2025,3 +2027,62 @@ def test_gap_stats_single_event_users_and_ties():
     assert out["gap_min_us"].tolist() == [0]
     assert out["gap_max_us"].tolist() == [15]
     assert out["gap_sum_us"].tolist() == [25]
+
+
+def test_anti_join_cols_payload_and_repeated_keys():
+    from medknowledgegraph_ray.stages import setops
+
+    rng = np.random.default_rng(47)
+    lkeys = rng.integers(0, 60, 300).astype(np.int64)
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array(lkeys, dtype="int64"),
+                "a": pd.array(np.arange(300), dtype="int64"),
+                "b": pd.array(lkeys * 10, dtype="int64"),
+            }
+        )
+    ).repartition(7)
+    rkeys = np.array([3, 3, 7, 20, 20, 41, 90, 91], dtype=np.int64)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": pd.array(rkeys, dtype="int64")})
+    ).repartition(3)
+    out = setops.anti_join_cols(
+        left, right, key="k", cols=["a", "b"], dtypes={"a": "int64", "b": "int64"}
+    ).to_pandas()
+    blocked = set(rkeys.tolist())
+    exp = sorted(i for i, k in enumerate(lkeys.tolist()) if k not in blocked)
+    assert sorted(out["a"]) == exp
+    # payloads ride unchanged: b == k * 10 on every surviving row
+    assert (out["b"].to_numpy() == out["k"].to_numpy() * 10).all()
+    # empty right keeps every left row with payloads intact
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.array([], dtype="int64")}))
+    kept = setops.anti_join_cols(
+        left, empty, key="k", cols=["a", "b"], dtypes={"a": "int64", "b": "int64"}
+    )
+    assert kept.count() == 300
+
+
+def test_attach_dim_paths_row_identical(sf_dir):
+    """nation_volume's size-gated dim attach: broadcast and sorted-exchange
+    join paths must be row-identical (the forced-path parity convention)."""
+    from medknowledgegraph_ray.pipelines import analytics
+
+    a = _norm(analytics.nation_volume(sf_dir, force_dim="broadcast").to_pandas())
+    b = _norm(analytics.nation_volume(sf_dir, force_dim="join").to_pandas())
+    assert a.shape == b.shape and a.equals(b)
+
+
+def test_attach_dim_missing_fk_fails_loudly():
+    from medknowledgegraph_ray.pipelines.analytics import _attach_dim
+
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 99], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    )
+    dim = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "d": pa.array([5, 6, 7], pa.int64())})
+    )
+    with pytest.raises(Exception, match="missing from dim"):
+        _attach_dim(probe, dim, "k", ["d"], ["v"], force="broadcast").to_pandas()
