@@ -1123,10 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_counts": kg.entity_counts,
         "kg_top_entities": kg.top_entities,
         "kg_top_cuis": kg.top_cui_links,
-        "kg_selected_cuis": kg.selected_cuis,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
-        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
@@ -1170,6 +1168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_big_orders": analytics.large_quantity_orders,
         "agg_dormant_customers": analytics.dormant_rich_customers,
         "join_nation_volume": analytics.nation_volume,
+        "join_ship_priority": analytics.shipping_priority,
+        "join_returned_items": analytics.returned_item_customers,
         # demoted below the driver's 50-row cap so the never-recorded
         # entries above get their first record; these were green in
         # CORRECTNESS_r02 (doc_quality/dedup_exact/dedup_minhash/ann_topk
@@ -1180,6 +1180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_snomed": kg.snomed,
         "kg_proteins": kg.proteins,
         "kg_go": kg.go_terms,
+        "kg_selected_cuis": kg.selected_cuis,
+        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
@@ -1898,6 +1900,39 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation nc ON nc.n_nationkey = c.c_nationkey"
             " WHERE s.s_nationkey <> c.c_nationkey"
             " GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # TPC-H Q3 shape: unshipped high-revenue orders — segment semi-join
+        # + two date filters + per-order revenue top-10 (total order on
+        # (revenue_e4 DESC, o_orderkey) makes the LIMIT boundary exact)
+        "join_ship_priority": (
+            "SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,"
+            " epoch_us(o.o_orderdate) AS odate_us,"
+            " CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS revenue_e4"
+            " FROM customer c"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " WHERE c.c_mktsegment = 'BUILDING'"
+            "  AND o.o_orderdate < TIMESTAMP '1998-03-15'"
+            "  AND l.l_shipdate > TIMESTAMP '1998-03-15'"
+            " GROUP BY 1, 2 ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10"
+        ),
+        # TPC-H Q10 shape: returned-item revenue per customer for a
+        # quarter, top-20 with the customer/nation report columns
+        "join_returned_items": (
+            "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,"
+            " CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,"
+            " n.n_name,"
+            " CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "  AS BIGINT)) AS BIGINT) AS revenue_e4"
+            " FROM customer c"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+            " WHERE l.l_returnflag = 'R'"
+            "  AND o.o_orderdate >= TIMESTAMP '1997-10-01'"
+            "  AND o.o_orderdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY 1, 2, 3, 4 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"
         ),
         "join_left_counts": (
             "SELECT c.c_custkey, c.c_name,"

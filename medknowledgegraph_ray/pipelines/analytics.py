@@ -864,3 +864,184 @@ def nation_volume(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
     return agg.map_batches(name_up, batch_format="pandas", batch_size=None).sort(
         ["supp_nation", "cust_nation", "l_year"]
     )
+
+
+def shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", date: str = "1998-03-15", k: int = 10
+) -> rd.Dataset:
+    """Unshipped high-revenue orders (TPC-H Q3 shape): revenue of lineitems
+    shipped after `date` for orders placed before it by customers in
+    `segment`, top-k orders by revenue.
+
+    Scale shape: all three filters ride the scan; the segment restriction
+    is a sorted-merge semi-join via equi_join with no carried columns
+    (customer is corpus-sized — never a broadcast key set); the order
+    restriction is a second equi_join whose unique-keyed build is the
+    filtered orders; revenue aggregates per order on the partial exchange;
+    the final top-k is the restriction-exact partial-top-k funnel."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+    from ..stages.skew import partial_topk_pandas
+
+    cut = pd.Timestamp(date).to_pydatetime()
+    cust = readers.read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())})
+
+    orders = readers.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    seg_orders = equi_join(
+        cust.map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey", [], ["o_orderkey", "odate_us"],
+        types={"c_custkey": pa.int64(), "o_orderkey": pa.int64(),
+               "odate_us": pa.int64()},
+    )
+
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    j = equi_join(
+        seg_orders.map_batches(
+            lambda t: t.select(["o_orderkey", "odate_us"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["odate_us"], ["rev_e4"],
+        types={"o_orderkey": pa.int64(), "odate_us": pa.int64(),
+               "rev_e4": pa.int64()},
+    )
+    per_order = grouped_agg(
+        j, ["o_orderkey", "odate_us"], [("rev_e4", "sum", "revenue_e4")],
+        types={"o_orderkey": pa.int64(), "odate_us": pa.int64(),
+               "rev_e4": pa.int64()},
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue_e4", "o_orderkey"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    out = partial_topk_pandas(per_order, pick)
+    for c in ("o_orderkey", "odate_us", "revenue_e4"):
+        out[c] = out[c].astype("int64")
+    return rd.from_pandas(out[["o_orderkey", "odate_us", "revenue_e4"]])
+
+
+def returned_item_customers(
+    sf_dir: str, start: str = "1997-10-01", end: str = "1998-01-01", k: int = 20
+) -> rd.Dataset:
+    """Top-k customers by revenue lost to returned items in a quarter
+    (TPC-H Q10 shape): lineitems flagged 'R' of orders placed in
+    [start, end), rolled up per customer, joined to the customer/nation
+    dimensions for the report row.
+
+    Scale shape: quarter + returnflag filters ride the scans; the
+    order→lineitem restriction is a sorted-merge equi-join (unique-keyed
+    filtered orders build); per-customer revenue aggregates on the partial
+    exchange; the top-k funnel is restriction-exact; only the k winning
+    customers are read back (predicate-pushdown point lookup) and the
+    25-row nation map is a driver dict."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+    from ..stages.skew import partial_topk_pandas
+
+    lo = pd.Timestamp(start).to_pydatetime()
+    hi = pd.Timestamp(end).to_pydatetime()
+    orders = readers.read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            }
+        )
+
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    j = equi_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["c_custkey"], ["rev_e4"],
+        types={"o_orderkey": pa.int64(), "c_custkey": pa.int64(),
+               "rev_e4": pa.int64()},
+    )
+    per_cust = grouped_agg(
+        j.map_batches(
+            lambda t: t.select(["c_custkey", "rev_e4"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        ["c_custkey"], [("rev_e4", "sum", "revenue_e4")],
+        types={"c_custkey": pa.int64(), "rev_e4": pa.int64()},
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue_e4", "c_custkey"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    top = partial_topk_pandas(per_cust, pick)
+    keys = [int(x) for x in top["c_custkey"]]
+    cust_rows = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).take_all()  # ≤ k rows
+    cmap = {int(r["c_custkey"]): r for r in cust_rows}
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+    top["c_name"] = [cmap[ck]["c_name"] for ck in keys]
+    top["acctbal_c"] = pd.array(
+        [int(round(cmap[ck]["c_acctbal"] * 100)) for ck in keys], dtype="int64"
+    )
+    top["n_name"] = [names[int(cmap[ck]["c_nationkey"])] for ck in keys]
+    top["c_custkey"] = top["c_custkey"].astype("int64")
+    top["revenue_e4"] = top["revenue_e4"].astype("int64")
+    return rd.from_pandas(
+        top[["c_custkey", "c_name", "acctbal_c", "n_name", "revenue_e4"]]
+    )

@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "ev_coverage", "dedup_cluster_sizes", "ev_transitions",
     "ev_running_distinct",
     "agg_order_dist", "join_big_orders", "agg_dormant_customers",
-    "join_nation_volume",
+    "join_nation_volume", "join_ship_priority", "join_returned_items",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
