@@ -614,6 +614,14 @@ def _doc_bigrams(sf_dir: str):
     return invindex.top_bigrams(_docs(sf_dir))
 
 
+def _doc_pmi(sf_dir: str):
+    # collocation extraction: top bigrams with integer-exact PMI inputs
+    # and libm-exact pmi_e6 (stages/invindex.collocations)
+    from medknowledgegraph_ray.stages import invindex
+
+    return invindex.collocations(_docs(sf_dir))
+
+
 def _join_full_users(sf_dir: str):
     # FULL OUTER equi-join: high-value click users vs high-value purchase
     # users — both unmatched sides preserved (stages/join.py how="outer")
@@ -1125,7 +1133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_cuis": kg.top_cui_links,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
-        "kg_abbrev_defs": kg.abbrev_definitions,
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
         "agg_grouping_sets": _agg_grouping_sets,
@@ -1170,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_nation_volume": analytics.nation_volume,
         "join_ship_priority": analytics.shipping_priority,
         "join_returned_items": analytics.returned_item_customers,
+        "doc_pmi": _doc_pmi,
         # demoted below the driver's 50-row cap so the never-recorded
         # entries above get their first record; these were green in
         # CORRECTNESS_r02 (doc_quality/dedup_exact/dedup_minhash/ann_topk
@@ -1182,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_go": kg.go_terms,
         "kg_selected_cuis": kg.selected_cuis,
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
+        "kg_abbrev_defs": kg.abbrev_definitions,
         "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
@@ -2309,6 +2318,33 @@ def oracle_sql() -> dict[str, str]:
             "  1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1)"
             "   AS dup_ratio"
             " FROM t"
+        ),
+        # collocations: the ln argument is formed with the SAME double
+        # multiply/divide chain as the engine (CAST-to-double products,
+        # one division), and DuckDB ln() is the same libm call as Python
+        # math.log — so pmi_e6 is bit-exact (the doc_tfidf idf precedent)
+        "doc_pmi": (
+            "WITH toks AS (SELECT doc_id,"
+            "  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+            "   AS l FROM documents),"
+            " uni AS (SELECT unnest(l) AS tok FROM toks),"
+            " ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),"
+            " tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),"
+            " pairs AS (SELECT l[i] AS x, l[i + 1] AS y"
+            "  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS t(i)),"
+            " bcnt AS (SELECT x || ' ' || y AS bigram, any_value(x) AS x,"
+            "  any_value(y) AS y, CAST(count(*) AS BIGINT) AS n_xy"
+            "  FROM pairs GROUP BY 1),"
+            " top AS (SELECT * FROM bcnt WHERE n_xy >= 5"
+            "  ORDER BY n_xy DESC, bigram LIMIT 50)"
+            " SELECT top.bigram, top.n_xy, ux.n AS n_x, uy.n AS n_y,"
+            "  tot.n AS n_tokens,"
+            "  CAST(round(ln((CAST(top.n_xy AS DOUBLE) * tot.n) /"
+            "   (CAST(ux.n AS DOUBLE) * uy.n)) * 1000000) AS BIGINT) AS pmi_e6"
+            " FROM top"
+            " JOIN ucnt ux ON ux.tok = top.x"
+            " JOIN ucnt uy ON uy.tok = top.y, tot"
+            " ORDER BY n_xy DESC, bigram"
         ),
         "doc_bigrams": (
             "WITH toks AS (SELECT doc_id,"

@@ -176,3 +176,114 @@ def top_bigrams(docs: rd.Dataset, k: int = 20) -> pd.DataFrame:
                              kind="mergesort").head(k)
 
     return partial_topk_pandas(counts, pick)
+
+
+def collocations(docs: rd.Dataset, min_count: int = 5, k: int = 50) -> pd.DataFrame:
+    """Top-k corpus bigrams by count with integer-exact PMI inputs and
+    pmi_e6 = round(ln((n_xy·N) / (n_x·n_y)) · 1e6) — the collocation-
+    extraction primitive (Church & Hanks pointwise mutual information)
+    over whitespace tokens.
+
+    Scale shape: ONE tokenization pass emits bigram rows, unigram rows and
+    per-block token totals; bigram and unigram counts ride separate
+    algebraic grouped_agg exchanges (vocab-sized, never driver-pulled);
+    the top-k pick is the restriction-exact partial funnel; only the ≤2k
+    winner tokens' unigram counts are gathered (a distributed isin filter,
+    then a ≤2k-row pull).  The ln argument is formed as
+    float(int)/float(int) — the same double-division DuckDB performs — and
+    math.log is the same libm call as DuckDB ln(), so pmi_e6 is
+    oracle-exact (the doc_tfidf idf precedent)."""
+    import math
+    import re
+
+    import numpy as np
+
+    from .groupagg import grouped_agg
+    from .skew import partial_topk_pandas
+
+    token_run = re.compile(r"\S+", re.ASCII)
+
+    def token_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("").str.lower()
+        toks = text.str.findall(token_run)
+        n = toks.str.len().to_numpy()
+        total = int(n.sum())
+        if not total:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="object"),
+                "kind": pd.array([], dtype="int8"),
+                "one": pd.array([], dtype="int64"),
+            })
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        reps = np.maximum(n - 1, 0)
+        starts = np.cumsum(np.concatenate([[0], n[:-1]]))
+        idx = np.concatenate(
+            [np.arange(s, s + r) for s, r in zip(starts, reps) if r]
+        ) if int(reps.sum()) else np.array([], dtype=np.int64)
+        big = (
+            pd.Series(flat[idx], dtype="object")
+            + " "
+            + pd.Series(flat[idx + 1], dtype="object")
+        )
+        keys = np.concatenate([flat, np.asarray(big, dtype=object),
+                               np.array(["\x00total"], dtype=object)])
+        kind = np.concatenate([
+            np.zeros(len(flat), dtype=np.int8),        # unigram
+            np.ones(len(big), dtype=np.int8),          # bigram
+            np.full(1, 2, dtype=np.int8),              # block token total
+        ])
+        one = np.concatenate([
+            np.ones(len(flat) + len(big), dtype=np.int64),
+            np.array([total], dtype=np.int64),
+        ])
+        return pd.DataFrame({
+            "key": pd.Series(keys, dtype="object"),
+            "kind": pd.array(kind, dtype="int8"),
+            "one": pd.array(one, dtype="int64"),
+        })
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        token_rows, batch_format="pandas", batch_size=None
+    )
+    counts = grouped_agg(rows, ["key", "kind"], [("one", "sum", "n")]).materialize()
+    n_tokens = int(
+        counts.filter(expr="kind == 2").to_pandas()["n"].sum()  # 1 row
+    )
+    big = counts.filter(expr="kind == 1").filter(expr=f"n >= {int(min_count)}")
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "key"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    top = partial_topk_pandas(big, pick)
+    if len(top) == 0:
+        return pd.DataFrame({
+            "bigram": pd.Series([], dtype="object"),
+            "n_xy": pd.array([], dtype="int64"),
+            "n_x": pd.array([], dtype="int64"),
+            "n_y": pd.array([], dtype="int64"),
+            "n_tokens": pd.array([], dtype="int64"),
+            "pmi_e6": pd.array([], dtype="int64"),
+        })
+    want = sorted({t for bg in top["key"] for t in bg.split(" ", 1)})
+    uni = counts.filter(expr="kind == 0").map_batches(
+        lambda b: b[b["key"].isin(want)], batch_format="pandas", batch_size=None
+    ).to_pandas()  # ≤ 2k rows survive the distributed filter
+    ucnt = dict(zip(uni["key"], uni["n"].astype("int64")))
+    n_xy = top["n"].astype("int64").to_numpy()
+    n_x = np.array([ucnt[bg.split(" ", 1)[0]] for bg in top["key"]], dtype=np.int64)
+    n_y = np.array([ucnt[bg.split(" ", 1)[1]] for bg in top["key"]], dtype=np.int64)
+    # double products, not int64 (n_xy·N overflows int64 at corpus scale);
+    # op order mirrors the oracle's CAST(..AS DOUBLE) multiply/divide chain
+    pmi = [
+        int(round(math.log((float(a) * float(n_tokens)) / (float(b) * float(c))) * 1e6))
+        for a, b, c in zip(n_xy.tolist(), n_x.tolist(), n_y.tolist())
+    ]
+    return pd.DataFrame({
+        "bigram": pd.Series(list(top["key"]), dtype="object"),
+        "n_xy": pd.array(n_xy, dtype="int64"),
+        "n_x": pd.array(n_x, dtype="int64"),
+        "n_y": pd.array(n_y, dtype="int64"),
+        "n_tokens": pd.array(np.full(len(top), n_tokens, dtype=np.int64), dtype="int64"),
+        "pmi_e6": pd.array(pmi, dtype="int64"),
+    })
