@@ -192,6 +192,11 @@ def run_bench() -> dict:
         t0 = time.time()
         _an.segment_orders_bloom(sf_dir).count()
         queries["join_bloom_orders"] = round(time.time() - t0, 3)
+        # the round-4 relational family's representative: fact->orders
+        # sorted-merge join + two size-gated dim attaches + grouped_agg
+        t0 = time.time()
+        _an.nation_volume(sf_dir).count()
+        queries["join_nation_volume"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);

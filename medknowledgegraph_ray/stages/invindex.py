@@ -22,9 +22,16 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
+
 from ..functions import text as textfn
 
 _OUT = ["tok", "n_docs", "postings"]
+
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
 
 
 def _fold_sorted(df: pd.DataFrame) -> pd.DataFrame:
@@ -51,9 +58,9 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
             {"tok": pd.Series(toks, dtype="object"), "doc_id": pd.array(ids, dtype="int64")}
         )
 
-    s = docs.map_batches(pairs, batch_format="pandas", batch_size=None).sort(
-        ["tok", "doc_id"]
-    )
+    s = docs.map_batches(pairs, batch_format="pandas", batch_size=None).repartition(
+        _sort_blocks()
+    ).sort(["tok", "doc_id"])
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

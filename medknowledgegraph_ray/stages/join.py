@@ -12,9 +12,10 @@ to arbitrary payload columns:
 - per block, every interior probe row binds its build row vectorized
   (searchsorted into the block's build keys — after the sort a key's rows
   are contiguous, so an interior probe's build row is co-resident);
-- probe rows at a block's first/last key defer; the repair pass resolves
-  them against a broadcast-FILTERED build subset (the ≤ 2·#blocks deferred
-  keys, never the whole build side).
+- rows at a block's first/last key defer (BOTH sides — an edge key defers
+  its complete row set, build payloads included); the repair pass binds
+  deferred probe rows against a broadcast lookup built from the ≤ 2·#blocks
+  deferred build rows — never a second pass over the build lineage.
 
 Contract: the build (left) side is unique per key — the dimension-table
 case.  A probe key absent from the build side inner-joins to nothing.
@@ -111,6 +112,12 @@ def equi_join(
     types = _arrow_types(build, build_cols, declared)
     types.update(_arrow_types(probe, probe_cols, declared))
 
+    from .. import config
+
+    # coalesce the union before the range sort: a sort makes #map × #reduce
+    # shuffle objects, so two many-block reads union'd straight into it pay
+    # the quadratic object count, not data volume (see config.sort_blocks;
+    # measured 6.8 s → 2.5 s on the same 750k-row join at sf0.1)
     unioned = (
         build.map_batches(
             tag(build_cols, probe_cols, 0, types), batch_format="pyarrow",
@@ -122,6 +129,7 @@ def equi_join(
                 batch_size=None,
             )
         )
+        .repartition(config.sort_blocks())
         .sort([key, "__kind"])
     )
 
@@ -208,17 +216,17 @@ def equi_join(
                 ucols["__edge"] = pa.array(np.zeros(len(ub_idx), dtype=bool))
                 ucols["__kindd"] = pa.array(np.zeros(len(ub_idx), dtype=np.int8))
                 inner = pa.concat_tables([inner, pa.table(ucols)])
-        defer = flagged & (kind == 1)
-        if outer:
-            defer = flagged  # both sides defer; repair sees complete keys
+        # BOTH sides defer their edge-key rows in every mode: the repair
+        # pass then reads build payloads from the tiny deferred set instead
+        # of re-executing the whole build lineage (deferred BUILD rows
+        # carry their payloads; deferred probe rows carry nulls from tag)
+        defer = flagged
         if not defer.any():
             return inner
         d_idx = pa.array(np.flatnonzero(defer), pa.int64())
         dcols = {key: typed(key, d_idx, key)}
         for c in build_cols:
-            # deferred BUILD rows carry their payloads (needed if they turn
-            # out unmatched); deferred probe rows carry nulls here
-            dcols[c] = typed(c, d_idx, c) if outer else pa.nulls(len(d_idx), type=types[c])
+            dcols[c] = typed(c, d_idx, c)
         for c in probe_cols:
             dcols[c] = typed(c, d_idx, c)
         dcols["__edge"] = pa.array(np.ones(len(d_idx), dtype=bool))
@@ -244,7 +252,6 @@ def equi_join(
     deferred_b = (
         flagged.filter(expr="__edge == True").filter(expr="__kindd == 0")
         .drop_columns(["__edge", "__kindd"])
-        if outer else None
     )
 
     # which keys have deferred PROBE rows?  O(blocks) distinct values — a
@@ -282,24 +289,12 @@ def equi_join(
     if not need:
         return interior.union(rep_b) if outer else interior
 
-    # build-side payloads for the deferred keys only (≤ 2 keys per block).
-    # In outer mode the deferred BUILD rows already carry their payloads
-    # (an edge key defers its complete row set), so the lookup comes from
-    # the tiny deferred_b — no second pass over the build lineage.
+    # build-side payloads for the deferred keys only (≤ 2 keys per block):
+    # deferred BUILD rows already carry their payloads (an edge key defers
+    # its complete row set in every mode), so the lookup comes from the
+    # tiny deferred_b — never a second pass over the build lineage.
     b_lookup: dict[int, tuple] = {}
-    if outer:
-        src = deferred_b
-    else:
-        def pick(t: pa.Table) -> pa.Table:
-            wanted = ray.get(need_ref)
-            mask = np.fromiter(
-                (int(x) in wanted for x in t[key].to_numpy(zero_copy_only=False)),
-                dtype=bool, count=t.num_rows,
-            )
-            return t.filter(pa.array(mask))
-
-        src = build.map_batches(pick, batch_format="pyarrow", batch_size=None)
-    for batch in src.iter_batches(batch_format="pyarrow"):
+    for batch in deferred_b.iter_batches(batch_format="pyarrow"):
         keys_np = batch[key].to_numpy(zero_copy_only=False)
         payloads = [pc.cast(batch[c], types[c]).to_pylist() for c in build_cols]
         for i, kk in enumerate(keys_np):

@@ -33,6 +33,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
 from .join import _arrow_types
 
 # one block materializing more pairs than this means a pathological hot
@@ -77,6 +83,7 @@ def join_many(
     unioned = (
         left.map_batches(tag(left_cols, 0), batch_format="pyarrow", batch_size=None)
         .union(right.map_batches(tag(right_cols, 1), batch_format="pyarrow", batch_size=None))
+        .repartition(_sort_blocks())
         .sort([key, "__kind"])
     )
 

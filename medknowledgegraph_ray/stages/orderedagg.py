@@ -30,6 +30,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
 _PACK_BITS = 20  # seg_idx packs into the low 20 bits of the first-occurrence key
 
 
@@ -73,6 +79,7 @@ def ordered_concat(
 
     s = (
         ds.select_columns([key, *order_cols, val_col])
+        .repartition(_sort_blocks())
         .sort([key, *order_cols])
         .materialize()
     )
@@ -122,7 +129,7 @@ def keep_first(
     shape: winner + cluster size in one pass; k>1 is the per-domain /
     per-language corpus cap)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    s = ds.sort([group_col, *order_cols]).materialize()
+    s = ds.repartition(_sort_blocks()).sort([group_col, *order_cols]).materialize()
 
     def interior_first(t: pa.Table) -> pa.Table:
         # Arrow in, Arrow out: empty blocks keep their schema (a pandas

@@ -29,6 +29,12 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
 _TOKEN_RUN = re.compile(r"\S+", re.ASCII)
 
 
@@ -45,6 +51,7 @@ def sequence_pack(docs: rd.Dataset, budget: int = 512) -> rd.Dataset:
     s = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(count_tokens, batch_format="pandas", batch_size=None)
+        .repartition(_sort_blocks())
         .sort("doc_id")
         .materialize()
     )

@@ -34,6 +34,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
 _OUT_COLS = ["key", "point_id", "ts_us", "interval_id", "start_us", "end_us"]
 
 
@@ -111,6 +117,7 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
                               zero_copy_batch=True)
         .union(points.map_batches(tag_points, batch_format="pyarrow",
                                   zero_copy_batch=True))
+        .repartition(_sort_blocks())
         .sort(["key", "ts", "side", "interval_id"])
     )
 

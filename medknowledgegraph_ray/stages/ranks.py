@@ -26,12 +26,18 @@ import ray
 import ray.data as rd
 
 
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
+
 def global_row_number(
     ds: rd.Dataset, sort_cols: list[str], out_col: str = "rn"
 ) -> rd.Dataset:
     """Append 1-based `out_col` = global row number ordered by `sort_cols`
     (ascending; the LAST sort column must be unique — the tiebreaker)."""
-    s = ds.sort(sort_cols).materialize()
+    s = ds.repartition(_sort_blocks()).sort(sort_cols).materialize()
 
     def summarize(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:

@@ -25,6 +25,12 @@ import ray
 import ray.data as rd
 
 
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
+
 def exact_quantiles(
     values: rd.Dataset, col: str, qs: dict[str, float]
 ) -> pd.DataFrame:
@@ -34,7 +40,7 @@ def exact_quantiles(
     `values` must carry a unique int64 `uid` column for the sort tiebreak
     (any id column works; it never affects the selected value)."""
 
-    s = values.sort([col, "uid"]).materialize()
+    s = values.repartition(_sort_blocks()).sort([col, "uid"]).materialize()
 
     def summarize(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:

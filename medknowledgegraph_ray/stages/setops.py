@@ -24,6 +24,14 @@ import pandas as pd
 import ray.data as rd
 
 
+def _sort_blocks() -> int:
+    # coalesce before every range sort: shuffle-object count is
+    # #map x #reduce blocks (see config.sort_blocks)
+    from .. import config
+
+    return config.sort_blocks()
+
+
 def anti_join_ids(
     left: rd.Dataset, right: rd.Dataset, key: str = "doc_id"
 ) -> rd.Dataset:
@@ -45,6 +53,7 @@ def anti_join_ids(
     unioned = (
         left.map_batches(tag(0), batch_format="pandas", batch_size=None)
         .union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+        .repartition(_sort_blocks())
         .sort(["key", "kind"])
     )
 
@@ -117,6 +126,7 @@ def anti_join_rows(
     unioned = (
         left.map_batches(tag_left, batch_format="pandas", batch_size=None)
         .union(right.map_batches(tag_right, batch_format="pandas", batch_size=None))
+        .repartition(_sort_blocks())
         .sort(["key", "kind"])
     )
 
@@ -184,6 +194,7 @@ def semi_join_ids(
     unioned = (
         left.map_batches(tag(0), batch_format="pandas", batch_size=None)
         .union(right.map_batches(tag(1), batch_format="pandas", batch_size=None))
+        .repartition(_sort_blocks())
         .sort(["key", "kind"])
     )
 
@@ -265,6 +276,7 @@ def anti_join_cols(
     unioned = (
         left.map_batches(tag_left, batch_format="pandas", batch_size=None)
         .union(right.map_batches(tag_right, batch_format="pandas", batch_size=None))
+        .repartition(_sort_blocks())
         .sort(["key", "kind"])
     )
 

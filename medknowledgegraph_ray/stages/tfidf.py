@@ -31,6 +31,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+
+def _sort_blocks() -> int:
+    from .. import config
+
+    return config.sort_blocks()
+
 from ..functions import text as textfn
 from .groupagg import grouped_agg
 
@@ -88,6 +94,7 @@ def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
     unioned = (
         tf_rows.map_batches(as_tf, batch_format="pandas", batch_size=None)
         .union(df_rows.map_batches(as_df, batch_format="pandas", batch_size=None))
+        .repartition(_sort_blocks())
         .sort(["tok", "kind"])
     )
 

@@ -180,7 +180,11 @@ def _sorted_user_op(
     shrink (argmax), grow, or aggregate (quantiles)."""
     out_cols = list(out_dtypes)
     raw_only = [c for c in raw_cols if c not in out_cols]
-    s = prepped.sort(sort_cols, descending=descending)
+    from .. import config as _config
+
+    # coalesce before the range sort: shuffle-object count is
+    # #map x #reduce blocks (see config.sort_blocks)
+    s = prepped.repartition(_config.sort_blocks()).sort(sort_cols, descending=descending)
 
     def split(df: pd.DataFrame) -> pa.Table:
         # output is a METADATA-FREE Arrow table: returning pandas here made
