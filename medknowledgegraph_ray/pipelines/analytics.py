@@ -778,6 +778,80 @@ def nation_volume(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
     aggregate.  Revenue is exact integer 1e-4 units per row (the
     agg_lineitem scaling), summed associatively."""
     from ..stages.groupagg import grouped_agg
+
+    j3 = _li_with_nations(sf_dir, force_dim)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
+
+    agg = grouped_agg(
+        j3.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["s_nat", "c_nat", "o_year"], [("rev_e4", "sum", "revenue_e4")],
+        types={"s_nat": pa.int64(), "c_nat": pa.int64(), "o_year": pa.int64(),
+               "rev_e4": pa.int64()},
+    )
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+
+    def name_up(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": b["s_nat"].map(names),
+                "cust_nation": b["c_nat"].map(names),
+                "l_year": b["o_year"].astype("int64"),
+                "revenue_e4": b["revenue_e4"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(name_up, batch_format="pandas", batch_size=None).sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def local_supply_volume(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
+    """Locally supplied revenue per region and order year (TPC-H Q5
+    shape: the same five-table join chain as nation_volume, restricted to
+    lineitems whose supplier and customer share a nation, rolled up
+    through the nation → region dimension).
+
+    The heavy work is identical to nation_volume (shared
+    _li_with_nations); the region roll-up happens AFTER the key-bounded
+    (nation, year) aggregate — ≤ |nations|·|years| rows reach the driver,
+    where the 25-row nation → region map applies."""
+    from ..stages.groupagg import grouped_agg
+
+    j3 = _li_with_nations(sf_dir, force_dim)
+
+    def local_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["s_nat"], t["c_nat"]))
+
+    agg = grouped_agg(
+        j3.map_batches(local_only, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["c_nat", "o_year"], [("rev_e4", "sum", "revenue_e4")],
+        types={"c_nat": pa.int64(), "o_year": pa.int64(), "rev_e4": pa.int64()},
+    ).to_pandas()  # ≤ |nations| × |years| rows
+    nat2reg = {int(r["n_nationkey"]): int(r["n_regionkey"])
+               for r in readers.read_table(sf_dir, "nation").take_all()}
+    reg = {int(r["r_regionkey"]): r["r_name"]
+           for r in readers.read_table(sf_dir, "region").take_all()}
+    agg["r_name"] = agg["c_nat"].map(lambda nk: reg[nat2reg[nk]])
+    out = (
+        agg.groupby(["r_name", "o_year"], as_index=False)["revenue_e4"].sum()
+        .sort_values(["r_name", "o_year"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["o_year"] = out["o_year"].astype("int64")
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    return rd.from_pandas(out[["r_name", "o_year", "revenue_e4"]])
+
+
+def _li_with_nations(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
+    """Shared join chain of nation_volume / local_supply_volume:
+    lineitem ⋈ orders (sorted-merge) with supplier- and customer-nation
+    keys attached (size-gated dim attach) →
+    (o_orderkey, o_year, rev_e4, s_nat, c_nat)."""
     from ..stages.join import equi_join
 
     li = readers.read_table(
@@ -835,35 +909,8 @@ def nation_volume(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    j3 = _attach_dim(j2, cust, "c_custkey", ["c_nat"],
-                     ["o_year", "rev_e4", "s_nat"], force=force_dim)
-
-    def cross_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
-
-    agg = grouped_agg(
-        j3.map_batches(cross_only, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None),
-        ["s_nat", "c_nat", "o_year"], [("rev_e4", "sum", "revenue_e4")],
-        types={"s_nat": pa.int64(), "c_nat": pa.int64(), "o_year": pa.int64(),
-               "rev_e4": pa.int64()},
-    )
-    names = {int(r["n_nationkey"]): r["n_name"]
-             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
-
-    def name_up(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "supp_nation": b["s_nat"].map(names),
-                "cust_nation": b["c_nat"].map(names),
-                "l_year": b["o_year"].astype("int64"),
-                "revenue_e4": b["revenue_e4"].astype("int64"),
-            }
-        )
-
-    return agg.map_batches(name_up, batch_format="pandas", batch_size=None).sort(
-        ["supp_nation", "cust_nation", "l_year"]
-    )
+    return _attach_dim(j2, cust, "c_custkey", ["c_nat"],
+                       ["o_year", "rev_e4", "s_nat"], force=force_dim)
 
 
 def shipping_priority(
