@@ -1129,7 +1129,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_entities": kg.conv_entities,
         "kg_links": kg.links,
         "kg_entity_counts": kg.entity_counts,
-        "kg_top_entities": kg.top_entities,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
         "doc_typo_pairs": _doc_typo_pairs,
@@ -1178,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_returned_items": analytics.returned_item_customers,
         "doc_pmi": _doc_pmi,
         "join_local_supply": analytics.local_supply_volume,
+        "join_market_share": analytics.market_share,
         # demoted below the driver's 50-row cap so the never-recorded
         # entries above get their first record; these were green in
         # CORRECTNESS_r02 (doc_quality/dedup_exact/dedup_minhash/ann_topk
@@ -1192,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
         "kg_abbrev_defs": kg.abbrev_definitions,
         "kg_top_cuis": kg.top_cui_links,
+        "kg_top_entities": kg.top_entities,
         "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
@@ -1894,6 +1895,27 @@ def oracle_sql() -> dict[str, str]:
             "   WHERE o.o_custkey = cb.c_custkey"
             "    AND o.o_orderdate >= TIMESTAMP '2000-07-01')"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # TPC-H Q8 shape: nation 20's share of revenue to AMERICA's
+        # customers per year — two int64-exact sums, ONE double division
+        # (the join_promo_ratio precedent)
+        "join_market_share": (
+            "WITH s AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,"
+            "  CAST(sum(CASE WHEN s.s_nationkey = 20 THEN"
+            "   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)"
+            "   ELSE 0 END) AS BIGINT) AS nation_e4,"
+            "  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "   AS BIGINT)) AS BIGINT) AS total_e4"
+            " FROM customer c"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+            " JOIN region r ON r.r_regionkey = n.n_regionkey"
+            " WHERE r.r_name = 'AMERICA' GROUP BY 1)"
+            " SELECT o_year, nation_e4, total_e4,"
+            "  CAST(nation_e4 AS DOUBLE) / total_e4 AS mkt_share"
+            " FROM s ORDER BY o_year"
         ),
         # TPC-H Q5 shape: locally supplied revenue (supplier and customer
         # share a nation) per region and order year

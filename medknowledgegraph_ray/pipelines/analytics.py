@@ -1092,3 +1092,59 @@ def returned_item_customers(
     return rd.from_pandas(
         top[["c_custkey", "c_name", "acctbal_c", "n_name", "revenue_e4"]]
     )
+
+
+def market_share(
+    sf_dir: str, region: str = "AMERICA", supp_nation: int = 20,
+    force_dim: str | None = None,
+) -> rd.Dataset:
+    """National market share (TPC-H Q8 shape): the fraction of revenue to
+    `region`'s customers supplied by nation `supp_nation`, per order year.
+
+    Same shared join chain (_li_with_nations); the region restriction
+    applies via the 25-row nation → region driver map inside the scan
+    pass, the conditional numerator is a masked per-row column, and both
+    sums ride one key-bounded grouped_agg.  The share itself is ONE
+    float64 division of the two bit-identical int64 sums — oracle-exact
+    (the join_promo_ratio precedent)."""
+    from ..stages.groupagg import grouped_agg
+
+    j3 = _li_with_nations(sf_dir, force_dim)
+    nat2reg = {int(r["n_nationkey"]): int(r["n_regionkey"])
+               for r in readers.read_table(sf_dir, "nation").take_all()}
+    reg_ids = {int(r["r_regionkey"]) for r in
+               readers.read_table(sf_dir, "region").take_all()
+               if r["r_name"] == region}
+    keep_nats = [n for n, rg in nat2reg.items() if rg in reg_ids]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_nat"], value_set=pa.array(keep_nats, pa.int64())))
+        num = pc.if_else(
+            pc.equal(t["s_nat"], pa.scalar(int(supp_nation), pa.int64())),
+            t["rev_e4"], pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {"o_year": t["o_year"], "nation_e4": num, "total_e4": t["rev_e4"]}
+        )
+
+    agg = grouped_agg(
+        j3.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["o_year"],
+        [("nation_e4", "sum", "nation_e4"), ("total_e4", "sum", "total_e4")],
+        types={"o_year": pa.int64(), "nation_e4": pa.int64(),
+               "total_e4": pa.int64()},
+    )
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_year": b["o_year"].astype("int64"),
+                "nation_e4": b["nation_e4"].astype("int64"),
+                "total_e4": b["total_e4"].astype("int64"),
+                "mkt_share": b["nation_e4"].astype("float64").to_numpy()
+                / b["total_e4"].astype("float64").to_numpy(),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pandas", batch_size=None).sort("o_year")

@@ -45,7 +45,7 @@ SQL_CHECKED = [
     "ev_running_distinct",
     "agg_order_dist", "join_big_orders", "agg_dormant_customers",
     "join_nation_volume", "join_ship_priority", "join_returned_items",
-    "doc_pmi", "join_local_supply",
+    "doc_pmi", "join_local_supply", "join_market_share",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
