@@ -1128,7 +1128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": kg.mention_rows,
         "kg_conv_entities": kg.conv_entities,
         "kg_links": kg.links,
-        "kg_entity_counts": kg.entity_counts,
         "kg_edges": kg.edges,
         "kg_nodes": kg.nodes,
         "doc_typo_pairs": _doc_typo_pairs,
@@ -1178,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi": _doc_pmi,
         "join_local_supply": analytics.local_supply_volume,
         "join_market_share": analytics.market_share,
+        "join_disjunctive_rev": analytics.disjunctive_revenue,
         # demoted below the driver's 50-row cap so the never-recorded
         # entries above get their first record; these were green in
         # CORRECTNESS_r02 (doc_quality/dedup_exact/dedup_minhash/ann_topk
@@ -1193,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_abbrev_defs": kg.abbrev_definitions,
         "kg_top_cuis": kg.top_cui_links,
         "kg_top_entities": kg.top_entities,
+        "kg_entity_counts": kg.entity_counts,
         "kg_clinical_features": kg.clinical_features,
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
@@ -1895,6 +1896,20 @@ def oracle_sql() -> dict[str, str]:
             "   WHERE o.o_custkey = cb.c_custkey"
             "    AND o.o_orderdate >= TIMESTAMP '2000-07-01')"
             " GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # TPC-H Q19 shape: OR'd predicate groups spanning both join
+        # sides — must evaluate after the join; revenue/count int64-exact
+        "join_disjunctive_rev": (
+            "SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)"
+            "  * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_rows"
+            " FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"
+            " WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15"
+            "   AND l.l_quantity BETWEEN 1 AND 20)"
+            "  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30"
+            "   AND l.l_quantity BETWEEN 10 AND 35)"
+            "  OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50"
+            "   AND l.l_quantity BETWEEN 20 AND 50)"
         ),
         # TPC-H Q8 shape: nation 20's share of revenue to AMERICA's
         # customers per year — two int64-exact sums, ONE double division

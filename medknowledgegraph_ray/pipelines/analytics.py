@@ -1148,3 +1148,96 @@ def market_share(
         )
 
     return agg.map_batches(share, batch_format="pandas", batch_size=None).sort("o_year")
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjunct groups — the Q19
+# predicate shape; shared by the engine and its oracle SQL
+Q19_DISJUNCTS = [
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#3", 10, 30, 10, 35),
+    ("Brand#5", 20, 50, 20, 50),
+]
+
+
+def disjunctive_revenue(sf_dir: str, force_dim: str | None = None) -> rd.Dataset:
+    """Discounted revenue under OR'd predicate groups spanning BOTH join
+    sides (TPC-H Q19 shape): each disjunct constrains part attributes
+    (brand, size band) AND lineitem attributes (quantity band), so no
+    single side's scan filter can decide a row — the canonical case where
+    the predicate must evaluate AFTER the join.
+
+    Scale shape: lineitem prunes to 4 columns at the read; the part
+    attributes attach via the size-gated dim attach (_attach_dim —
+    broadcast sorted arrays under DIM_BROADCAST_MAX, sorted-exchange
+    equi-join above); the OR-mask is one vectorized Arrow pass; the global
+    sum is a per-block partial reduce (O(blocks) driver rows, no
+    exchange).  Output: one row (revenue_e4, n_rows), both int64-exact."""
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    part = readers.read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    brands = sorted({b for b, *_ in Q19_DISJUNCTS})
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        # brand as a small int code so the broadcast dim stays numeric
+        # (codes are positions in the sorted disjunct brand list; -1 =
+        # brand outside every disjunct)
+        code = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        for i, b in enumerate(brands):
+            code = pc.if_else(pc.equal(t["p_brand"], pa.scalar(b)),
+                              pa.scalar(i, pa.int64()), code)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "brand_code": code,
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    j = _attach_dim(
+        li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        part.map_batches(p_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "p_partkey", ["brand_code", "p_size"], ["qty", "rev_e4"],
+        force=force_dim,
+    )
+
+    def disjunct_sum(t: pa.Table) -> pa.Table:
+        code = t["brand_code"].to_numpy()
+        size = t["p_size"].to_numpy()
+        qty = t["qty"].to_numpy()
+        rev = t["rev_e4"].to_numpy()
+        mask = np.zeros(t.num_rows, dtype=bool)
+        for b, slo, shi, qlo, qhi in Q19_DISJUNCTS:
+            mask |= (
+                (code == brands.index(b))
+                & (size >= slo) & (size <= shi)
+                & (qty >= qlo) & (qty <= qhi)
+            )
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int(rev[mask].sum())], pa.int64()),
+                "n_rows": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    parts_rows = j.map_batches(disjunct_sum, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None).take_all()
+    out = pd.DataFrame(
+        {
+            "revenue_e4": pd.array([sum(r["revenue_e4"] for r in parts_rows)], dtype="int64"),
+            "n_rows": pd.array([sum(r["n_rows"] for r in parts_rows)], dtype="int64"),
+        }
+    )
+    return rd.from_pandas(out)

@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "agg_order_dist", "join_big_orders", "agg_dormant_customers",
     "join_nation_volume", "join_ship_priority", "join_returned_items",
     "doc_pmi", "join_local_supply", "join_market_share",
+    "join_disjunctive_rev",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
