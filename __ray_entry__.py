@@ -252,6 +252,17 @@ def _doc_shuffle(sf_dir: str):
     return shuffle.seeded_shard_shuffle(_docs(sf_dir))
 
 
+def _ev_users_hll(sf_dir: str):
+    # grouped HLL: approximate COUNT(DISTINCT user) per event type without
+    # shuffling the (type, user) key space (stages/sketch.grouped_distinct_hll;
+    # rows-only: approximate by design, pytest pins the error envelope and
+    # partition independence)
+    return sketch.grouped_distinct_hll(
+        readers.read_table(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
 def _doc_vocab_hll(sf_dir: str):
     # shuffle-free HLL estimate of the same count (rows-only: approximate by
     # design; tests/test_datapipe.py pins it inside the exact count's
@@ -1271,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall, stub decode dims) — kept LAST so a driver that caps its
         # CORRECTNESS file never drops an oracle-checked row
         "doc_vocab_hll": _doc_vocab_hll,
+        "ev_users_hll": _ev_users_hll,
         "ev_quantile_sketch": _ev_quantile_sketch,
         "emb_kmeans": _emb_kmeans,
         "ann_lsh": _ann_lsh,

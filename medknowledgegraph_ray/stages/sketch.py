@@ -225,3 +225,70 @@ def quantile_sketch(
             "estimate": pd.array(est, dtype="float64"),
         }
     )
+
+
+def grouped_distinct_hll(
+    ds: rd.Dataset, group_col: str, val_col: str, p: int = 12
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT val) per group as a mergeable grouped
+    HLL — distinct users per event type at corpus scale without shuffling
+    the (group, user) key space.
+
+    Scale shape: int64 values hash via the vectorized splitmix64 finalizer
+    (no per-row Python); each block folds to AT MOST |groups|·2^p
+    (group, register, rho) rows via one pandas groupby-max — bounded by
+    group cardinality, never by data; the distributed merge is the
+    algebraic grouped_agg MAX; the driver gathers |groups|·2^p final
+    register rows and applies the standard estimator per group.
+    Deterministic (unseeded mix), so every partitioning and cluster size
+    reports the same numbers.  Intended for BOUNDED group cardinality
+    (event types, languages, shards) — a corpus-cardinality group column
+    belongs on the exact sorted-exchange distinct instead."""
+    from .groupagg import grouped_agg
+    from .shuffle import _mix64
+
+    m = 1 << p
+    shift = np.uint64(64 - p)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "reg": pd.array([], dtype="int64"),
+                "rho": pd.array([], dtype="int64"),
+            })
+        h = _mix64(b[val_col].to_numpy().astype(np.int64).astype(np.uint64))
+        reg = (h >> shift).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad the tail
+        # rho = exact leading-zero count + 1 (branchless binary CLZ —
+        # float log2 misrounds just below powers of two)
+        lead = np.zeros(len(rest), dtype=np.int64)
+        cur = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            top_clear = cur < (np.uint64(1) << np.uint64(64 - s))
+            lead[top_clear] += s
+            cur[top_clear] = cur[top_clear] << np.uint64(s)
+        rho = np.minimum(lead + 1, 64 - p + 1)
+        df = pd.DataFrame({
+            group_col: b[group_col].to_numpy(),
+            "reg": pd.array(reg, dtype="int64"),
+            "rho": pd.array(rho, dtype="int64"),
+        })
+        return df.groupby([group_col, "reg"], as_index=False, sort=False)["rho"].max()
+
+    merged = grouped_agg(
+        ds.select_columns([group_col, val_col]).map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ),
+        [group_col, "reg"], [("rho", "max", "rho")],
+    ).to_pandas()  # ≤ |groups| · 2^p rows
+    out_groups, out_counts = [], []
+    for g, gdf in merged.groupby(group_col, sort=True):
+        regs = np.zeros(m, dtype=np.uint8)
+        regs[gdf["reg"].to_numpy()] = gdf["rho"].to_numpy().astype(np.uint8)
+        out_groups.append(g)
+        out_counts.append(int(round(hll_estimate(regs))))
+    return pd.DataFrame({
+        group_col: pd.Series(out_groups, dtype="object"),
+        "approx_distinct": pd.array(out_counts, dtype="int64"),
+    })

@@ -2088,3 +2088,29 @@ def test_attach_dim_missing_fk_fails_loudly():
     )
     with pytest.raises(Exception, match="missing from dim"):
         _attach_dim(probe, dim, "k", ["d"], ["v"], force="broadcast").to_pandas()
+
+
+def test_grouped_hll_envelope_and_partition_independence(sf_dir):
+    """Grouped HLL distinct-users lands inside the standard error envelope
+    of the exact per-group count and is partitioning-independent."""
+    import duckdb as _duck
+
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import sketch
+
+    ev = readers.read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = sketch.grouped_distinct_hll(ev, "event_type", "user_id", p=12)
+    con = _duck.connect()
+    exact = dict(con.execute(
+        f"SELECT event_type, COUNT(DISTINCT user_id)"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+    ).fetchall())
+    con.close()
+    assert set(out["event_type"]) == set(exact)
+    m = 1 << 12
+    tol = 3 * 1.04 / (m ** 0.5)  # 3 sigma of the standard HLL error
+    for g, a in zip(out["event_type"], out["approx_distinct"]):
+        x = exact[g]
+        assert abs(int(a) - x) <= max(2, tol * x), (g, int(a), x)
+    o2 = sketch.grouped_distinct_hll(ev.repartition(7), "event_type", "user_id", p=12)
+    assert out.equals(o2)
