@@ -1241,3 +1241,558 @@ def disjunctive_revenue(sf_dir: str, force_dim: str | None = None) -> rd.Dataset
         }
     )
     return rd.from_pandas(out)
+
+
+def _semi_filter(
+    probe: rd.Dataset,
+    keys: rd.Dataset,
+    key: str,
+    probe_cols: list[str],
+    force: str | None = None,
+) -> rd.Dataset:
+    """Keep probe rows whose int64 `key` appears in the unique-keyed `keys`
+    dataset — the dimension-predicate semi-join (filter the fact table by a
+    filtered dimension's key set).  Size-gated like _attach_dim: a sorted
+    key array broadcast under DIM_BROADCAST_MAX, the sorted-merge equi-join
+    (build=keys, no build payload) above it."""
+    import ray
+
+    from ..stages.join import equi_join
+
+    mode = force or ("broadcast" if keys.count() <= DIM_BROADCAST_MAX else "join")
+    if mode == "join":
+        return equi_join(keys, probe, key, [], probe_cols)
+    arr = np.sort(
+        np.concatenate(
+            [t[key].to_numpy() for t in ray.get(keys.to_arrow_refs()) if t.num_rows]
+            or [np.array([], dtype=np.int64)]
+        ).astype(np.int64)
+    )
+    ref = ray.put(arr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        skeys = ray.get(ref)
+        pk = t[key].to_numpy().astype(np.int64)
+        idx = np.searchsorted(skeys, pk)
+        ok = (idx < len(skeys)) & (skeys[np.minimum(idx, len(skeys) - 1)] == pk)
+        return t.select([key] + probe_cols).filter(pa.array(ok))
+
+    return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _li_part_filtered(
+    sf_dir: str, part_pred, part_cols: list[str], li_cols: list[str], prep,
+    probe_cols: list[str], force: str | None = None,
+) -> rd.Dataset:
+    """lineitem prepped by `prep` (must emit int64 p_partkey plus
+    `probe_cols`), restricted to parts passing `part_pred` (an
+    Arrow-table → BooleanArray mask over `part_cols`)."""
+    part = readers.read_table(sf_dir, "part", columns=["p_partkey"] + part_cols)
+    keys = part.map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t.filter(part_pred(t))["p_partkey"], pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = readers.read_table(sf_dir, "lineitem", columns=li_cols)
+    probe = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return _semi_filter(probe, keys, "p_partkey", probe_cols, force=force)
+
+
+def min_cost_part(sf_dir: str, max_size: int = 5, force_dim: str | None = None) -> rd.Dataset:
+    """Cheapest offer per part (TPC-H Q2 shape re-expressed over the
+    provided tables): among lineitems for small parts (p_size ≤ max_size),
+    the minimum extended price and the supplier offering it (argmin,
+    suppkey-asc tiebreak), with supplier name and nation attached.
+
+    Scale shape: dimension-predicate semi-join prunes the fact scan to the
+    hot part set; the per-part argmin is ONE keep_first sorted exchange
+    (interior runs take row 1; only block-edge parts re-reduce); supplier
+    attaches via the size-gated dim attach; the 25-row nation map applies
+    driver-side on the key-bounded winners."""
+    from ..stages.orderedagg import keep_first
+
+    def pred(t: pa.Table):
+        return pc.less_equal(t["p_size"], pa.scalar(max_size))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = _li_part_filtered(
+        sf_dir, pred, ["p_size"], ["l_partkey", "l_suppkey", "l_extendedprice"],
+        prep, ["s_suppkey", "price_c"], force=force_dim,
+    )
+    winners = keep_first(li, "p_partkey", ["price_c", "s_suppkey"])
+
+    supp = readers.read_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = _attach_dim(winners, supp, "s_suppkey", ["s_name", "s_nat"],
+                    ["p_partkey", "price_c"], force=force_dim)
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].astype("int64"),
+                "price_c": b["price_c"].astype("int64"),
+                "s_suppkey": b["s_suppkey"].astype("int64"),
+                "s_name": b["s_name"],
+                "n_name": b["s_nat"].map(names),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas", batch_size=None).sort("p_partkey")
+
+
+def priority_returns(sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-04-01") -> rd.Dataset:
+    """Order-priority count among orders of a quarter that had at least one
+    returned lineitem (TPC-H Q4 shape: EXISTS semi-join from the fact
+    side, then a key-bounded priority rollup).
+
+    Scale shape: the returned-lineitem side first collapses to DISTINCT
+    order keys via the algebraic grouped_agg (corpus → |orders| rows max),
+    which then forms the unique-keyed build of ONE sorted-merge inner join
+    against the date-windowed orders — the payload-free semi-join; the
+    priority rollup is 5-key-bounded."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def r_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    rk = grouped_agg(
+        li.map_batches(r_keys, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["o_orderkey"], [("one", "count", "n_r")],
+        types={"o_orderkey": pa.int64(), "one": pa.int64()},
+    )
+
+    orders = readers.read_table(sf_dir, "orders",
+                                columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lo_d, hi_d = np.datetime64(lo), np.datetime64(hi)
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo_d.astype("datetime64[us]"))),
+            pc.less(d, pa.scalar(hi_d.astype("datetime64[us]"))),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    j = equi_join(
+        rk, orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["n_r"], ["o_orderpriority"],
+        types={"o_orderkey": pa.int64(), "n_r": pa.int64(),
+               "o_orderpriority": pa.string()},
+    )
+
+    def one_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = grouped_agg(
+        j.map_batches(one_col, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=None),
+        ["o_orderpriority"], [("one", "count", "n_orders")],
+        types={"o_orderpriority": pa.string(), "one": pa.int64()},
+    )
+    return agg.sort("o_orderpriority")
+
+
+def product_profit(sf_dir: str, token: str = "widget", force_dim: str | None = None) -> rd.Dataset:
+    """Profit by supplier nation and order year for one product family
+    (TPC-H Q9 shape over the provided tables): amount = revenue −
+    0.6·retailprice·qty (p_retailprice stands in for ps_supplycost, which
+    the testdata catalog does not carry), for parts whose name contains
+    `token`.
+
+    Scale shape: the part predicate prunes the fact scan via the size-gated
+    semi-join; the part cost and supplier nation attach via the size-gated
+    dim attach; order year arrives through ONE sorted-merge join keyed on
+    o_orderkey (orders is fact-sized — never broadcast); the rollup is
+    (nation × year)-bounded.  All money flows as exact integer 1e-4 units:
+    amount_e4 = rev_e4 − qty·retail_c·60."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    def pred(t: pa.Table):
+        return pc.match_substring(t["p_name"], token)
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    li = _li_part_filtered(
+        sf_dir, pred, ["p_name"],
+        ["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+        prep, ["o_orderkey", "s_suppkey", "qty", "rev_e4"], force=force_dim,
+    )
+
+    part = readers.read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    part = part.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "retail_c": pc.cast(
+                    pc.round(pc.multiply(t["p_retailprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _attach_dim(li, part, "p_partkey", ["retail_c"],
+                     ["o_orderkey", "s_suppkey", "qty", "rev_e4"], force=force_dim)
+
+    supp = readers.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _attach_dim(li, supp, "s_suppkey", ["s_nat"],
+                     ["o_orderkey", "qty", "rev_e4", "retail_c"], force=force_dim)
+
+    def amount(t: pa.Table) -> pa.Table:
+        cost_e4 = pc.multiply(pc.multiply(t["qty"], t["retail_c"]), pa.scalar(60))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "s_nat": t["s_nat"],
+                "amount_e4": pc.subtract(t["rev_e4"], cost_e4),
+            }
+        )
+
+    li = li.map_batches(amount, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    j = equi_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li, "o_orderkey", ["o_year"], ["s_nat", "amount_e4"],
+        types={"o_orderkey": pa.int64(), "o_year": pa.int64(),
+               "s_nat": pa.int64(), "amount_e4": pa.int64()},
+    )
+    agg = grouped_agg(
+        j, ["s_nat", "o_year"], [("amount_e4", "sum", "amount_e4")],
+        types={"s_nat": pa.int64(), "o_year": pa.int64(), "amount_e4": pa.int64()},
+    )
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nation": b["s_nat"].map(names),
+                "o_year": b["o_year"].astype("int64"),
+                "amount_e4": b["amount_e4"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None).sort(
+        ["nation", "o_year"]
+    )
+
+
+def top_revenue_supplier(
+    sf_dir: str, lo: str = "1996-01-01", hi: str = "1996-04-01",
+    force_dim: str | None = None,
+) -> rd.Dataset:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape:
+    grouped revenue → global MAX → all argmax rows, ties included).
+
+    Scale shape: revenue per supplier is one algebraic grouped_agg
+    (supplier-bounded); the global max funnels through per-block partial
+    maxima (O(blocks) driver rows, never the full supplier set); the
+    winner filter runs distributed and only winner rows attach the
+    supplier name."""
+    from ..stages.groupagg import grouped_agg
+
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo_d, hi_d = np.datetime64(lo), np.datetime64(hi)
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo_d.astype("datetime64[us]"))),
+            pc.less(d, pa.scalar(hi_d.astype("datetime64[us]"))),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev_e4": pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0))), pa.int64()),
+            }
+        )
+
+    rev = grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["s_suppkey"], [("rev_e4", "sum", "revenue_e4")],
+        types={"s_suppkey": pa.int64(), "rev_e4": pa.int64()},
+    ).materialize()  # consumed twice: max funnel + winner filter
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array([pc.max(t["revenue_e4"]).as_py()], pa.int64())})
+
+    maxima = rev.map_batches(block_max, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None).take_all()  # O(blocks)
+    if not maxima:
+        return rev  # empty window: typed empty (s_suppkey, revenue_e4)
+    m = max(r["m"] for r in maxima)
+    winners = rev.filter(expr=f"revenue_e4 == {int(m)}")
+
+    supp = readers.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    supp = supp.map_batches(
+        lambda t: pa.table(
+            {"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()), "s_name": t["s_name"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = _attach_dim(winners, supp, "s_suppkey", ["s_name"], ["revenue_e4"],
+                    force=force_dim)
+    return j.sort("s_suppkey")
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#13",
+                           force_dim: str | None = None) -> pd.DataFrame:
+    """Revenue lost to small-quantity orders of one brand (TPC-H Q17
+    shape: per-part average quantity as a correlated scalar, re-joined to
+    the same fact rows): total extended price of lineitems whose quantity
+    is below 20 % of their part's average order quantity, and its yearly
+    average.
+
+    Exactness: the threshold compare is the integer cross-multiplication
+    5·qty·n_li < sum_qty (no float average); the single yearly-average
+    division total_c / 700.0 mirrors the oracle's op order.  Scale shape:
+    brand predicate → semi-join prune; per-part stats via grouped_agg
+    (part-bounded); stats re-join the fact rows as the unique-keyed build
+    of ONE sorted-merge join; the final total funnels through per-block
+    partial sums (O(blocks) driver rows)."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    def pred(t: pa.Table):
+        return pc.equal(t["p_brand"], pa.scalar(brand))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    li = _li_part_filtered(
+        sf_dir, pred, ["p_brand"], ["l_partkey", "l_quantity", "l_extendedprice"],
+        prep, ["qty", "price_c", "one"], force=force_dim,
+    ).materialize()  # consumed twice: stats + re-join probe
+
+    stats = grouped_agg(
+        li, ["p_partkey"], [("qty", "sum", "sum_qty"), ("one", "count", "n_li")],
+        types={"p_partkey": pa.int64(), "qty": pa.int64(), "one": pa.int64()},
+    )
+    j = equi_join(
+        stats, li, "p_partkey", ["sum_qty", "n_li"], ["qty", "price_c"],
+        types={"p_partkey": pa.int64(), "sum_qty": pa.int64(),
+               "n_li": pa.int64(), "qty": pa.int64(), "price_c": pa.int64()},
+    )
+
+    def partial_sum(t: pa.Table) -> pa.Table:
+        small = pc.less(
+            pc.multiply(pc.multiply(t["qty"], pa.scalar(5)), t["n_li"]),
+            t["sum_qty"],
+        )
+        kept = t.filter(small)
+        s = pc.sum(kept["price_c"]).as_py() or 0
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    parts = j.map_batches(partial_sum, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None).take_all()  # O(blocks)
+    total_c = int(sum(r["s"] for r in parts))
+    return pd.DataFrame(
+        {
+            "total_price_c": pd.array([total_c], dtype="int64"),
+            "avg_yearly": pd.array([float(total_c) / 700.0], dtype="float64"),
+        }
+    )
+
+
+def sole_return_suppliers(sf_dir: str, k: int = 25) -> rd.Dataset:
+    """Suppliers solely responsible for a returned item in multi-supplier
+    finalized orders (TPC-H Q21 shape re-expressed with the catalog's
+    return flag standing in for the receipt/commit lateness predicate):
+    per supplier, the number of status-'F' orders with ≥ 2 distinct
+    suppliers where THIS supplier is the only one whose lineitem came back
+    'R', ranked desc.
+
+    Scale shape: (order, supplier) pairs collapse via grouped_agg with a
+    MAX(has_r) flag (corpus → pair-bounded); the per-order supplier/bad
+    counts are a second key-bounded grouped_agg; the 'F' restriction and
+    the per-order counts re-attach through sorted-merge joins (orders is
+    fact-sized, per-order stats are unique-keyed builds — nothing
+    broadcast); the final per-supplier count is supplier-bounded and the
+    top-k funnels through per-block partials."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "r": pc.cast(pc.equal(t["l_returnflag"], pa.scalar("R")), pa.int64()),
+            }
+        )
+
+    pairs = grouped_agg(
+        li.map_batches(pair_prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["o_orderkey", "s_suppkey"], [("r", "max", "has_r")],
+        types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(), "r": pa.int64()},
+    ).materialize()  # consumed twice: per-order stats + probe side
+
+    def one_col(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    per_order = grouped_agg(
+        pairs.map_batches(one_col, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None),
+        ["o_orderkey"], [("one", "count", "n_supp"), ("has_r", "sum", "n_bad")],
+        types={"o_orderkey": pa.int64(), "one": pa.int64(), "has_r": pa.int64()},
+    )
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def f_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64())})
+
+    pairs_f = equi_join(
+        orders.map_batches(f_keys, batch_format="pyarrow", zero_copy_batch=True),
+        pairs, "o_orderkey", [], ["s_suppkey", "has_r"],
+        types={"o_orderkey": pa.int64(), "s_suppkey": pa.int64(),
+               "has_r": pa.int64()},
+    )
+    j = equi_join(
+        per_order, pairs_f, "o_orderkey", ["n_supp", "n_bad"], ["s_suppkey", "has_r"],
+        types={"o_orderkey": pa.int64(), "n_supp": pa.int64(), "n_bad": pa.int64(),
+               "s_suppkey": pa.int64(), "has_r": pa.int64()},
+    )
+
+    def culprits(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(t["has_r"], pa.scalar(1)),
+                    pc.equal(t["n_bad"], pa.scalar(1))),
+            pc.greater_equal(t["n_supp"], pa.scalar(2)),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_agg(
+        j.map_batches(culprits, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=None),
+        ["s_suppkey"], [("one", "count", "numwait")],
+        types={"s_suppkey": pa.int64(), "one": pa.int64()},
+    )
+
+    names = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in readers.read_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name"]
+        ).take_all()
+    }  # supplier names only for the ≤ k winners below would need a join;
+    # the supplier table is dimension-bounded (DIM_BROADCAST_MAX class)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["numwait"] = b["numwait"].astype("int64")
+        b["s_suppkey"] = b["s_suppkey"].astype("int64")
+        return b.sort_values(["numwait", "s_suppkey"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    top = (
+        counts.map_batches(pick, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(pick, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    top["s_name"] = top["s_suppkey"].map(names)
+    return rd.from_pandas(top[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True))

@@ -309,3 +309,57 @@ def weighted_sample_k(
         .head(k)[[id_col, weight_col]]
         .reset_index(drop=True)
     )
+
+
+def epoch_oversample(
+    docs: rd.Dataset,
+    weights: dict[str, float],
+    *,
+    default: float = 1.0,
+    stratum_col: str = "source",
+    seed: int = 20260818,
+) -> rd.Dataset:
+    """Fractional-epoch oversampling — the data-MIXING step of a training
+    pipeline ("repeat wiki 2.5 epochs, web 1 epoch"): emit each document
+    floor(w) times, plus one extra copy iff its seeded splitmix64 key
+    selects it with probability frac(w).  Each emitted row carries its
+    epoch index, so a downstream packer/shuffler can keep copies apart.
+
+    Map-only flat expansion (no shuffle, no RNG state): the keyed
+    fractional pick is deterministic under any partitioning and re-run,
+    and the identical arithmetic is SQL-expressible via shuffle_key_sql,
+    so the expansion is oracle-exact row for row.  Per-stratum weights
+    must be < some small bound in practice (an epoch count is a handful);
+    the expansion factor is Σ w·|stratum| rows, linear in the corpus."""
+    million = np.uint64(1_000_000)
+    floors = {s: int(np.floor(w)) for s, w in weights.items()}
+    fracs_e6 = {s: int(round((w - np.floor(w)) * 1e6)) for s, w in weights.items()}
+    d_floor, d_frac = int(np.floor(default)), int(round((default - np.floor(default)) * 1e6))
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    stratum_col: pd.Series([], dtype="object"),
+                    "epoch": pd.array([], dtype="int64"),
+                }
+            )
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        strata = b[stratum_col].to_numpy()
+        keys = _shuffle_keys(ids, seed) % million
+        base = np.array([floors.get(s, d_floor) for s in strata], dtype=np.int64)
+        thr = np.array([fracs_e6.get(s, d_frac) for s in strata], dtype=np.uint64)
+        copies = base + (keys < thr).astype(np.int64)
+        reps = np.repeat(np.arange(len(b)), copies)
+        starts = np.cumsum(np.concatenate([[0], copies[:-1]]))
+        epoch = np.arange(len(reps)) - np.repeat(starts, copies)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids[reps], dtype="int64"),
+                stratum_col: pd.Series(strata[reps], dtype="object"),
+                "epoch": pd.array(epoch, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pandas", batch_size=None)

@@ -338,3 +338,55 @@ class Fingerprinter:
 
 def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(Fingerprinter(), batch_format="pandas", batch_size=4096)
+
+
+def token_entropy(docs: rd.Dataset) -> rd.Dataset:
+    """Per-document token Shannon entropy (nats) — the vocabulary-diversity
+    quality signal (low entropy ⇒ repetitive/boilerplate text, cf. the
+    repetition_stats Gopher rule family).
+
+    H = ln(n) − (Σ_t c_t·ln(c_t)) / n over whitespace tokens of the
+    lowercased text.  Pure map — each document's entropy depends only on
+    its own row, so the stage has NO exchange at any corpus size.
+    Oracle-exactness: c_t·ln(c_t) terms are accumulated in token-ascending
+    order with plain sequential float64 adds, `math.log` is the same libm
+    call as DuckDB `ln()`, and the result is rounded half-even to 1e-6
+    (the doc_pmi / doc_tfidf idf precedent), so the engine and the SQL
+    perform bit-identical double arithmetic."""
+    import math
+    import re
+
+    token_run = re.compile(r"\S+", re.ASCII)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        n_tok = np.zeros(len(batch), dtype=np.int64)
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        ent_e6 = np.zeros(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"].fillna("")):
+            toks = token_run.findall(text.lower())
+            n = len(toks)
+            n_tok[i] = n
+            if n == 0:
+                continue
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            n_distinct[i] = len(counts)
+            s = 0.0
+            for t in sorted(counts):  # deterministic accumulation order
+                c = counts[t]
+                s += float(c) * math.log(float(c))
+            h = math.log(float(n)) - s / float(n)
+            # round half-even at 1e-6, matching DuckDB round_even
+            ent_e6[i] = int(np.rint(h * 1e6))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": pd.array(n_tok, dtype="int64"),
+                "n_distinct": pd.array(n_distinct, dtype="int64"),
+                "entropy_e6": pd.array(ent_e6, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=4096)

@@ -47,6 +47,9 @@ SQL_CHECKED = [
     "join_nation_volume", "join_ship_priority", "join_returned_items",
     "doc_pmi", "join_local_supply", "join_market_share",
     "join_disjunctive_rev",
+    "join_min_cost_part", "agg_priority_returns", "join_product_profit",
+    "join_top_supplier", "join_small_qty_rev", "join_sole_returns",
+    "doc_entropy", "doc_epochs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2073,6 +2076,42 @@ def test_attach_dim_paths_row_identical(sf_dir):
     a = _norm(analytics.nation_volume(sf_dir, force_dim="broadcast").to_pandas())
     b = _norm(analytics.nation_volume(sf_dir, force_dim="join").to_pandas())
     assert a.shape == b.shape and a.equals(b)
+
+
+def test_semi_filter_paths_row_identical(sf_dir):
+    """min_cost_part's dimension-predicate semi-join: the broadcast
+    sorted-key-array path and the sorted-merge equi-join path must be
+    row-identical (forced-path parity convention)."""
+    from medknowledgegraph_ray.pipelines import analytics
+
+    a = _norm(analytics.min_cost_part(sf_dir, force_dim="broadcast").to_pandas())
+    b = _norm(analytics.min_cost_part(sf_dir, force_dim="join").to_pandas())
+    assert a.shape == b.shape and a.equals(b)
+
+
+def test_epoch_oversample_copy_counts():
+    """floor(w) copies always; the fractional extra copy appears for
+    exactly the keyed fraction; epoch indices are 0..copies-1."""
+    from medknowledgegraph_ray.stages.shuffle import epoch_oversample
+
+    n = 4000
+    docs = rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["w" if i % 2 else "x" for i in range(n)]),
+        })
+    )
+    out = epoch_oversample(docs, {"w": 2.25, "x": 0.5}, default=1.0).to_pandas()
+    per = out.groupby("doc_id").agg(c=("epoch", "size"), mx=("epoch", "max"))
+    assert (per["mx"] == per["c"] - 1).all()  # epochs are 0..copies-1
+    w = per.join(pd.Series(["w" if i % 2 else "x" for i in range(n)],
+                           name="src"))
+    wc = w[w["src"] == "w"]["c"]
+    xc = per.reindex(range(0, n, 2)).fillna({"c": 0})["c"]
+    assert set(wc.unique()) <= {2, 3}
+    # fractional picks land near the target rates (keyed, not RNG)
+    assert abs((wc == 3).mean() - 0.25) < 0.05
+    assert abs(xc.eq(1).sum() / (n / 2) - 0.5) < 0.05
 
 
 def test_attach_dim_missing_fk_fails_loudly():
