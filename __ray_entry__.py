@@ -1217,10 +1217,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _doc_entropy,
         "doc_epochs": _doc_epochs,
         # ---- demoted below the driver's 50-row cap so the never-recorded
-        # entries above get their first record.  join_region_counts is
-        # r01-recorded and pytest-parity-checked; it MUST lead in r5
-        # together with every r02-recorded kg entry below; all stay
-        # pytest-parity-checked at sf0.001 regardless.
+        # entries above get their first record.  The four Q6/Q12/Q16/Q20
+        # shapes (completing all 22 TPC-H query shapes) were added when
+        # the lead was already full — they and join_region_counts
+        # (r01-recorded) MUST lead in r5 together with every r02-recorded
+        # kg entry below; all stay pytest-parity-checked at sf0.001 and
+        # swept by tools/check_oracles.py regardless.
+        "agg_forecast_rev": analytics.forecast_revenue,
+        "agg_line_priority": analytics.line_priority_counts,
+        "agg_part_suppliers": analytics.part_supplier_variety,
+        "join_heavy_suppliers": analytics.heavy_suppliers,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -2586,6 +2592,64 @@ def oracle_sql() -> dict[str, str]:
             " FROM c, UNNEST(generate_series(0, CAST(copies AS BIGINT) - 1))"
             "  AS t(epoch)"
             " WHERE copies > 0 ORDER BY doc_id, epoch"
+        ),
+        # Q6 shape: scan + global rollup, all predicates on integer-scaled
+        # values (disc_e2 band, qty cap), revenue = price_c × disc_e2
+        "agg_forecast_rev": (
+            "WITH f AS (SELECT"
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,"
+            "  CAST(round(l_discount * 100) AS BIGINT) AS disc_e2,"
+            "  CAST(round(l_quantity) AS BIGINT) AS qty"
+            "  FROM lineitem"
+            "  WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1997-01-01')"
+            " SELECT CAST(sum(price_c * disc_e2) AS BIGINT) AS revenue_e4,"
+            " CAST(count(*) AS BIGINT) AS n_lines"
+            " FROM f WHERE disc_e2 BETWEEN 5 AND 7 AND qty < 24"
+        ),
+        # Q12 shape (l_returnflag stands in for the missing l_shipmode):
+        # urgent/high order lines vs the rest, per flag, ship-year window
+        "agg_line_priority": (
+            "SELECT l_returnflag,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+            " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " GROUP BY 1 ORDER BY 1"
+        ),
+        # Q16 shape: distinct suppliers per (brand, size), NOT-IN exclusion
+        # of negative-balance suppliers (complaint-comment analog)
+        "agg_part_suppliers": (
+            "WITH tr AS (SELECT DISTINCT p_brand,"
+            "  CAST(p_size AS BIGINT) AS p_size,"
+            "  CAST(l_suppkey AS BIGINT) AS s_suppkey"
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey"
+            "  WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'"
+            "  AND p_size <= 10),"
+            " ex AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey"
+            "  FROM supplier WHERE s_acctbal < 0)"
+            " SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt"
+            " FROM tr WHERE s_suppkey NOT IN (SELECT s_suppkey FROM ex)"
+            " GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"
+        ),
+        # Q20 shape: part-predicate → per-supplier qty sum → threshold →
+        # supplier/nation attach
+        "join_heavy_suppliers": (
+            "WITH li AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,"
+            "  CAST(round(l_quantity) AS BIGINT) AS qty"
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey"
+            "  WHERE p_name LIKE '%widget%'"
+            "  AND l_shipdate >= TIMESTAMP '1996-01-01'"
+            "  AND l_shipdate < TIMESTAMP '1997-01-01'),"
+            " s AS (SELECT s_suppkey, CAST(sum(qty) AS BIGINT) AS sum_qty"
+            "  FROM li GROUP BY 1 HAVING sum(qty) > 300)"
+            " SELECT s.s_suppkey, su.s_name, n.n_name, s.sum_qty"
+            " FROM s JOIN supplier su ON su.s_suppkey = s.s_suppkey"
+            " JOIN nation n ON n.n_nationkey = su.s_nationkey"
+            " ORDER BY s.s_suppkey"
         ),
         "doc_bigrams": (
             "WITH toks AS (SELECT doc_id,"

@@ -1796,3 +1796,337 @@ def sole_return_suppliers(sf_dir: str, k: int = 25) -> rd.Dataset:
     )
     top["s_name"] = top["s_suppkey"].map(names)
     return rd.from_pandas(top[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True))
+
+
+def forecast_revenue(sf_dir: str, year: str = "1996") -> rd.Dataset:
+    """Discount-forecast revenue (TPC-H Q6 shape): one global sum of
+    l_extendedprice × l_discount over a ship-year window, a discount band
+    and a quantity cap — the pure scan-plus-rollup query.
+
+    Scale shape: column-pruned read, ALL predicates applied map-side on
+    integer-scaled values (disc_e2 ∈ [5, 7], qty < 24 — no float compares
+    can diverge from the oracle), per-block partial sums; only one
+    (sum, count) row per block crosses to the single-key reduce.  EXACT:
+    rev_e4 = price_c × disc_e2 is int64 at the e-4 dollar scale."""
+    from ..stages.groupagg import grouped_agg
+
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64(f"{year}-01-01").astype("datetime64[us]")
+    hi = np.datetime64(f"{int(year) + 1}-01-01").astype("datetime64[us]")
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        disc_e2 = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_e2, pa.scalar(5)),
+                        pc.less_equal(disc_e2, pa.scalar(7))),
+                pc.less(qty, pa.scalar(24)),
+            ),
+        )
+        t2 = t.filter(mask)
+        price_c = pc.cast(
+            pc.round(pc.multiply(t2["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+        )
+        d2 = pc.cast(pc.round(pc.multiply(t2["l_discount"], pa.scalar(100.0))), pa.int64())
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(t2.num_rows, dtype=np.int64)),
+                "rev_e4": pc.multiply(price_c, d2),
+                "one": pa.array(np.ones(t2.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["k"], [("rev_e4", "sum", "revenue_e4"), ("one", "count", "n_lines")],
+        types={"k": pa.int64(), "rev_e4": pa.int64(), "one": pa.int64()},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_e4": b["revenue_e4"].astype("int64"),
+                "n_lines": b["n_lines"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def line_priority_counts(sf_dir: str, year: str = "1996") -> rd.Dataset:
+    """High- vs low-priority line counts per return flag (TPC-H Q12 shape
+    re-expressed over the provided columns: l_returnflag stands in for the
+    catalog's missing l_shipmode): lineitems shipped in `year` join their
+    order's priority; per flag, how many lines belong to urgent/high
+    orders vs the rest.
+
+    Scale shape: orders collapses map-side to (key, is_high ∈ {0,1}) and
+    forms the unique-keyed build of ONE sorted-merge join against the
+    date-windowed lineitem probe; the two conditional counts are per-block
+    partial sums over a 3-key space."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+
+    orders = readers.read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        hi = pc.or_(
+            pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")),
+            pc.equal(t["o_orderpriority"], pa.scalar("2-HIGH")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "is_high": pc.cast(hi, pa.int64()),
+            }
+        )
+
+    li = readers.read_table(sf_dir, "lineitem",
+                            columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    lo = np.datetime64(f"{year}-01-01").astype("datetime64[us]")
+    hi_d = np.datetime64(f"{int(year) + 1}-01-01").astype("datetime64[us]")
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                             pc.less(d, pa.scalar(hi_d))))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_returnflag": t["l_returnflag"],
+            }
+        )
+
+    j = equi_join(
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey", ["is_high"], ["l_returnflag"],
+        types={"o_orderkey": pa.int64(), "is_high": pa.int64(),
+               "l_returnflag": pa.string()},
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high": t["is_high"],
+                "low": pc.subtract(pa.scalar(1, pa.int64()), t["is_high"]),
+            }
+        )
+
+    agg = grouped_agg(
+        j.map_batches(split, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=None),
+        ["l_returnflag"],
+        [("high", "sum", "high_line_count"), ("low", "sum", "low_line_count")],
+        types={"l_returnflag": pa.string(), "high": pa.int64(), "low": pa.int64()},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["high_line_count"] = b["high_line_count"].astype("int64")
+        b["low_line_count"] = b["low_line_count"].astype("int64")
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None).sort("l_returnflag")
+
+
+def part_supplier_variety(
+    sf_dir: str, ex_brand: str = "Brand#13", ex_type: str = "PROMO",
+    max_size: int = 10,
+) -> rd.Dataset:
+    """Distinct-supplier count per (brand, size) for qualifying parts,
+    excluding flagged suppliers (TPC-H Q16 shape: the NOT-IN side is the
+    negative-balance supplier set, standing in for the catalog's missing
+    complaint comments).
+
+    Scale shape: the part predicate filters the unique-keyed build of ONE
+    sorted-merge join against lineitem; the triple distinct collapses via
+    the algebraic grouped_agg (corpus → |brand×size×supplier| rows max);
+    the supplier exclusion is the payload-carrying sorted-exchange
+    anti-join (setops.anti_join_cols — NOT broadcast, suppliers with
+    complaints are corpus-derived at production scale); the final count
+    per (brand, size) is key-bounded."""
+    from ..stages.groupagg import grouped_agg
+    from ..stages.join import equi_join
+    from ..stages.setops import anti_join_cols
+
+    part = readers.read_table(sf_dir, "part",
+                              columns=["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.not_equal(t["p_brand"], pa.scalar(ex_brand)),
+                    pc.not_equal(t["p_type"], pa.scalar(ex_type))),
+            pc.less_equal(t["p_size"], pa.scalar(max_size)),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_brand": t["p_brand"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        )
+
+    j = equi_join(
+        part.map_batches(p_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        "p_partkey", ["p_brand", "p_size"], ["s_suppkey"],
+        types={"p_partkey": pa.int64(), "p_brand": pa.string(),
+               "p_size": pa.int64(), "s_suppkey": pa.int64()},
+    )
+
+    def one_col(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    triples = grouped_agg(
+        j.map_batches(one_col, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=None),
+        ["p_brand", "p_size", "s_suppkey"], [("one", "count", "n")],
+        types={"p_brand": pa.string(), "p_size": pa.int64(),
+               "s_suppkey": pa.int64(), "one": pa.int64()},
+    )
+
+    supp = readers.read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["s_acctbal"], pa.scalar(0.0)))
+        return pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64())})
+
+    kept = anti_join_cols(
+        triples, supp.map_batches(bad, batch_format="pyarrow", zero_copy_batch=True),
+        key="s_suppkey", cols=["p_brand", "p_size"],
+        dtypes={"p_brand": "object", "p_size": "int64"},
+    )
+
+    def one2(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": b["p_brand"],
+                "p_size": b["p_size"].astype("int64"),
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    counts = grouped_agg(
+        kept.map_batches(one2, batch_format="pandas", batch_size=None),
+        ["p_brand", "p_size"], [("one", "count", "supplier_cnt")],
+        types={"p_brand": pa.string(), "p_size": pa.int64(), "one": pa.int64()},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["supplier_cnt"] = b["supplier_cnt"].astype("int64")
+        b["p_size"] = b["p_size"].astype("int64")
+        return b
+
+    return counts.map_batches(finish, batch_format="pandas",
+                              batch_size=None).sort(
+        ["supplier_cnt", "p_brand", "p_size"], descending=[True, False, False]
+    )
+
+
+def heavy_suppliers(
+    sf_dir: str, token: str = "widget", year: str = "1996",
+    threshold: int = 300, force_dim: str | None = None,
+) -> rd.Dataset:
+    """Suppliers who shipped more than `threshold` units of matching parts
+    in a year (TPC-H Q20 shape: the nested part-predicate → quantity-sum
+    → supplier semi-join chain), with name and nation attached.
+
+    Scale shape: the part-name predicate prunes the fact scan through the
+    size-gated dimension semi-join (_semi_filter); the per-supplier
+    quantity sum is algebraic (corpus → |supplier| rows max); the name
+    attach rides the size-gated dim attach and the 25-row nation map
+    applies driver-side on the key-bounded winners."""
+    from ..stages.groupagg import grouped_agg
+
+    lo = np.datetime64(f"{year}-01-01").astype("datetime64[us]")
+    hi = np.datetime64(f"{int(year) + 1}-01-01").astype("datetime64[us]")
+
+    def pred(t: pa.Table):
+        return pc.match_substring(t["p_name"], token)
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                             pc.less(d, pa.scalar(hi))))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    li = _li_part_filtered(
+        sf_dir, pred, ["p_name"], ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        prep, ["s_suppkey", "qty"], force=force_dim,
+    )
+
+    sums = grouped_agg(
+        li.map_batches(
+            lambda t: t.select(["s_suppkey", "qty"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        ["s_suppkey"], [("qty", "sum", "sum_qty")],
+        types={"s_suppkey": pa.int64(), "qty": pa.int64()},
+    )
+
+    def over(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+            }
+        ).filter(pc.greater(pc.cast(t["sum_qty"], pa.int64()),
+                            pa.scalar(threshold, pa.int64())))
+
+    winners = sums.map_batches(over, batch_format="pyarrow")
+
+    supp = readers.read_table(sf_dir, "supplier",
+                              columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = _attach_dim(winners, supp, "s_suppkey", ["s_name", "s_nat"],
+                    ["sum_qty"], force=force_dim)
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in readers.read_table(sf_dir, "nation").take_all()}  # 25 rows
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": b["s_suppkey"].astype("int64"),
+                "s_name": b["s_name"],
+                "n_name": b["s_nat"].astype("int64").map(names),
+                "sum_qty": b["sum_qty"].astype("int64"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas").sort("s_suppkey")

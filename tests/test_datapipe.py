@@ -50,6 +50,8 @@ SQL_CHECKED = [
     "join_min_cost_part", "agg_priority_returns", "join_product_profit",
     "join_top_supplier", "join_small_qty_rev", "join_sole_returns",
     "doc_entropy", "doc_epochs",
+    "agg_forecast_rev", "agg_line_priority", "agg_part_suppliers",
+    "join_heavy_suppliers",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
