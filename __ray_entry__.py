@@ -326,6 +326,13 @@ def _doc_epochs(sf_dir: str):
     return _sh.epoch_oversample(docs, _EPOCH_WEIGHTS, default=1.0)
 
 
+def _doc_chunk(sf_dir: str):
+    # sliding-window token chunking (64-token windows every 48): map-only
+    # flat expansion, oracle-exact incl. the re-joined chunk text
+    # (stages/textstats.chunk_windows)
+    return textstats.chunk_windows(_docs(sf_dir), window=64, stride=48)
+
+
 def _doc_pii(sf_dir: str):
     # PII detect + redact over the planted-PII corpus: real compiled-regex
     # scanner + redaction hash, vectorized per batch (stages/pii.py)
@@ -1223,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (r01-recorded) MUST lead in r5 together with every r02-recorded
         # kg entry below; all stay pytest-parity-checked at sf0.001 and
         # swept by tools/check_oracles.py regardless.
+        "doc_chunk": _doc_chunk,
         "agg_forecast_rev": analytics.forecast_revenue,
         "agg_line_priority": analytics.line_priority_counts,
         "agg_part_suppliers": analytics.part_supplier_variety,
@@ -2592,6 +2600,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM c, UNNEST(generate_series(0, CAST(copies AS BIGINT) - 1))"
             "  AS t(epoch)"
             " WHERE copies > 0 ORDER BY doc_id, epoch"
+        ),
+        # sliding-window chunking: same \s+ split as the engine's ASCII
+        # \S+ runs, 1-based inclusive list slice == Python [s:e), integer
+        # // for the chunk index
+        "doc_chunk": (
+            "WITH toks AS (SELECT doc_id,"
+            "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+            "  AS l FROM documents),"
+            " w AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),"
+            " ch AS (SELECT doc_id, l, n, CAST(t.s AS BIGINT) AS tok_start"
+            "  FROM w, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT), 48))"
+            "  AS t(s))"
+            " SELECT doc_id, tok_start // 48 AS chunk_id, tok_start,"
+            " CAST(least(tok_start + 64, n) AS BIGINT) AS tok_end,"
+            " array_to_string(l[tok_start + 1 : least(tok_start + 64, n)], ' ')"
+            "  AS chunk_text"
+            " FROM ch ORDER BY doc_id, chunk_id"
         ),
         # Q6 shape: scan + global rollup, all predicates on integer-scaled
         # values (disc_e2 band, qty cap), revenue = price_c × disc_e2

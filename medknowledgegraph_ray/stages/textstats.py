@@ -390,3 +390,49 @@ def token_entropy(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def chunk_windows(docs: rd.Dataset, window: int = 64, stride: int = 48) -> rd.Dataset:
+    """Per-document sliding-window token chunking — the context-window
+    preparation step of a training/RAG pipeline: each document's
+    whitespace tokens are re-emitted as overlapping windows of `window`
+    tokens every `stride` tokens (chunk k covers tokens
+    [k·stride, min(k·stride + window, n))), with the window's text
+    re-joined on single spaces.
+
+    Map-only flat expansion — each document chunks independently, so the
+    stage has NO exchange at any corpus size and the output is
+    (n/stride)-linear in the corpus.  The identical token split
+    (ASCII \\S+ runs) and slice arithmetic are SQL-expressible, so every
+    row is oracle-exact including the chunk text."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        cids: list[int] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        texts: list[str] = []
+        for doc_id, text in zip(batch["doc_id"].to_numpy(),
+                                batch["text"].fillna("")):
+            toks = _TOKEN_RUN.findall(text)
+            n = len(toks)
+            for k, s in enumerate(range(0, n, stride)):
+                e = min(s + window, n)
+                ids.append(int(doc_id))
+                cids.append(k)
+                starts.append(s)
+                ends.append(e)
+                texts.append(" ".join(toks[s:e]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "chunk_id": pd.array(cids, dtype="int64"),
+                "tok_start": pd.array(starts, dtype="int64"),
+                "tok_end": pd.array(ends, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=1024)

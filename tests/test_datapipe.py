@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "join_top_supplier", "join_small_qty_rev", "join_sole_returns",
     "doc_entropy", "doc_epochs",
     "agg_forecast_rev", "agg_line_priority", "agg_part_suppliers",
-    "join_heavy_suppliers",
+    "join_heavy_suppliers", "doc_chunk",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
