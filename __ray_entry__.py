@@ -333,6 +333,50 @@ def _doc_chunk(sf_dir: str):
     return textstats.chunk_windows(_docs(sf_dir), window=64, stride=48)
 
 
+# fixed phrase blocklist for the substring-audit entry (all occur in the
+# synthetic documents corpus; counting is non-overlapping on both sides)
+_NEEDLES = ["table scan", "hash join", "merge sort", "key order",
+            "spark window", "batch batch"]
+
+
+def _doc_needle_hits(sf_dir: str):
+    # multi-phrase substring counting (literal blocklist audit): one
+    # vectorized C regex scan per needle, zero exchange
+    # (stages/textstats.needle_hits)
+    return textstats.needle_hits(_docs(sf_dir), _NEEDLES)
+
+
+def _ev_winsorize(sf_dir: str):
+    # tail-capping at the exact global p05/p95 discrete quantiles —
+    # exact_quantiles' O(blocks) selection + a map-only clamp
+    # (stages/selection.winsorize)
+    return selection_mod.winsorize(
+        readers.read_table(sf_dir, "events", columns=["event_id", "value"])
+    )
+
+
+def _ev_mad(sf_dir: str):
+    # per-user median absolute deviation (robust grouped dispersion),
+    # all-integer two-middle sums on ONE ordered-scan exchange
+    # (stages/windows.mad_events)
+    return windows.mad_events(readers.read_table(sf_dir, "events"))
+
+
+def _emb_dim_stats(sf_dir: str):
+    # per-dimension embedding moments (whitening stats): per-block
+    # columnar reduction to dim-keyed int64 partials + one tiny grouped
+    # combine (stages/ann.dim_stats)
+    return ann.dim_stats(
+        readers.read_table(sf_dir, "embeddings", columns=["embedding"])
+    )
+
+
+def _scan_unpivot(sf_dir: str):
+    # UNPIVOT/melt of the lineitem measures to long form: map-only flat
+    # expansion (pipelines/analytics.lineitem_unpivot)
+    return analytics.lineitem_unpivot(sf_dir)
+
+
 def _doc_pii(sf_dir: str):
     # PII detect + redact over the planted-PII corpus: real compiled-regex
     # scanner + redaction hash, vectorized per batch (stages/pii.py)
@@ -1235,6 +1279,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_line_priority": analytics.line_priority_counts,
         "agg_part_suppliers": analytics.part_supplier_variety,
         "join_heavy_suppliers": analytics.heavy_suppliers,
+        # fifth-session additions — also past the cap (never-recorded at
+        # r4); they join the r5 lead with the block above
+        "ev_mad": _ev_mad,
+        "ev_winsorize": _ev_winsorize,
+        "emb_dim_stats": _emb_dim_stats,
+        "doc_needle_hits": _doc_needle_hits,
+        "scan_unpivot": _scan_unpivot,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -2930,6 +2981,77 @@ FROM e JOIN sessions s
             "SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers"
             " FROM customer JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey GROUP BY 1"
+        ),
+        # per-user MAD: two two-middle order-statistic sums, all-integer
+        # (med_x2 = twice the median, mad_x4 = twice the MAD of doubled
+        # deviations — no float enters on either side)
+        "ev_mad": (
+            "WITH e AS (SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS v"
+            "  FROM events),"
+            " l AS (SELECT CAST(user_id AS BIGINT) AS user_id,"
+            "  CAST(count(*) AS BIGINT) AS n_events, list_sort(list(v)) AS lv"
+            "  FROM e GROUP BY 1),"
+            " m AS (SELECT user_id, n_events, lv,"
+            "  lv[CAST((n_events - 1) // 2 + 1 AS INT)]"
+            "   + lv[CAST(n_events // 2 + 1 AS INT)] AS med_x2_e3 FROM l),"
+            " d AS (SELECT user_id, n_events, med_x2_e3,"
+            "  list_sort(list_transform(lv, x -> abs(2 * x - med_x2_e3))) AS ld"
+            "  FROM m)"
+            " SELECT user_id, n_events, med_x2_e3,"
+            " ld[CAST((n_events - 1) // 2 + 1 AS INT)]"
+            "  + ld[CAST(n_events // 2 + 1 AS INT)] AS mad_x4_e3 FROM d"
+        ),
+        # winsorize: clamp at the exact global discrete p05/p95 —
+        # quantile_disc is the same ceil(q·n)−1 order statistic
+        # selection.exact_quantiles picks (the ev_global_quantiles pairing)
+        "ev_winsorize": (
+            "WITH v AS (SELECT CAST(event_id AS BIGINT) AS event_id,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6 FROM events),"
+            " q AS (SELECT CAST(quantile_disc(value_e6, 0.05) AS BIGINT) AS lo,"
+            "  CAST(quantile_disc(value_e6, 0.95) AS BIGINT) AS hi FROM v)"
+            " SELECT v.event_id, v.value_e6,"
+            " least(greatest(v.value_e6, q.lo), q.hi) AS w_e6 FROM v, q"
+        ),
+        # per-dimension embedding moments: quantize at 2^20 (exact in
+        # float64), integer sums, then the mirrored float64 mean/variance
+        "emb_dim_stats": (
+            "WITH x AS (SELECT t.i AS dim,"
+            "  CAST(round_even(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)"
+            "   * 1048576, 0) AS BIGINT) AS q"
+            "  FROM embeddings e CROSS JOIN range(1, 65) t(i)),"
+            " s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,"
+            "  CAST(sum(q) AS BIGINT) AS s1_q, CAST(sum(q * q) AS BIGINT) AS s2_q"
+            "  FROM x GROUP BY 1)"
+            " SELECT dim, n, s1_q, s2_q,"
+            " round_even(CAST(s1_q AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_q,"
+            " CAST(round_even((CAST(s2_q AS DOUBLE) - CAST(s1_q AS DOUBLE)"
+            "   * CAST(s1_q AS DOUBLE) / CAST(n AS DOUBLE))"
+            "   / CAST(n - 1 AS DOUBLE), 0) AS BIGINT) AS var_q"
+            " FROM s"
+        ),
+        # substring blocklist audit: non-overlapping greedy counts via the
+        # replace-length identity, one UNION ALL branch per needle
+        "doc_needle_hits": (
+            "WITH h AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, '{nd}' AS needle,"
+                f" CAST((len(text) - len(replace(text, '{nd}', '')))"
+                f" // {len(nd)} AS BIGINT) AS n_hits FROM documents"
+                for nd in _NEEDLES
+            )
+            + ") SELECT CAST(doc_id AS BIGINT) AS doc_id, needle, n_hits"
+            " FROM h WHERE n_hits > 0"
+        ),
+        "scan_unpivot": (
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+            " CAST(l_linenumber AS BIGINT) AS l_linenumber, m.measure,"
+            " CASE m.measure"
+            "  WHEN 'quantity' THEN CAST(round(l_quantity * 100) AS BIGINT)"
+            "  WHEN 'extendedprice' THEN CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "  WHEN 'discount' THEN CAST(round(l_discount * 100) AS BIGINT)"
+            "  ELSE CAST(round(l_tax * 100) AS BIGINT) END AS val_e2"
+            " FROM lineitem, (VALUES ('quantity'), ('extendedprice'),"
+            "  ('discount'), ('tax')) AS m(measure)"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

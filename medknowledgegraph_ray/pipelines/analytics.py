@@ -2130,3 +2130,52 @@ def heavy_suppliers(
         )
 
     return j.map_batches(finish, batch_format="pandas").sort("s_suppkey")
+
+
+def lineitem_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT / melt: the lineitem measure columns re-emitted as long-form
+    (l_orderkey, l_linenumber, measure, val_e2) rows — the wide→long
+    reshape (the inverse of eventagg.pivot_event_counts) every
+    feature-store export needs.
+
+    Map-only flat expansion (4 rows out per row in), zero exchange at any
+    scale; money/quantity measures land as exact cent-scaled int64 so the
+    UNION-ALL oracle matches bit-for-bit."""
+    li = readers.read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    measures = [
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+        ("tax", "l_tax"),
+    ]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        ln = pc.cast(t["l_linenumber"], pa.int64())
+        parts = []
+        for name, col in measures:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": ok,
+                        "l_linenumber": ln,
+                        "measure": pa.array([name] * n, pa.string()),
+                        "val_e2": pc.cast(
+                            pc.round(
+                                pc.multiply(
+                                    pc.cast(t[col], pa.float64()), pa.scalar(100.0)
+                                )
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return li.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)

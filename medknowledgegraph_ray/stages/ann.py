@@ -428,3 +428,66 @@ def fixed_queries(dim: int, n: int = 3, seed: int = 5) -> dict:
         "query_id": list(range(n)),
         "matrix": rng.normal(size=(n, dim)).round(4).tolist(),
     }
+
+
+def dim_stats(embeddings: rd.Dataset) -> rd.Dataset:
+    """Per-dimension corpus moments of the embedding column — the feature
+    normalization / whitening statistics pass (mean/variance per dim feeds
+    standardization before clustering or ANN indexing).
+
+    Columnar vector reduction: each batch stacks its list<float32> column
+    into one (rows × dim) float64 matrix, quantizes at 2^20 (multiplying
+    by a power of two is EXACT in float64, so the only rounding is the
+    final half-even — bit-identical to DuckDB round_even), and emits ONE
+    partial row per dimension (dim, n, Σq, Σq²) via two axis-0 integer
+    sums.  The exchange that follows is over #blocks × dim tiny rows —
+    grouped_agg's partial/combine never sees the vectors themselves, so at
+    100 TB the all-to-all moves kilobytes per block.  Sums are exact
+    int64 (|q| ≲ 2^21 ⇒ q² ≲ 2^42 ⇒ ~2^21 rows/batch headroom per
+    partial; the combine adds pre-reduced per-block sums)."""
+    from .groupagg import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "dim": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                    "s1_q": pd.array([], dtype="int64"),
+                    "s2_q": pd.array([], dtype="int64"),
+                }
+            )
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        q = np.round(m * 1048576.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": pd.array(np.arange(1, q.shape[1] + 1), dtype="int64"),
+                "n": pd.array(np.full(q.shape[1], q.shape[0]), dtype="int64"),
+                "s1_q": pd.array(q.sum(axis=0), dtype="int64"),
+                "s2_q": pd.array((q * q).sum(axis=0), dtype="int64"),
+            }
+        )
+
+    partials = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+    agg = grouped_agg(
+        partials,
+        ["dim"],
+        [("n", "sum", "n"), ("s1_q", "sum", "s1_q"), ("s2_q", "sum", "s2_q")],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy().astype(np.float64)
+        s1 = b["s1_q"].to_numpy().astype(np.float64)
+        s2 = b["s2_q"].to_numpy().astype(np.float64)
+        # mirrored float64 op order with the oracle: s1/n, then the
+        # two-pass sample variance (s2 − s1·s1/n)/(n−1), rounded half-even
+        mean_q = np.round(s1 / n, 6)
+        var_q = np.round((s2 - s1 * s1 / n) / (n - 1), 0)
+        out = b[["dim", "n", "s1_q", "s2_q"]].copy()
+        out["mean_q"] = mean_q
+        out["var_q"] = pd.array(var_q.astype(np.int64), dtype="int64")
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

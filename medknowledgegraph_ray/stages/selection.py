@@ -138,3 +138,53 @@ def quantile_band_filter(
         )
 
     return vals.map_batches(band, batch_format="pandas")
+
+
+def winsorize(
+    events: rd.Dataset,
+    col: str = "value",
+    uid_col: str = "event_id",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> rd.Dataset:
+    """Winsorization: clamp `col` (micro-unit-scaled to value_e6) at the
+    corpus's exact global p{lo_q}/p{hi_q} discrete quantiles — the
+    tail-capping companion to quantile_band_filter (which DROPS outliers;
+    winsorize KEEPS the row and saturates the value, the standard
+    feature-robustness transform before training).
+
+    Same shape as quantile_band_filter: two exact order statistics via
+    exact_quantiles' O(blocks)-driver-state selection, then a map-only
+    clamp pass — no extra exchange beyond the selection sort.  Output:
+    (event_id, value_e6, w_e6)."""
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "value_e6": pd.array(
+                    np.round(b[col].to_numpy().astype(np.float64) * 1e6).astype(
+                        np.int64
+                    ),
+                    dtype="int64",
+                ),
+                "uid": b[uid_col].astype("int64"),
+            }
+        )
+
+    vals = events.select_columns([uid_col, col]).map_batches(
+        project, batch_format="pandas", batch_size=None
+    ).materialize()
+    q = exact_quantiles(vals, "value_e6", {"lo": lo_q, "hi": hi_q})
+    lo, hi = int(q["lo"].iloc[0]), int(q["hi"].iloc[0])
+
+    def clamp(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value_e6"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": b["uid"].astype("int64"),
+                "value_e6": b["value_e6"].astype("int64"),
+                "w_e6": pd.array(np.clip(v, lo, hi), dtype="int64"),
+            }
+        )
+
+    return vals.map_batches(clamp, batch_format="pandas")

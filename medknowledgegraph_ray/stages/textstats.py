@@ -436,3 +436,51 @@ def chunk_windows(docs: rd.Dataset, window: int = 64, stride: int = 48) -> rd.Da
         )
 
     return docs.map_batches(fn, batch_format="pandas", batch_size=1024)
+
+
+def needle_hits(docs: rd.Dataset, needles: list[str]) -> rd.Dataset:
+    """Multi-phrase substring counting over the corpus — the literal
+    blocklist / contamination-audit primitive (count every occurrence of a
+    fixed phrase list in every document; cf. decontam.contamination_flags,
+    which matches token n-grams instead of raw substrings).
+
+    Pure map, zero exchange at any corpus size: each batch runs ONE
+    vectorized C-level scan per needle (pandas str.count over a
+    literal-escaped compiled regex).  Counting is non-overlapping greedy
+    left-to-right, which is exactly DuckDB's
+    (len(text) − len(replace(text, needle, ''))) / len(needle), so every
+    row is oracle-exact.  Output: (doc_id, needle, n_hits) for hits ≥ 1."""
+    pats = [(nd, re.compile(re.escape(nd))) for nd in needles]
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        text = batch["text"].fillna("")
+        out_id: list[np.ndarray] = []
+        out_nd: list[str] = []
+        out_n: list[np.ndarray] = []
+        for nd, pat in pats:
+            cnt = text.str.count(pat).to_numpy().astype(np.int64)
+            hit = cnt > 0
+            k = int(hit.sum())
+            if k == 0:
+                continue
+            out_id.append(ids[hit])
+            out_nd.extend([nd] * k)
+            out_n.append(cnt[hit])
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "needle": pd.Series([], dtype="object"),
+                    "n_hits": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(np.concatenate(out_id), dtype="int64"),
+                "needle": pd.Series(out_nd, dtype="object"),
+                "n_hits": pd.array(np.concatenate(out_n), dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pandas", batch_size=4096)

@@ -585,6 +585,58 @@ def grouped_quantiles_cont(events: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _mad_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    """Median + median-absolute-deviation per user over a frame sorted by
+    (user_id, value_e3) — the robust-scale companion to zscore_events
+    (outlier-resistant feature scaling).
+
+    All-integer exact: the median is reported as the SUM of the two middle
+    order statistics (indices (n−1)//2 and n//2 of the ascending run, equal
+    for odd n), i.e. 2·median, and the MAD as the same two-middle sum over
+    the deviations |2·v − med_x2| (deviations are doubled once so they stay
+    integers) — 4·MAD.  No float ever enters, so the DuckDB oracle
+    (list_sort + 1-based picks) matches bit-for-bit.  The second selection
+    reuses the same run boundaries: one stable lexsort by (run, deviation)
+    keeps runs contiguous with unchanged sizes."""
+    u = df["user_id"].to_numpy()
+    v = df["value_e3"].to_numpy()
+    n = len(df)
+    new, first = _run_firsts(u)
+    firsts = np.flatnonzero(new)
+    counts = np.diff(np.append(firsts, n))
+    lo = firsts + (counts - 1) // 2
+    hi = firsts + counts // 2
+    med_x2 = v[lo] + v[hi]
+    run_of_row = np.cumsum(new) - 1
+    d = np.abs(2 * v - med_x2[run_of_row])
+    order = np.lexsort((d, first))
+    ds = d[order]
+    mad_x4 = ds[lo] + ds[hi]
+    return pd.DataFrame(
+        {
+            "user_id": u[firsts],
+            "n_events": counts.astype("int64"),
+            "med_x2_e3": med_x2.astype("int64"),
+            "mad_x4_e3": mad_x4.astype("int64"),
+        }
+    )
+
+
+def mad_events(events: rd.Dataset) -> rd.Dataset:
+    """Per-user median absolute deviation of the event value — a robust
+    grouped dispersion statistic (the outlier-resistant alternative to
+    zscore_events' mean/stddev).  Rides the same single ordered-scan
+    exchange as grouped_quantiles; both order-statistic selections happen
+    inside one vectorized kernel pass."""
+    prepped, raw = _prep_events(events, ("value_e3",))
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "value_e3"], [False, False],
+        _mad_sorted,
+        {"user_id": "int64", "n_events": "int64",
+         "med_x2_e3": "int64", "mad_x4_e3": "int64"},
+    )
+
+
 def _sessionize_sorted(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     """Vectorized sessionization of a frame already sorted by
     (user_id, ts_us, event_id); handles any number of users at once."""

@@ -52,6 +52,8 @@ SQL_CHECKED = [
     "doc_entropy", "doc_epochs",
     "agg_forecast_rev", "agg_line_priority", "agg_part_suppliers",
     "join_heavy_suppliers", "doc_chunk",
+    "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
+    "scan_unpivot",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2155,3 +2157,96 @@ def test_grouped_hll_envelope_and_partition_independence(sf_dir):
         assert abs(int(a) - x) <= max(2, tol * x), (g, int(a), x)
     o2 = sketch.grouped_distinct_hll(ev.repartition(7), "event_type", "user_id", p=12)
     assert out.equals(o2)
+
+
+def _ev_frame(vals, users=None):
+    n = len(vals)
+    users = users if users is not None else [1] * n
+    return pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, n + 1), dtype="int64"),
+            "ts": pd.to_datetime(range(n), unit="us").astype("datetime64[us]"),
+            "user_id": pd.array(users, dtype="int64"),
+            "event_type": ["a"] * n,
+            "value": [float(v) for v in vals],
+            "props": ["{}"] * n,
+        }
+    )
+
+
+def test_mad_matches_brute_force_randomized():
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.normal(10, 4, size=300), 3)
+    users = rng.randint(1, 8, size=300)
+    out = (
+        windows.mad_events(rd.from_pandas(_ev_frame(vals, users)).repartition(7))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    for u in np.unique(users):
+        v = np.sort(np.round(vals[users == u] * 1000).astype(np.int64))
+        n = len(v)
+        med_x2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+        d = np.sort(np.abs(2 * v - med_x2))
+        mad_x4 = int(d[(n - 1) // 2]) + int(d[n // 2])
+        assert out.loc[u, "n_events"] == n
+        assert out.loc[u, "med_x2_e3"] == med_x2
+        assert out.loc[u, "mad_x4_e3"] == mad_x4
+
+
+def test_winsorize_clamps_at_exact_discrete_quantiles():
+    from medknowledgegraph_ray.stages import selection
+
+    vals = list(range(1, 101))  # 1..100 -> p05 = 5, p95 = 95 (ceil(q*n)-1)
+    out = (
+        selection.winsorize(rd.from_pandas(_ev_frame(vals)).repartition(5))
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    w = out["w_e6"].to_numpy()
+    assert w.min() == 5_000_000 and w.max() == 95_000_000
+    assert (out.loc[50, "w_e6"] == out.loc[50, "value_e6"] == 50_000_000)
+    assert int((w == 5_000_000).sum()) == 5 and int((w == 95_000_000).sum()) == 6
+
+
+def test_dim_stats_matches_numpy_sums():
+    rng = np.random.RandomState(3)
+    m = rng.normal(size=(40, 5)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"embedding": pa.array([list(r) for r in m],
+                                        pa.list_(pa.float32()))})
+    ).repartition(4)
+    out = ann.dim_stats(ds).to_pandas().set_index("dim").sort_index()
+    q = np.round(m.astype(np.float64) * 1048576.0).astype(np.int64)
+    assert out["n"].tolist() == [40] * 5
+    assert out["s1_q"].tolist() == q.sum(axis=0).tolist()
+    assert out["s2_q"].tolist() == (q * q).sum(axis=0).tolist()
+    s1 = q.sum(axis=0).astype(np.float64)
+    assert np.array_equal(out["mean_q"].to_numpy(), np.round(s1 / 40.0, 6))
+
+
+def test_needle_hits_counts_non_overlapping():
+    ds = _docs([
+        (1, "ab ab ab"),        # 3 hits of 'ab', non-overlap trivially
+        (2, "aaa"),             # 'aa' overlaps: greedy left-to-right -> 1
+        (3, "no match here"),
+        (4, None),
+    ])
+    out = textstats.needle_hits(ds, ["ab", "aa"]).to_pandas()
+    got = {(r.doc_id, r.needle): r.n_hits for r in out.itertuples()}
+    assert got == {(1, "ab"): 3, (2, "aa"): 1}
+
+
+def test_lineitem_unpivot_shape_and_values(sf_dir):
+    from medknowledgegraph_ray.pipelines import analytics
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    out = analytics.lineitem_unpivot(sf_dir).to_pandas()
+    assert len(out) == 4 * len(li)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table —
+    # compare the value multiset for one key pair per measure
+    ok, ln = int(li["l_orderkey"].iloc[0]), int(li["l_linenumber"].iloc[0])
+    src = li[(li["l_orderkey"] == ok) & (li["l_linenumber"] == ln)]
+    one = out[(out["l_orderkey"] == ok) & (out["l_linenumber"] == ln)]
+    for measure, col in [("quantity", "l_quantity"), ("tax", "l_tax")]:
+        got = sorted(one[one["measure"] == measure]["val_e2"])
+        want = sorted(np.round(src[col].to_numpy() * 100).astype(np.int64))
+        assert got == list(want)
