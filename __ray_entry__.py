@@ -377,6 +377,45 @@ def _scan_unpivot(sf_dir: str):
     return analytics.lineitem_unpivot(sf_dir)
 
 
+def _graph_pagerank(sf_dir: str):
+    # integer-exact PageRank over the part–supplier co-purchase graph:
+    # distributed edge distinct + size-gated rank iteration
+    # (stages/graphalgo.pagerank; parity with a 10×-unrolled SQL oracle)
+    return analytics.part_supplier_pagerank(sf_dir, iters=10)
+
+
+def _graph_triangles(sf_dir: str):
+    # triangle count of the thresholded nation trade graph: distributed
+    # pair reduction + degree-oriented wedge counting
+    # (stages/graphalgo.triangle_count)
+    return analytics.nation_trade_triangles(sf_dir)
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """The 10-iteration damped power iteration, unrolled CTE per round —
+    identical integer floor-division arithmetic as graphalgo.pagerank."""
+    sql = (
+        "WITH ed AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,"
+        " CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem"
+        " UNION ALL SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT),"
+        " CAST(l_partkey*2 AS BIGINT) FROM lineitem),"
+        " deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        "  FROM ed GROUP BY 1),"
+        " p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),"
+        " r0 AS (SELECT node, CAST(1000000000000 // p.n AS BIGINT) AS rank"
+        "  FROM deg, p)"
+    )
+    for i in range(iters):
+        sql += (
+            f", r{i + 1} AS (SELECT e.dst AS node,"
+            f" CAST((1000000000000 * 15) // (100 * p.n)"
+            f" + sum((r.rank * 85) // (100 * d.d)) AS BIGINT) AS rank"
+            f" FROM ed e JOIN r{i} r ON r.node = e.src"
+            f" JOIN deg d ON d.node = e.src, p GROUP BY e.dst, p.n)"
+        )
+    return sql + f" SELECT node, rank FROM r{iters}"
+
+
 def _doc_pii(sf_dir: str):
     # PII detect + redact over the planted-PII corpus: real compiled-regex
     # scanner + redaction hash, vectorized per batch (stages/pii.py)
@@ -1286,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dim_stats": _emb_dim_stats,
         "doc_needle_hits": _doc_needle_hits,
         "scan_unpivot": _scan_unpivot,
+        "graph_pagerank": _graph_pagerank,
+        "graph_triangles": _graph_triangles,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3052,6 +3093,36 @@ FROM e JOIN sessions s
             "  ELSE CAST(round(l_tax * 100) AS BIGINT) END AS val_e2"
             " FROM lineitem, (VALUES ('quantity'), ('extendedprice'),"
             "  ('discount'), ('tax')) AS m(measure)"
+        ),
+        # PageRank over the part–supplier graph: the SAME integer
+        # floor-division power iteration, unrolled one CTE per round
+        "graph_pagerank": _pagerank_sql(10),
+        # nation trade triangles: Q7-style pair revenue, integer
+        # cross-multiplied relative threshold (rev > 0.8× mean), canonical
+        # a<b edges, one three-way self-join counts each triangle once
+        "graph_triangles": (
+            "WITH j AS (SELECT least(s.s_nationkey, c.c_nationkey) AS a,"
+            "  greatest(s.s_nationkey, c.c_nationkey) AS b,"
+            "  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "   AS BIGINT) AS rev"
+            "  FROM lineitem l"
+            "  JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN customer c ON c.c_custkey = o.o_custkey"
+            "  WHERE s.s_nationkey <> c.c_nationkey),"
+            " pr AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+            "  CAST(sum(rev) AS BIGINT) AS r FROM j GROUP BY 1, 2),"
+            " tot AS (SELECT CAST(sum(r) AS BIGINT) AS t,"
+            "  CAST(count(*) AS BIGINT) AS np FROM pr),"
+            " ed AS (SELECT a, b FROM pr, tot WHERE 10 * r * np > 8 * t),"
+            " nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM"
+            "  (SELECT a AS x FROM ed UNION SELECT b FROM ed)),"
+            " tri AS (SELECT CAST(count(*) AS BIGINT) AS c"
+            "  FROM ed e1 JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b"
+            "  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b)"
+            " SELECT (SELECT c FROM nn) AS n_nodes,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,"
+            " (SELECT c FROM tri) AS n_triangles"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

@@ -2179,3 +2179,89 @@ def lineitem_unpivot(sf_dir: str) -> rd.Dataset:
         return pa.concat_tables(parts)
 
     return li.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def part_supplier_pagerank(sf_dir: str, iters: int = 10) -> rd.Dataset:
+    """PageRank centrality over the part–supplier co-purchase graph: nodes
+    are parts (id 2·p_partkey) and suppliers (id 2·s_suppkey + 1), with an
+    undirected edge per DISTINCT (l_partkey, l_suppkey) lineitem pairing —
+    the "which parts/suppliers sit at the center of the trade network"
+    question over the reference's node/edge sink analog.
+
+    The edge distinct is one grouped count over the symmetrized pair rows
+    (heavy side, fully distributed); the rank iteration itself is
+    stages/graphalgo.pagerank — integer-exact, size-gated driver/
+    distributed with test-forced parity."""
+    from ..stages import graphalgo
+    from ..stages.groupagg import grouped_agg
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        p = pc.cast(t["l_partkey"], pa.int64()).to_numpy(zero_copy_only=False) * 2
+        s = pc.cast(t["l_suppkey"], pa.int64()).to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([p, s])),
+                "dst": pa.array(np.concatenate([s, p])),
+                "one": pa.array(np.ones(2 * t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    uniq = grouped_agg(
+        li.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["node", "dst"], [("one", "sum", "n")],
+    ).select_columns(["node", "dst"])
+    return graphalgo.pagerank(uniq, iters=iters)
+
+
+def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the nation trade graph: nations are connected
+    when their mutual trade revenue (customer-side ⊕ supplier-side summed
+    over the unordered pair) exceeds 0.8× the mean pair revenue — a
+    local-clustering summary of the Q7-style volume analysis.
+
+    The heavy reduction (lineitem → per-pair revenue) is the shared
+    distributed join chain (_li_with_nations) plus one grouped sum; the
+    thresholding runs driver-side on the pair table, which is bounded by
+    the nation-pair DOMAIN (≤ n_nations², independent of corpus size).
+    The edge threshold is exact integer cross-multiplication
+    (10·pair_rev·n_pairs > 8·total_rev ⟺ pair_rev > 0.8·mean), so no
+    float enters.  Counting is stages/graphalgo.triangle_count (size-gated
+    driver/distributed, test-forced parity)."""
+    from ..stages import graphalgo
+    from ..stages.groupagg import grouped_agg
+
+    j3 = _li_with_nations(sf_dir)
+
+    def pair_prep(t: pa.Table) -> pa.Table:
+        s = t["s_nat"].to_numpy(zero_copy_only=False)
+        c = t["c_nat"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        keep = s != c
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s[keep], c[keep])),
+                "b": pa.array(np.maximum(s[keep], c[keep])),
+                "rev_e4": pa.array(rev[keep]),
+            }
+        )
+
+    pairs = grouped_agg(
+        j3.map_batches(pair_prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["a", "b"], [("rev_e4", "sum", "r")],
+    ).to_pandas()
+    total = int(pairs["r"].sum())
+    n_pairs = len(pairs)
+    keep = 10 * pairs["r"].to_numpy() * n_pairs > 8 * total
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy()[keep], pa.int64()),
+                "b": pa.array(pairs["b"].to_numpy()[keep], pa.int64()),
+            }
+        )
+    )
+    return graphalgo.triangle_count(edges)

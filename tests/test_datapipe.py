@@ -2250,3 +2250,77 @@ def test_lineitem_unpivot_shape_and_values(sf_dir):
         got = sorted(one[one["measure"] == measure]["val_e2"])
         want = sorted(np.round(src[col].to_numpy() * 100).astype(np.int64))
         assert got == list(want)
+
+
+def _graph_edges(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    return rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+
+
+def test_triangles_known_counts_and_forced_distributed(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    # K4 (4 triangles) plus a pendant edge (adds none)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    want = {"n_nodes": 5, "n_edges": 7, "n_triangles": 4}
+    got = graphalgo.triangle_count(_graph_edges(k4)).to_pandas().iloc[0].to_dict()
+    assert got == want
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    got_d = graphalgo.triangle_count(
+        _graph_edges(k4).repartition(3)
+    ).to_pandas().iloc[0].to_dict()
+    assert got_d == want
+
+
+def test_triangles_driver_matches_brute_force_random():
+    from itertools import combinations
+
+    from medknowledgegraph_ray.stages import graphalgo
+
+    rng = np.random.RandomState(7)
+    nodes = list(range(12))
+    pairs = [p for p in combinations(nodes, 2) if rng.rand() < 0.35]
+    adj = {frozenset(p) for p in pairs}
+    brute = sum(
+        1
+        for t in combinations(nodes, 3)
+        if {frozenset((t[0], t[1])), frozenset((t[0], t[2])),
+            frozenset((t[1], t[2]))} <= adj
+    )
+    got = graphalgo.triangle_count(_graph_edges(pairs)).to_pandas().iloc[0]
+    assert int(got["n_triangles"]) == brute
+
+
+def test_pagerank_paths_row_identical_and_mass_conserving(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    # symmetrized star (center 0) + a 3-cycle tail
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (3, 5), (4, 5), (3, 4)]
+    ed = pa.table(
+        {
+            "node": pa.array([p[0] for p in und] + [p[1] for p in und], pa.int64()),
+            "dst": pa.array([p[1] for p in und] + [p[0] for p in und], pa.int64()),
+        }
+    )
+    drv = graphalgo.pagerank(rd.from_arrow(ed), iters=4).to_pandas()
+    drv = drv.sort_values("node").reset_index(drop=True)
+    # mass conservation up to floor losses: sum <= R_TOT, within n*iters ulps
+    assert 0 <= graphalgo.R_TOT - drv["rank"].sum() <= 6 * 5 * graphalgo.DAMP_DEN
+    assert drv.loc[0, "rank"] == drv["rank"].max()  # hub dominates
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    dist = graphalgo.pagerank(rd.from_arrow(ed).repartition(3), iters=4).to_pandas()
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert drv.equals(dist)
+
+
+def test_pagerank_requires_out_edges():
+    from medknowledgegraph_ray.stages import graphalgo
+
+    ed = pa.table(
+        {"node": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="out-edge"):
+        graphalgo.pagerank(rd.from_arrow(ed), iters=2)
