@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "agg_forecast_rev", "agg_line_priority", "agg_part_suppliers",
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
-    "scan_unpivot",
+    "scan_unpivot", "graph_pagerank", "graph_triangles",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
