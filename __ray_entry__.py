@@ -458,6 +458,16 @@ def _doc_seg_dedup(sf_dir: str):
     )
 
 
+def _doc_dup_spans(sf_dir: str):
+    # ExactSubstr duplicated-span coverage: overlapping 10-token windows,
+    # corpus-repeated windows via one string-keyed ordered scan, per-doc
+    # interval-union of the dup spans (stages/orderedagg.dup_span_coverage)
+    return orderedagg.dup_span_coverage(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        win_words=10,
+    )
+
+
 def _dedup_canonical(sf_dir: str):
     # exact dedup keeping the full winning row + cluster size in ONE
     # keep_first sorted exchange — "trusted source wins" canonicalization
@@ -1327,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_unpivot": _scan_unpivot,
         "graph_pagerank": _graph_pagerank,
         "graph_triangles": _graph_triangles,
+        "doc_dup_spans": _doc_dup_spans,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3123,6 +3134,35 @@ FROM e JOIN sessions s
             " SELECT (SELECT c FROM nn) AS n_nodes,"
             " (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,"
             " (SELECT c FROM tri) AS n_triangles"
+        ),
+        # ExactSubstr dup-span coverage: same overlapping 10-token windows,
+        # count(*) OVER win ≥ 2 marks corpus-repeated windows, and the
+        # equal-length interval union is the islands trick (break when the
+        # start gap ≥ W; island covers last − first + W tokens)
+        "doc_dup_spans": (
+            "WITH toks AS (SELECT doc_id,"
+            "  string_split(coalesce(text, ''), ' ') AS t FROM documents),"
+            " idx AS (SELECT doc_id, t,"
+            "  unnest(range(1, len(t) - 10 + 2)) AS pos FROM toks),"
+            " w AS (SELECT doc_id, pos,"
+            "  array_to_string(t[pos:pos+9], ' ') AS win FROM idx),"
+            " c AS (SELECT doc_id, pos,"
+            "  count(*) OVER (PARTITION BY win) AS cnt FROM w),"
+            " dw AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),"
+            " br AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER"
+            "  (PARTITION BY doc_id ORDER BY pos) < 10 THEN 0 ELSE 1 END"
+            "  AS brk FROM dw),"
+            " g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id"
+            "  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM br),"
+            " u AS (SELECT doc_id, max(pos) - min(pos) + 10 AS covered"
+            "  FROM g GROUP BY doc_id, grp),"
+            " cv AS (SELECT doc_id, CAST(sum(covered) AS BIGINT)"
+            "  AS dup_tokens FROM u GROUP BY doc_id)"
+            " SELECT CAST(d.doc_id AS BIGINT) AS doc_id,"
+            " CAST(len(string_split(coalesce(d.text, ''), ' ')) AS BIGINT)"
+            "  AS n_tokens,"
+            " coalesce(cv.dup_tokens, 0) AS dup_tokens"
+            " FROM documents d LEFT JOIN cv USING (doc_id)"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

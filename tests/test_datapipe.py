@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "agg_forecast_rev", "agg_line_priority", "agg_part_suppliers",
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
-    "scan_unpivot", "graph_pagerank", "graph_triangles",
+    "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2324,3 +2324,28 @@ def test_pagerank_requires_out_edges():
     )
     with pytest.raises(ValueError, match="out-edge"):
         graphalgo.pagerank(rd.from_arrow(ed), iters=2)
+
+
+def test_dup_span_coverage_merges_overlaps_and_skips_short_docs():
+    from medknowledgegraph_ray.stages import orderedagg
+
+    span = "a b c d e f g h i j"              # 10 shared tokens
+    ds = _docs([
+        (1, "x1 x2 " + span + " y1 y2"),       # dup span at pos 3..12
+        (2, span + " z1 " + span),             # two islands (gap 11 >= W)
+        (3, "unique tokens only here"),        # < W tokens: no windows
+        (4, "w1 " + span + " " + span),        # overlapping islands merge
+    ])
+    out = (
+        orderedagg.dup_span_coverage(ds, win_words=10)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[3, "dup_tokens"] == 0 and out.loc[3, "n_tokens"] == 4
+    assert out.loc[1, "dup_tokens"] == 10
+    # doc 2: islands [1,10] and [12,21] -> 20 covered tokens
+    assert out.loc[2, "dup_tokens"] == 20 and out.loc[2, "n_tokens"] == 21
+    # doc 4: spans [2,11] and [12,21] merge via the overlapping bridge
+    # windows (every 10-gram of span+span repeats doc 2's) -> one island
+    assert out.loc[4, "dup_tokens"] == 20
+    # n_tokens is split(" ")-exact
+    assert out.loc[1, "n_tokens"] == 14
