@@ -416,6 +416,53 @@ def _pagerank_sql(iters: int = 10) -> str:
     return sql + f" SELECT node, rank FROM r{iters}"
 
 
+_BM25_TERMS = ["join", "vector", "stream", "spark"]
+
+
+def _doc_bm25(sf_dir: str):
+    # Okapi BM25 relevance vs a fixed query term set: one tokenize pass
+    # into a bounded-width tf table, O(blocks) stats partials, map-only
+    # scoring with libm-exact idf constants (stages/tfidf.bm25_scores)
+    from medknowledgegraph_ray.stages import tfidf
+
+    return tfidf.bm25_scores(_docs(sf_dir), _BM25_TERMS)
+
+
+def _bm25_sql() -> str:
+    """Mirrors bm25_scores' exact IEEE parenthesization (k1=1.2, b=0.75);
+    every arithmetic input is CAST to DOUBLE so no DECIMAL op sneaks in."""
+    nt = len(_BM25_TERMS)
+    tf_defs = ", ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_defs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(nt)
+    )
+    norm = (
+        "(1.2 * ((1.0 - 0.75) + (((0.75 * CAST(dl AS DOUBLE))"
+        " * CAST(st.n AS DOUBLE)) / CAST(st.tl AS DOUBLE))))"
+    )
+    terms = " + ".join(
+        f"(ln(((CAST(st.n - st.df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(st.df{i} AS DOUBLE) + 0.5)) + 1.0)"
+        f" * ((CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + {norm})))"
+        for i in range(nt)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all("
+        " lower(coalesce(text, '')), '[a-z0-9]+') AS t FROM documents),"
+        f" tf AS (SELECT doc_id, len(t) AS dl, {tf_defs} FROM toks),"
+        " st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum(dl) AS BIGINT) AS tl, {df_defs} FROM tf)"
+        " SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,"
+        f" CAST(floor(({terms}) * 1000000.0) AS BIGINT) AS score_e6"
+        " FROM tf, st"
+    )
+
+
 def _doc_pii(sf_dir: str):
     # PII detect + redact over the planted-PII corpus: real compiled-regex
     # scanner + redaction hash, vectorized per batch (stages/pii.py)
@@ -1338,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _graph_pagerank,
         "graph_triangles": _graph_triangles,
         "doc_dup_spans": _doc_dup_spans,
+        "doc_bm25": _doc_bm25,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3164,6 +3212,9 @@ FROM e JOIN sessions s
             " coalesce(cv.dup_tokens, 0) AS dup_tokens"
             " FROM documents d LEFT JOIN cv USING (doc_id)"
         ),
+        # Okapi BM25 vs the fixed query — generated SQL mirrors the
+        # engine's IEEE op order term by term (see _bm25_sql)
+        "doc_bm25": _bm25_sql(),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)

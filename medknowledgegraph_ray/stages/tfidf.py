@@ -426,3 +426,92 @@ def unigram_logprob(docs: rd.Dataset) -> rd.Dataset:
         return b
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def bm25_scores(
+    docs: rd.Dataset, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> rd.Dataset:
+    """BM25 relevance of EVERY document against a fixed query term set —
+    the Okapi ranking function (Robertson/Spärck Jones), i.e. the retrieval
+    scorer a RAG/quality pipeline runs after doc_tfidf's keyword pass:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/TL))
+        idf(t)   = ln((N − df + 0.5) / (df + 0.5) + 1)     (Lucene form)
+
+    Tokenizes ONCE into a per-doc (dl, tf_t…) table of |terms|+2 int64
+    columns; corpus stats (N, total token count, per-term df) come from one
+    O(blocks)-row partial-sum pass over that table, so the driver never
+    sees a vocabulary — terms are a user-bounded constant.  Scoring is a
+    map with the idf constants closed over: ln via math.log (the same libm
+    call DuckDB's ln() makes) and all per-doc arithmetic in IEEE float64
+    with the exact parenthesization the SQL oracle mirrors, so score_e6
+    (floored micro-units — floor, not round: DuckDB rounds half-away,
+    numpy half-even) is bit-exact.  Output: (doc_id, score_e6)."""
+    from ..functions import text as textfn
+
+    nt = len(terms)
+    tf_cols = [f"tf{i}" for i in range(nt)]
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        dls: list[int] = []
+        tfs: list[list[int]] = [[] for _ in range(nt)]
+        for text in batch["text"].fillna(""):
+            toks = textfn.TOKEN_RE.findall(text.lower())
+            dls.append(len(toks))
+            cnt: dict[str, int] = {}
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+            for i, term in enumerate(terms):
+                tfs[i].append(cnt.get(term, 0))
+        out = {
+            "doc_id": pd.array(batch["doc_id"], dtype="int64"),
+            "dl": pd.array(dls, dtype="int64"),
+        }
+        for c, v in zip(tf_cols, tfs):
+            out[c] = pd.array(v, dtype="int64")
+        return pd.DataFrame(out)
+
+    tf_tab = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {
+            "n": pa.array([t.num_rows], pa.int64()),
+            "tl": pa.array([int(np.sum(t["dl"].to_numpy(zero_copy_only=False)))], pa.int64()),
+        }
+        for c in tf_cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols["df_" + c] = pa.array([int(np.count_nonzero(v > 0))], pa.int64())
+        return pa.table(cols)
+
+    st = (
+        tf_tab.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+    n, tl = int(st["n"]), int(st["tl"])
+    idf = [
+        math.log((n - int(st["df_" + c]) + 0.5) / (int(st["df_" + c]) + 0.5) + 1.0)
+        for c in tf_cols
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        norm = k1 * ((1.0 - b) + (((b * dl) * n) / tl))
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        for i, c in enumerate(tf_cols):
+            tf = t[c].to_numpy(zero_copy_only=False)
+            s = s + (idf[i] * ((tf * (k1 + 1.0)) / (tf + norm)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score_e6": pa.array(
+                    np.floor(s * 1000000.0).astype(np.int64)
+                ),
+            }
+        )
+
+    return tf_tab.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
+    "doc_bm25",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2349,3 +2350,27 @@ def test_dup_span_coverage_merges_overlaps_and_skips_short_docs():
     assert out.loc[4, "dup_tokens"] == 20
     # n_tokens is split(" ")-exact
     assert out.loc[1, "n_tokens"] == 14
+
+
+def test_bm25_ranking_and_zero_docs():
+    import math
+
+    from medknowledgegraph_ray.stages import tfidf
+
+    ds = _docs([
+        (1, "join join join filler filler"),   # heavy on the query term
+        (2, "join filler filler filler filler"),
+        (3, "filler words only here now"),     # no query term -> score 0
+    ])
+    out = (
+        tfidf.bm25_scores(ds, ["join"]).to_pandas()
+        .set_index("doc_id")["score_e6"]
+    )
+    assert out.loc[3] == 0
+    assert out.loc[1] > out.loc[2] > 0
+    # brute-force the same formula (n=3 docs, tl=15, df=2)
+    def bm25(tf, dl, n=3, tl=15, df=2):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        norm = 1.2 * ((1.0 - 0.75) + (((0.75 * dl) * n) / tl))
+        return math.floor(idf * ((tf * 2.2) / (tf + norm)) * 1000000.0)
+    assert out.loc[1] == bm25(3, 5) and out.loc[2] == bm25(1, 5)
