@@ -463,6 +463,41 @@ def _bm25_sql() -> str:
     )
 
 
+def _graph_kcore(sf_dir: str):
+    # k-core pruning of the part–supplier graph: iterative degree peel to
+    # the dense trading core (stages/graphalgo.kcore; size-gated driver/
+    # distributed paths, oracle unrolls the same rounds)
+    return analytics.part_supplier_kcore(sf_dir, k=10)
+
+
+def _kcore_sql(k: int = 10, rounds: int = 8) -> str:
+    """Unrolled degree peeling — each round drops nodes with deg < k and
+    keeps edges whose BOTH endpoints survive; extra rounds past the
+    fixpoint are no-ops, so any rounds ≥ the true peel depth is exact."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # three times, and un-materialized CTE inlining would re-evaluate the
+    # whole chain exponentially (3^rounds)
+    sql = (
+        "WITH ed0 AS MATERIALIZED (SELECT DISTINCT"
+        " CAST(l_partkey*2 AS BIGINT) AS node,"
+        " CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem"
+        " UNION ALL SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT),"
+        " CAST(l_partkey*2 AS BIGINT) FROM lineitem)"
+    )
+    for i in range(rounds):
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT node, count(*) AS deg"
+            f" FROM ed{i} GROUP BY node),"
+            f" s{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),"
+            f" ed{i + 1} AS MATERIALIZED (SELECT e.node, e.dst FROM ed{i} e"
+            f" JOIN s{i} x ON x.node = e.node JOIN s{i} y ON y.node = e.dst)"
+        )
+    return (
+        sql + f" SELECT node, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM ed{rounds} GROUP BY node"
+    )
+
+
 def _doc_pii(sf_dir: str):
     # PII detect + redact over the planted-PII corpus: real compiled-regex
     # scanner + redaction hash, vectorized per batch (stages/pii.py)
@@ -1386,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": _graph_triangles,
         "doc_dup_spans": _doc_dup_spans,
         "doc_bm25": _doc_bm25,
+        "graph_kcore": _graph_kcore,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3215,6 +3251,8 @@ FROM e JOIN sessions s
         # Okapi BM25 vs the fixed query — generated SQL mirrors the
         # engine's IEEE op order term by term (see _bm25_sql)
         "doc_bm25": _bm25_sql(),
+        # k-core: the same peel, unrolled; rounds ≥ true depth is exact
+        "graph_kcore": _kcore_sql(10, 8),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)

@@ -2181,18 +2181,12 @@ def lineitem_unpivot(sf_dir: str) -> rd.Dataset:
     return li.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def part_supplier_pagerank(sf_dir: str, iters: int = 10) -> rd.Dataset:
-    """PageRank centrality over the part–supplier co-purchase graph: nodes
-    are parts (id 2·p_partkey) and suppliers (id 2·s_suppkey + 1), with an
-    undirected edge per DISTINCT (l_partkey, l_suppkey) lineitem pairing —
-    the "which parts/suppliers sit at the center of the trade network"
-    question over the reference's node/edge sink analog.
-
-    The edge distinct is one grouped count over the symmetrized pair rows
-    (heavy side, fully distributed); the rank iteration itself is
-    stages/graphalgo.pagerank — integer-exact, size-gated driver/
-    distributed with test-forced parity."""
-    from ..stages import graphalgo
+def _part_supplier_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetrized DISTINCT part–supplier co-purchase edges: nodes are
+    parts (id 2·p_partkey) and suppliers (id 2·s_suppkey + 1), one
+    undirected edge per distinct (l_partkey, l_suppkey) lineitem pairing.
+    The distinct is one grouped count over the symmetrized pair rows
+    (heavy side, fully distributed)."""
     from ..stages.groupagg import grouped_agg
 
     li = readers.read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
@@ -2208,12 +2202,34 @@ def part_supplier_pagerank(sf_dir: str, iters: int = 10) -> rd.Dataset:
             }
         )
 
-    uniq = grouped_agg(
+    return grouped_agg(
         li.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         ["node", "dst"], [("one", "sum", "n")],
     ).select_columns(["node", "dst"])
-    return graphalgo.pagerank(uniq, iters=iters)
+
+
+def part_supplier_pagerank(sf_dir: str, iters: int = 10) -> rd.Dataset:
+    """PageRank centrality over the part–supplier co-purchase graph — the
+    "which parts/suppliers sit at the center of the trade network" question
+    over the reference's node/edge sink analog.  Edges via
+    _part_supplier_edges; the rank iteration is stages/graphalgo.pagerank —
+    integer-exact, size-gated driver/distributed with test-forced parity."""
+    from ..stages import graphalgo
+
+    return graphalgo.pagerank(_part_supplier_edges(sf_dir), iters=iters)
+
+
+def part_supplier_kcore(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """k-core of the part–supplier co-purchase graph: peel every node with
+    fewer than k distinct trade partners until the dense trading core
+    remains — the dense-subgraph pruning a near-dup pair graph gets before
+    review, run here over the reference's edge-sink analog.  Peeling is
+    stages/graphalgo.kcore (size-gated driver/distributed, test-forced
+    parity); the oracle unrolls the same peel rounds in SQL."""
+    from ..stages import graphalgo
+
+    return graphalgo.kcore(_part_supplier_edges(sf_dir), k=k)
 
 
 def nation_trade_triangles(sf_dir: str) -> rd.Dataset:

@@ -317,3 +317,102 @@ def triangle_count(edges: rd.Dataset, col_a: str = "a", col_b: str = "b") -> rd.
                   "n_edges": pa.array([int(m)], pa.int64()),
                   "n_triangles": pa.array([tri], pa.int64())})
     )
+
+
+def _kcore_driver(src: np.ndarray, dst: np.ndarray, k: int) -> tuple[pd.DataFrame, int]:
+    a, b = src, dst
+    rounds = 0
+    while len(a):
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        # input is SYMMETRIZED: each undirected edge appears in both
+        # directions, so a node's degree is its src-column count alone
+        deg = np.bincount(inv[: len(a)], minlength=len(nodes))
+        ok = deg >= k
+        if ok.all():
+            return (
+                pd.DataFrame(
+                    {"node": pd.array(nodes, dtype="int64"),
+                     "deg": pd.array(deg.astype(np.int64), dtype="int64")}
+                ),
+                rounds,
+            )
+        keep = ok[inv[: len(a)]] & ok[inv[len(a):]]
+        a, b = a[keep], b[keep]
+        rounds += 1
+    return (
+        pd.DataFrame({"node": pd.array([], dtype="int64"),
+                      "deg": pd.array([], dtype="int64")}),
+        rounds,
+    )
+
+
+def kcore(edges: rd.Dataset, k: int, max_rounds: int = 100) -> rd.Dataset:
+    """k-core of an undirected graph given as a SYMMETRIZED (node, dst)
+    edge list: iteratively peel nodes of degree < k until the remaining
+    subgraph's every node has degree ≥ k; return (node, deg) over the core
+    — deg measured WITHIN the core.  The standard dense-subgraph pruning a
+    near-dup pair graph gets before manual review (peel incidental pair
+    nodes, keep the heavily duplicated cores).
+
+    Distributed path (> SMALL_GRAPH_EDGES): per peel round, ONE grouped
+    degree count, a driver fixpoint check on the O(1) survivor count, and
+    two unique-keyed sorted-merge semi-filters (survivor markers joined on
+    each endpoint) — edges stay distributed, driver state is one integer
+    per round, and lineage is cut per round like pagerank's.  Rounds are
+    bounded by max_rounds with a loud failure (the peeling depth of real
+    graphs is tiny; a bound violation means a pathological chain).  Below
+    the gate the same peeling runs vectorized on a gathered edge array —
+    row-identical, both paths test-forced."""
+    cols = edges.columns()
+    assert cols[:2] == ["node", "dst"], f"kcore edges need (node, dst), got {cols}"
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    edges = edges.materialize()
+    m = edges.count()
+    if m == 0:
+        return rd.from_arrow(empty)
+    if m <= SMALL_GRAPH_EDGES:
+        df = edges.to_pandas()
+        out, _ = _kcore_driver(
+            df["node"].to_numpy().astype(np.int64),
+            df["dst"].to_numpy().astype(np.int64),
+            k,
+        )
+        return rd.from_pandas(out) if len(out) else rd.from_arrow(empty)
+
+    def count_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"],
+             "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    cur = edges
+    for _ in range(max_rounds):
+        deg = grouped_agg(
+            cur.map_batches(count_cols, batch_format="pyarrow", batch_size=None),
+            ["node"], [("one", "sum", "deg")],
+            types={"node": pa.int64(), "one": pa.int64()},
+        ).materialize()
+        surv = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        n_surv = surv.count()
+        if n_surv == 0:
+            return rd.from_arrow(empty)
+        if n_surv == deg.count():  # nobody dropped: fixpoint
+            return surv.select_columns(["node", "deg"])
+        keep_a = equi_join(surv.select_columns(["node"]).map_batches(
+            lambda t: t.append_column("m", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None,
+        ), cur, "node", ["m"], ["dst"]).select_columns(["node", "dst"])
+        swapped = keep_a.map_batches(
+            lambda t: pa.table({"node": t["dst"], "dst": t["node"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        kept = equi_join(surv.select_columns(["node"]).map_batches(
+            lambda t: t.append_column("m", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None,
+        ), swapped, "node", ["m"], ["dst"]).map_batches(
+            lambda t: pa.table({"node": t["dst"], "dst": t["node"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        cur = _lineage_cut(kept.materialize())
+    raise RuntimeError(f"kcore: no fixpoint within {max_rounds} peel rounds")

@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
-    "doc_bm25",
+    "doc_bm25", "graph_kcore",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2374,3 +2374,36 @@ def test_bm25_ranking_and_zero_docs():
         norm = 1.2 * ((1.0 - 0.75) + (((0.75 * dl) * n) / tl))
         return math.floor(idf * ((tf * 2.2) / (tf + norm)) * 1000000.0)
     assert out.loc[1] == bm25(3, 5) and out.loc[2] == bm25(1, 5)
+
+
+def _sym_edges(pairs):
+    node = [p[0] for p in pairs] + [p[1] for p in pairs]
+    dst = [p[1] for p in pairs] + [p[0] for p in pairs]
+    return rd.from_arrow(
+        pa.table({"node": pa.array(node, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def test_kcore_cascading_peel_and_forced_distributed(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    # K4 core (deg 3 each) + a pendant chain 4-5-6-7: k=2 peels the chain
+    # one node per round (7, then 6, then 5) — a 3-round cascade
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (5, 6), (6, 7)]
+    want = {1: 3, 2: 3, 3: 3, 4: 3}
+    got = (
+        graphalgo.kcore(_sym_edges(und), k=2).to_pandas()
+        .set_index("node")["deg"].to_dict()
+    )
+    assert got == want
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    got_d = (
+        graphalgo.kcore(_sym_edges(und).repartition(3), k=2).to_pandas()
+        .set_index("node")["deg"].to_dict()
+    )
+    assert got_d == want
+    # k above the max degree empties the graph on both paths
+    assert graphalgo.kcore(_sym_edges(und), k=5).count() == 0
+    assert graphalgo.kcore(_sym_edges(und).repartition(2), k=5).count() == 0
