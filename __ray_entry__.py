@@ -371,6 +371,14 @@ def _emb_dim_stats(sf_dir: str):
     )
 
 
+def _emb_normalize(sf_dir: str):
+    # L2 unit-normalization to long form: map-only, quantized int64 norm
+    # (order-invariant), IEEE-mirrored sqrt/divide (stages/ann.normalize_vectors)
+    return ann.normalize_vectors(
+        readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
 def _scan_unpivot(sf_dir: str):
     # UNPIVOT/melt of the lineitem measures to long form: map-only flat
     # expansion (pipelines/analytics.lineitem_unpivot)
@@ -1422,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": _doc_dup_spans,
         "doc_bm25": _doc_bm25,
         "graph_kcore": _graph_kcore,
+        "emb_normalize": _emb_normalize,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3253,6 +3262,22 @@ FROM e JOIN sessions s
         "doc_bm25": _bm25_sql(),
         # k-core: the same peel, unrolled; rounds ≥ true depth is exact
         "graph_kcore": _kcore_sql(10, 8),
+        # L2 normalization: quantize at 2^20 (exact), exact int64 squared
+        # norm per vector, then the mirrored sqrt/divide/round_even
+        "emb_normalize": (
+            "WITH x AS (SELECT e.vec_id, t.i AS dim,"
+            "  CAST(round_even(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)"
+            "   * 1048576, 0) AS BIGINT) AS q"
+            "  FROM embeddings e CROSS JOIN range(1, 65) t(i)),"
+            " n AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS ss"
+            "  FROM x GROUP BY 1)"
+            " SELECT CAST(x.vec_id AS BIGINT) AS vec_id, x.dim AS dim,"
+            " CASE WHEN n.ss = 0 THEN CAST(0 AS BIGINT)"
+            "  ELSE CAST(round_even((CAST(x.q AS DOUBLE)"
+            "   / sqrt(CAST(n.ss AS DOUBLE))) * 1000000.0, 0) AS BIGINT)"
+            "  END AS val_e6"
+            " FROM x JOIN n USING (vec_id)"
+        ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)

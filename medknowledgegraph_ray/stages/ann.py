@@ -491,3 +491,53 @@ def dim_stats(embeddings: rd.Dataset) -> rd.Dataset:
         return out
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def normalize_vectors(embeddings: rd.Dataset) -> rd.Dataset:
+    """L2 unit-normalization of the embedding column in long form
+    (vec_id, dim, val_e6) — the prep pass cosine ANN / clustering assumes
+    (after it, cosine IS the dot product).
+
+    Map-only and order-invariant: components quantize at 2^20 (a
+    power-of-two scale is EXACT in float64, so the only rounding is the
+    half-even quantize — the dim_stats convention), each row's squared
+    norm is an exact int64 sum, and val_e6 = round_even(q/√ss · 1e6) where
+    sqrt is IEEE-correctly-rounded and the division/multiply mirror the
+    SQL oracle's parenthesization bit for bit.  No summation-order
+    dependence ever reaches a float.  Zero vectors emit all-zero
+    components (CASE-mirrored in the oracle)."""
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.array([], dtype="int64"),
+                    "dim": pd.array([], dtype="int64"),
+                    "val_e6": pd.array([], dtype="int64"),
+                }
+            )
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        q = np.round(m * 1048576.0).astype(np.int64)
+        ss = (q * q).sum(axis=1)
+        d = q.shape[1]
+        nrm = np.sqrt(ss.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = np.round((q / nrm[:, None]) * 1000000.0)
+        val = np.where(ss[:, None] == 0, 0.0, val).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.array(
+                    np.repeat(b["vec_id"].to_numpy().astype(np.int64), d),
+                    dtype="int64",
+                ),
+                "dim": pd.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), len(b)),
+                    dtype="int64",
+                ),
+                "val_e6": pd.array(val.ravel(), dtype="int64"),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        norm, batch_format="pandas", batch_size=None
+    )

@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
-    "doc_bm25", "graph_kcore",
+    "doc_bm25", "graph_kcore", "emb_normalize",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2407,3 +2407,21 @@ def test_kcore_cascading_peel_and_forced_distributed(monkeypatch):
     # k above the max degree empties the graph on both paths
     assert graphalgo.kcore(_sym_edges(und), k=5).count() == 0
     assert graphalgo.kcore(_sym_edges(und).repartition(2), k=5).count() == 0
+
+
+def test_normalize_vectors_unit_norm_and_zero_guard():
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    out = ann.normalize_vectors(emb).to_pandas()
+    v1 = out[out["vec_id"] == 1].sort_values("dim")["val_e6"].tolist()
+    assert v1 == [600000, 800000, 0]          # (3,4,0)/5 in micro-units
+    assert (out[out["vec_id"] == 2]["val_e6"] == 0).all()
