@@ -371,6 +371,15 @@ def _emb_dim_stats(sf_dir: str):
     )
 
 
+def _doc_bigram_lm(sf_dir: str):
+    # bigram LM score, add-one smoothing: per-term int64 micro-nat
+    # rounding splits the two count attaches into independent gated
+    # broadcast/sorted exchanges (stages/tfidf.bigram_logprob)
+    from medknowledgegraph_ray.stages import tfidf
+
+    return tfidf.bigram_logprob(_docs(sf_dir))
+
+
 def _emb_normalize(sf_dir: str):
     # L2 unit-normalization to long form: map-only, quantized int64 norm
     # (order-invariant), IEEE-mirrored sqrt/divide (stages/ann.normalize_vectors)
@@ -1431,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": _doc_bm25,
         "graph_kcore": _graph_kcore,
         "emb_normalize": _emb_normalize,
+        "doc_bigram_lm": _doc_bigram_lm,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3277,6 +3287,41 @@ FROM e JOIN sessions s
             "   / sqrt(CAST(n.ss AS DOUBLE))) * 1000000.0, 0) AS BIGINT)"
             "  END AS val_e6"
             " FROM x JOIN n USING (vec_id)"
+        ),
+        # bigram LM: the engine's split rounding mirrored — the positive
+        # ln(cb+1) term per (doc,bigram), the negative ln(cu+V) term per
+        # (doc,context), both rounded to micro-nats BEFORE the doc sum
+        "doc_bigram_lm": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all("
+            "  lower(coalesce(text, '')), '[a-z0-9]+') AS t FROM documents),"
+            " bg0 AS (SELECT doc_id, t,"
+            "  unnest(range(1, len(t))) AS i FROM toks),"
+            " bg AS (SELECT doc_id, t[CAST(i AS INT)] AS prev,"
+            "  t[CAST(i AS INT) + 1] AS nxt FROM bg0),"
+            " dgb AS (SELECT doc_id, prev, nxt,"
+            "  CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2, 3),"
+            " cbt AS (SELECT prev, nxt, CAST(sum(tf) AS BIGINT) AS cb"
+            "  FROM dgb GROUP BY 1, 2),"
+            " dctx AS (SELECT doc_id, prev, CAST(sum(tf) AS BIGINT) AS tfc"
+            "  FROM dgb GROUP BY 1, 2),"
+            " cut AS (SELECT prev, CAST(sum(tfc) AS BIGINT) AS cu"
+            "  FROM dctx GROUP BY 1),"
+            " v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs"
+            "  FROM (SELECT unnest(t) AS tok FROM toks)),"
+            " a AS (SELECT d.doc_id, d.tf AS n,"
+            "  CAST(round((CAST(d.tf AS DOUBLE)"
+            "   * ln(CAST(c.cb AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT)"
+            "   AS c_e6"
+            "  FROM dgb d JOIN cbt c ON c.prev = d.prev AND c.nxt = d.nxt),"
+            " b AS (SELECT d.doc_id, CAST(0 AS BIGINT) AS n,"
+            "  -CAST(round((CAST(d.tfc AS DOUBLE)"
+            "   * ln(CAST(u.cu AS DOUBLE) + CAST(v.vs AS DOUBLE)))"
+            "   * 1000000.0) AS BIGINT) AS c_e6"
+            "  FROM dctx d JOIN cut u ON u.prev = d.prev, v)"
+            " SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,"
+            " CAST(sum(c_e6) AS BIGINT) AS logprob_sum_e6"
+            " FROM (SELECT * FROM a UNION ALL SELECT * FROM b)"
+            " GROUP BY doc_id"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

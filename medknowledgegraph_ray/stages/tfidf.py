@@ -515,3 +515,166 @@ def bm25_scores(
         )
 
     return tf_tab.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def bigram_logprob(docs: rd.Dataset) -> rd.Dataset:
+    """Per-document bigram language-model score with add-one smoothing —
+    the KenLM-style fluency signal one order above unigram_logprob:
+
+        ln P(doc) = Σ_positions ln (c(w₋₁ w) + 1) / (c_ctx(w₋₁) + V)
+
+    (c = corpus bigram count, c_ctx = occurrences of w₋₁ as a bigram
+    FIRST, V = corpus vocabulary size).  The log splits per position into
+    ln(c+1) − ln(c_ctx+V), and the engine DEFINES the doc score with the
+    rounding applied per term — c_e6 = round(tf·ln(cb+1)·1e6) −
+    round(tf_ctx·ln(cu+V)·1e6) summed as exact int64 micro-nats — so the
+    two count attaches are INDEPENDENT exchanges (no row ever needs both
+    counts) and each rides the gated broadcast / sorted-exchange
+    _attach_df machinery.  ln is one libm call per DISTINCT count (the
+    unigram precedent, bit-identical to DuckDB's ln).  Output: doc_id,
+    n_bigrams, logprob_sum_e6.  Docs with < 2 tokens emit no row (they
+    have no bigram), mirroring the SQL GROUP BY."""
+    from ..functions import text as textfn
+
+    def bg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        prevs: list[str] = []
+        nxts: list[str] = []
+        tfs: list[int] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = textfn.TOKEN_RE.findall(text.lower())
+            counts: dict[tuple[str, str], int] = {}
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            for (a, b), c in counts.items():
+                ids.append(int(doc_id))
+                prevs.append(a)
+                nxts.append(b)
+                tfs.append(c)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "prev": pd.Series(prevs, dtype="object"),
+                "nxt": pd.Series(nxts, dtype="object"),
+                "tf": pd.array(tfs, dtype="int64"),
+            }
+        )
+
+    dgb = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(bg_rows, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    cb = grouped_agg(dgb, ["prev", "nxt"], [("tf", "sum", "cb")]).materialize()
+    dctx = grouped_agg(dgb, ["doc_id", "prev"], [("tf", "sum", "tfc")]).materialize()
+    cu = grouped_agg(dctx, ["prev"], [("tfc", "sum", "cu")]).materialize()
+    vocab = grouped_agg(_tf_rows(docs), ["tok"], [("tf", "sum", "cnt")])
+    v_size = float(vocab.count())
+
+    def score(tf: np.ndarray, cnt: np.ndarray, shift: float) -> np.ndarray:
+        logs = {int(c): math.log(int(c) + shift) for c in np.unique(cnt)}
+        lp = np.array([logs[int(c)] for c in cnt]) if len(cnt) else np.array([])
+        return np.round((tf * lp) * 1e6).astype(np.int64)
+
+    # ---- bigram term: attach cb to each (doc, bigram) row
+    if cb.count() <= VOCAB_BROADCAST_MAX:
+        cb_ref = ray.put(
+            {(p, x): int(c) for b in cb.iter_batches(batch_format="pandas")
+             for p, x, c in zip(b["prev"], b["nxt"], b["cb"])}
+        )
+
+        def a_rows(b: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(cb_ref)
+            cnt = np.array([lut[(p, x)] for p, x in zip(b["prev"], b["nxt"])],
+                           dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "n": b["tf"].astype("int64"),
+                    "c_e6": pd.array(
+                        score(b["tf"].to_numpy(), cnt, 1.0), dtype="int64"
+                    ),
+                }
+            )
+
+        a = dgb.map_batches(a_rows, batch_format="pandas", batch_size=None)
+    else:
+        as_big = dgb.map_batches(
+            lambda b: pd.DataFrame(
+                {"tok": b["prev"] + " " + b["nxt"],
+                 "doc_id": b["doc_id"].astype("int64"),
+                 "tf": b["tf"].astype("int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+        cb_df = cb.map_batches(
+            lambda b: pd.DataFrame(
+                {"tok": b["prev"] + " " + b["nxt"], "df": b["cb"].astype("int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+        a = _attach_df(as_big, cb_df).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "n": b["tf"].astype("int64"),
+                    "c_e6": pd.array(
+                        score(b["tf"].to_numpy(), b["df"].to_numpy(), 1.0),
+                        dtype="int64",
+                    ),
+                }
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+
+    # ---- context term: attach cu to each (doc, prev) row, negated
+    if cu.count() <= VOCAB_BROADCAST_MAX:
+        cu_ref = ray.put(
+            {p: int(c) for b in cu.iter_batches(batch_format="pandas")
+             for p, c in zip(b["prev"], b["cu"])}
+        )
+
+        def b_rows(b: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(cu_ref)
+            cnt = np.array([lut[p] for p in b["prev"]], dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "n": pd.array(np.zeros(len(b), dtype=np.int64), dtype="int64"),
+                    "c_e6": pd.array(
+                        -score(b["tfc"].to_numpy(), cnt, v_size), dtype="int64"
+                    ),
+                }
+            )
+
+        bterm = dctx.map_batches(b_rows, batch_format="pandas", batch_size=None)
+    else:
+        as_ctx = dctx.map_batches(
+            lambda b: pd.DataFrame(
+                {"tok": b["prev"], "doc_id": b["doc_id"].astype("int64"),
+                 "tf": b["tfc"].astype("int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+        cu_df = cu.map_batches(
+            lambda b: pd.DataFrame({"tok": b["prev"], "df": b["cu"].astype("int64")}),
+            batch_format="pandas", batch_size=None,
+        )
+        bterm = _attach_df(as_ctx, cu_df).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "n": pd.array(np.zeros(len(b), dtype=np.int64), dtype="int64"),
+                    "c_e6": pd.array(
+                        -score(b["tf"].to_numpy(), b["df"].to_numpy(), v_size),
+                        dtype="int64",
+                    ),
+                }
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+
+    return grouped_agg(
+        a.union(bterm), ["doc_id"],
+        [("n", "sum", "n_bigrams"), ("c_e6", "sum", "logprob_sum_e6")],
+    )

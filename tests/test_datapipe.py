@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "join_heavy_suppliers", "doc_chunk",
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
-    "doc_bm25", "graph_kcore", "emb_normalize",
+    "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2425,3 +2425,32 @@ def test_normalize_vectors_unit_norm_and_zero_guard():
     v1 = out[out["vec_id"] == 1].sort_values("dim")["val_e6"].tolist()
     assert v1 == [600000, 800000, 0]          # (3,4,0)/5 in micro-units
     assert (out[out["vec_id"] == 2]["val_e6"] == 0).all()
+
+
+def test_bigram_lm_broadcast_and_attach_paths_identical(monkeypatch, sf_dir):
+    import math
+
+    from medknowledgegraph_ray.stages import tfidf
+
+    ds = _docs([
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "solo"),                      # 1 token: no bigram, no row
+    ])
+    bc = tfidf.bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(bc["doc_id"]) == {1, 2}
+    # hand-check doc 2: bigrams (the,cat) cb=2, (cat,ran) cb=1; ctx counts
+    # the->2+? (the cat)x2 + (the mat) => the as context 3 times; cat ctx 2;
+    # V = 7 distinct tokens
+    v = 7.0
+    exp = (
+        round(1 * math.log(2 + 1.0) * 1e6)
+        + round(1 * math.log(1 + 1.0) * 1e6)
+        - round(1 * math.log(3 + v) * 1e6)   # ctx 'the' in doc 2 (tfc=1)
+        - round(1 * math.log(2 + v) * 1e6)   # ctx 'cat' in doc 2 (tfc=1)
+    )
+    got = int(bc.loc[bc["doc_id"] == 2, "logprob_sum_e6"].iloc[0])
+    assert got == exp and int(bc.loc[bc["doc_id"] == 2, "n_bigrams"].iloc[0]) == 2
+    monkeypatch.setattr(tfidf, "VOCAB_BROADCAST_MAX", 0)
+    dist = tfidf.bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert bc.equals(dist)
