@@ -380,6 +380,39 @@ def _doc_bigram_lm(sf_dir: str):
     return tfidf.bigram_logprob(_docs(sf_dir))
 
 
+def _doc_negatives(sf_dir: str):
+    # deterministic negative sampling (contrastive pairs): one global-rank
+    # exchange + map-only splitmix64 draws + one unique-keyed join
+    # (stages/shuffle.negative_samples)
+    return _shuffle.negative_samples(
+        readers.read_table(sf_dir, "documents", columns=["doc_id"]), k=4
+    )
+
+
+def _negatives_sql(k: int = 4, seed: int = 20260817) -> str:
+    """Same draws: splitmix64(doc_id·(k+1)+j XOR smix(seed)) mod N through
+    the doc_id rank, self-draws shifted to the cyclically next rank."""
+    chain = _shuffle.shuffle_key_sql("d0", seed, id_col="mixid")
+    return (
+        "WITH r AS (SELECT doc_id,"
+        " CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn"
+        " FROM documents),"
+        " nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),"
+        " d0 AS (SELECT r.doc_id, r.rn, t.j,"
+        f" CAST(r.doc_id * {k + 1} + t.j AS BIGINT) AS mixid"
+        f" FROM r CROSS JOIN range(1, {k + 1}) t(j)),"
+        f" {chain},"
+        " dr AS (SELECT d0.doc_id, d0.rn, d0.j,"
+        " CAST(keyed.skey % CAST(nn.n AS UBIGINT) AS BIGINT) + 1 AS r0"
+        " FROM d0 JOIN keyed USING (mixid), nn),"
+        " dr2 AS (SELECT doc_id, j,"
+        " CASE WHEN r0 = rn THEN (r0 % nn.n) + 1 ELSE r0 END AS nr"
+        " FROM dr, nn)"
+        " SELECT dr2.doc_id, CAST(dr2.j AS BIGINT) AS j,"
+        " r2.doc_id AS neg_id FROM dr2 JOIN r r2 ON r2.rn = dr2.nr"
+    )
+
+
 def _emb_normalize(sf_dir: str):
     # L2 unit-normalization to long form: map-only, quantized int64 norm
     # (order-invariant), IEEE-mirrored sqrt/divide (stages/ann.normalize_vectors)
@@ -1441,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": _graph_kcore,
         "emb_normalize": _emb_normalize,
         "doc_bigram_lm": _doc_bigram_lm,
+        "doc_negatives": _doc_negatives,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3323,6 +3357,9 @@ FROM e JOIN sessions s
             " FROM (SELECT * FROM a UNION ALL SELECT * FROM b)"
             " GROUP BY doc_id"
         ),
+        # negative sampling: bit-exact splitmix64 draw chain through the
+        # doc_id rank (see _negatives_sql)
+        "doc_negatives": _negatives_sql(4),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)

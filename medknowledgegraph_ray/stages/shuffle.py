@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -363,3 +364,63 @@ def epoch_oversample(
         )
 
     return docs.map_batches(expand, batch_format="pandas", batch_size=None)
+
+
+def negative_samples(docs: rd.Dataset, k: int = 4, seed: int = 20260817) -> rd.Dataset:
+    """Deterministic corpus-wide negative sampling — k pseudo-random OTHER
+    documents per document, the contrastive-pair generator (in-batch
+    negatives' reproducible offline form).  Every draw is
+    splitmix64(doc_id·(k+1) + j XOR splitmix64(seed)) mod N mapped through
+    the global doc_id rank, so draws are uniform over the corpus,
+    reproducible under any partitioning, and SQL-mirrorable bit for bit
+    (shuffle_key_sql).  A self-draw shifts to the cyclically next rank
+    (re-colliding only when N = 1).
+
+    Scale shape: ONE global_row_number sort exchange builds the rank⇄id
+    map (O(blocks) driver summaries), a map-only pass emits the k draws
+    per doc, and one unique-keyed sorted-merge join resolves drawn ranks
+    back to doc ids.  No broadcast of the corpus, no driver-side id list.
+    Output: (doc_id, j, neg_id), k rows per document."""
+    from .join import equi_join
+    from .ranks import global_row_number
+
+    ranked = global_row_number(
+        docs.select_columns(["doc_id"]), ["doc_id"], out_col="rn"
+    ).materialize()
+    n = ranked.count()
+    smix = _mix64(np.array([seed], dtype=np.uint64))[0]
+    kk = np.uint64(k + 1)
+    nn = np.uint64(n)
+
+    def draws(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64).astype(np.uint64)
+        rn = b["rn"].to_numpy().astype(np.int64)
+        out_doc: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        out_nr: list[np.ndarray] = []
+        for j in range(1, k + 1):
+            h = _mix64((ids * kk + np.uint64(j)) ^ smix)
+            r0 = (h % nn).astype(np.int64) + 1
+            nr = np.where(r0 == rn, (r0 % n) + 1, r0)
+            out_doc.append(b["doc_id"].to_numpy().astype(np.int64))
+            out_j.append(np.full(len(b), j, dtype=np.int64))
+            out_nr.append(nr)
+        return pd.DataFrame(
+            {
+                "rn_key": pd.array(np.concatenate(out_nr), dtype="int64"),
+                "doc_id": pd.array(np.concatenate(out_doc), dtype="int64"),
+                "j": pd.array(np.concatenate(out_j), dtype="int64"),
+            }
+        )
+
+    drawn = ranked.map_batches(draws, batch_format="pandas", batch_size=None)
+    build = ranked.map_batches(
+        lambda b: pd.DataFrame(
+            {"rn_key": b["rn"].astype("int64"), "neg_id": b["doc_id"].astype("int64")}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    return equi_join(
+        build, drawn, "rn_key", ["neg_id"], ["doc_id", "j"],
+        types={"neg_id": pa.int64(), "doc_id": pa.int64(), "j": pa.int64()},
+    ).select_columns(["doc_id", "j", "neg_id"])

@@ -55,6 +55,7 @@ SQL_CHECKED = [
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
+    "doc_negatives",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2454,3 +2455,19 @@ def test_bigram_lm_broadcast_and_attach_paths_identical(monkeypatch, sf_dir):
     monkeypatch.setattr(tfidf, "VOCAB_BROADCAST_MAX", 0)
     dist = tfidf.bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert bc.equals(dist)
+
+
+def test_negative_samples_no_self_and_deterministic():
+    from medknowledgegraph_ray.stages import shuffle as sh
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    )
+    a = sh.negative_samples(docs, k=3).to_pandas().sort_values(
+        ["doc_id", "j"]).reset_index(drop=True)
+    b = sh.negative_samples(docs, k=3).to_pandas().sort_values(
+        ["doc_id", "j"]).reset_index(drop=True)
+    assert a.equals(b)                       # reproducible
+    assert len(a) == 15
+    assert (a["neg_id"] != a["doc_id"]).all()  # never a self pair
+    assert set(a["neg_id"]).issubset({10, 20, 30, 40, 50})
