@@ -380,6 +380,12 @@ def _doc_bigram_lm(sf_dir: str):
     return tfidf.bigram_logprob(_docs(sf_dir))
 
 
+def _scan_skyline(sf_dir: str):
+    # 2-D Pareto frontier (min price, max quantity): grouped per-price max
+    # + two-pass global prefix-max scan (stages/skyline.skyline_2d)
+    return analytics.price_quantity_skyline(sf_dir)
+
+
 def _doc_negatives(sf_dir: str):
     # deterministic negative sampling (contrastive pairs): one global-rank
     # exchange + map-only splitmix64 draws + one unique-keyed join
@@ -1475,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_normalize": _emb_normalize,
         "doc_bigram_lm": _doc_bigram_lm,
         "doc_negatives": _doc_negatives,
+        "scan_skyline": _scan_skyline,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3360,6 +3367,17 @@ FROM e JOIN sessions s
         # negative sampling: bit-exact splitmix64 draw chain through the
         # doc_id rank (see _negatives_sql)
         "doc_negatives": _negatives_sql(4),
+        # skyline: per-price max quantity, then the strict prefix-max
+        # dominance filter (same reduction the engine runs)
+        "scan_skyline": (
+            "WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)"
+            "  AS price_e2, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),"
+            " g AS (SELECT price_e2, max(qty) AS qty FROM src GROUP BY 1),"
+            " m AS (SELECT price_e2, qty, max(qty) OVER (ORDER BY price_e2"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g)"
+            " SELECT price_e2, CAST(qty AS BIGINT) AS qty FROM m"
+            " WHERE pm IS NULL OR qty > pm"
+        ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)
         #   kg_links_fuzzy   (trigram-Jaccard score surface)

@@ -2281,3 +2281,31 @@ def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
         )
     )
     return graphalgo.triangle_count(edges)
+
+
+def price_quantity_skyline(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier of the trade table: the cheapest extended price at
+    every quantity level no cheaper line beats — minimize price_e2,
+    maximize qty (stages/skyline.skyline_2d: grouped per-x max, then the
+    two-pass global prefix-max scan; driver sees O(blocks) rows)."""
+    from ..stages import skyline
+
+    li = readers.read_table(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_e2": pa.array(
+                    np.round(
+                        pc.cast(t["l_extendedprice"], pa.float64()).to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    return skyline.skyline_2d(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        "price_e2", "qty",
+    )

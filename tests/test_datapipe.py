@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
-    "doc_negatives",
+    "doc_negatives", "scan_skyline",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2471,3 +2471,31 @@ def test_negative_samples_no_self_and_deterministic():
     assert len(a) == 15
     assert (a["neg_id"] != a["doc_id"]).all()  # never a self pair
     assert set(a["neg_id"]).issubset({10, 20, 30, 40, 50})
+
+
+def test_skyline_matches_brute_force_dominance():
+    from medknowledgegraph_ray.stages import skyline
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 50, size=300).astype(np.int64)
+    y = rng.randint(0, 50, size=300).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"x": pa.array(x), "y": pa.array(y)})
+    ).repartition(5)
+    got = (
+        skyline.skyline_2d(ds, "x", "y").to_pandas()
+        .sort_values("x").reset_index(drop=True)
+    )
+    # brute force: a point survives iff nothing has x' <= x, y' >= y with
+    # one strict — evaluated on distinct per-x maxima
+    import pandas as pd_
+    pts = pd_.DataFrame({"x": x, "y": y}).groupby("x")["y"].max().reset_index()
+    keep = []
+    for _, r in pts.iterrows():
+        dominated = (
+            (pts["x"] <= r["x"]) & (pts["y"] >= r["y"])
+            & ((pts["x"] < r["x"]) | (pts["y"] > r["y"]))
+        ).any()
+        if not dominated:
+            keep.append((int(r["x"]), int(r["y"])))
+    assert list(map(tuple, got[["x", "y"]].values.tolist())) == sorted(keep)
