@@ -1466,8 +1466,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_line_priority": analytics.line_priority_counts,
         "agg_part_suppliers": analytics.part_supplier_variety,
         "join_heavy_suppliers": analytics.heavy_suppliers,
-        # fifth-session additions — also past the cap (never-recorded at
-        # r4); they join the r5 lead with the block above
+        # fifth/sixth-session additions — also past the cap (never
+        # driver-recorded at r4); they join the r5 lead with the block
+        # above: ev_mad…scan_unpivot, the graph quartet
+        # (pagerank/triangles/kcore), dup-span coverage, BM25, embedding
+        # normalize, bigram LM, negative sampling, skyline — all
+        # pytest-parity-checked at sf0.001 and swept by check_oracles.py
         "ev_mad": _ev_mad,
         "ev_winsorize": _ev_winsorize,
         "emb_dim_stats": _emb_dim_stats,

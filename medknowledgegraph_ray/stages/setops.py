@@ -270,7 +270,14 @@ def anti_join_cols(
             "kind": pd.array(np.ones(len(b), dtype=np.int8), dtype="int8"),
         }
         for c in cols:
-            out[c] = pd.array(np.zeros(len(b), dtype=dtypes[c]), dtype=dtypes[c])
+            # string filler for object columns: np.zeros(dtype=object)
+            # yields int 0 objects, and one such row reaching a block's
+            # Arrow conversion under a string-typed schema raises
+            # ArrowTypeError (partition-dependent — surfaced at sf0.01)
+            if dtypes[c] == "object":
+                out[c] = pd.Series([""] * len(b), dtype="object")
+            else:
+                out[c] = pd.array(np.zeros(len(b), dtype=dtypes[c]), dtype=dtypes[c])
         return pd.DataFrame(out)
 
     unioned = (

@@ -2499,3 +2499,31 @@ def test_skyline_matches_brute_force_dominance():
         if not dominated:
             keep.append((int(r["x"]), int(r["y"])))
     assert list(map(tuple, got[["x", "y"]].values.tolist())) == sorted(keep)
+
+
+def test_anti_join_cols_string_payload_with_nonempty_right():
+    """Regression: tag_right's np.zeros(dtype=object) filler put int 0
+    objects into a string column; whether a mixed block hit an Arrow
+    string conversion depended on sort partitioning (crashed at sf0.01,
+    not sf0.001). String payloads must survive a non-empty right side."""
+    from medknowledgegraph_ray.stages.setops import anti_join_cols
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(range(40)), pa.int64()),
+                "name": pa.array([f"n{i}" for i in range(40)], pa.string()),
+                "v": pa.array([i * 10 for i in range(40)], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([3, 7, 11, 35], pa.int64())})
+    ).repartition(2)
+    out = anti_join_cols(
+        left, right, key="k", cols=["name", "v"],
+        dtypes={"name": "object", "v": "int64"},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert set(out["k"]) == set(range(40)) - {3, 7, 11, 35}
+    assert (out["name"] == out["k"].map(lambda i: f"n{i}")).all()
+    assert out["name"].map(type).eq(str).all()
