@@ -380,6 +380,13 @@ def _doc_bigram_lm(sf_dir: str):
     return tfidf.bigram_logprob(_docs(sf_dir))
 
 
+def _ev_assoc_rules(sf_dir: str):
+    # directed association rules (support/confidence): pair supports on
+    # the cooccurrence exchange, domain-bounded antecedent broadcast,
+    # oracle-exact float confidence (stages/eventagg.association_rules)
+    return eventagg.association_rules(readers.read_table(sf_dir, "events"))
+
+
 def _scan_skyline(sf_dir: str):
     # 2-D Pareto frontier (min price, max quantity): grouped per-price max
     # + two-pass global prefix-max scan (stages/skyline.skyline_2d)
@@ -1486,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": _doc_bigram_lm,
         "doc_negatives": _doc_negatives,
         "scan_skyline": _scan_skyline,
+        "ev_assoc_rules": _ev_assoc_rules,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3381,6 +3389,24 @@ FROM e JOIN sessions s
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g)"
             " SELECT price_e2, CAST(qty AS BIGINT) AS qty FROM m"
             " WHERE pm IS NULL OR qty > pm"
+        ),
+        # association rules: confidence = one float64 division of
+        # bit-identical integer supports on both engines
+        "ev_assoc_rules": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events),"
+            " s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n"
+            "  FROM d GROUP BY 1),"
+            " p AS (SELECT a.event_type AS ta, b.event_type AS tb,"
+            "  CAST(count(*) AS BIGINT) AS nb FROM d a JOIN d b"
+            "  ON a.user_id = b.user_id AND a.event_type < b.event_type"
+            "  GROUP BY 1, 2),"
+            " r AS (SELECT p.ta AS ante, p.tb AS cons, p.nb AS n_both,"
+            "   sa.n AS n_ante FROM p JOIN s sa ON sa.event_type = p.ta"
+            "  UNION ALL SELECT p.tb, p.ta, p.nb, sb.n"
+            "   FROM p JOIN s sb ON sb.event_type = p.tb)"
+            " SELECT ante, cons, n_both, n_ante,"
+            " CAST(n_both AS DOUBLE) / CAST(n_ante AS DOUBLE) AS conf"
+            " FROM r WHERE n_both >= 5"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from .groupagg import grouped_agg
@@ -574,3 +575,75 @@ def event_type_cooccurrence(events: rd.Dataset) -> rd.Dataset:
         ["type_a", "type_b"],
         [("one", "sum", "n_users")],
     )
+
+
+def association_rules(events: rd.Dataset, min_support: int = 5) -> rd.Dataset:
+    """Directed association rules over event types: for every ordered pair
+    (ante → cons) of types co-performed by ≥ min_support users, the rule's
+    support (n_both), antecedent support (n_ante = users with ante), and
+    confidence n_both / n_ante — the market-basket step after
+    event_type_cooccurrence's pair counts.
+
+    Shape: pair supports ride the existing cooccurrence exchange chain;
+    per-type supports are ONE grouped count whose result is bounded by the
+    type DOMAIN (not the corpus), so the antecedent attach is a broadcast
+    dict by construction.  Confidence is one float64 division of
+    bit-identical integers on both engines (the doc_weighted_sample
+    precedent), so it is oracle-exact."""
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    distinct = grouped_agg(
+        events.select_columns(["user_id", "event_type"]).map_batches(
+            keyed, batch_format="pandas", batch_size=None
+        ),
+        ["user_id", "event_type"],
+        [("one", "count", "c")],
+    ).select_columns(["user_id", "event_type"])
+    supports = grouped_agg(
+        distinct.map_batches(
+            lambda b: pd.DataFrame(
+                {"event_type": b["event_type"],
+                 "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        ),
+        ["event_type"], [("one", "count", "n")],
+    )
+    sup = {
+        t: int(n)
+        for b in supports.iter_batches(batch_format="pandas")
+        for t, n in zip(b["event_type"], b["n"])
+    }
+    sup_ref = ray.put(sup)
+    pairs = event_type_cooccurrence(events)
+
+    def rules(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(sup_ref)
+        keep = b["n_users"].to_numpy() >= min_support
+        b = b[keep]
+        ante = list(b["type_a"]) + list(b["type_b"])
+        cons = list(b["type_b"]) + list(b["type_a"])
+        n_both = np.concatenate([b["n_users"].to_numpy()] * 2).astype(np.int64)
+        n_ante = np.array([lut[t] for t in ante], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "ante": pd.Series(ante, dtype="object"),
+                "cons": pd.Series(cons, dtype="object"),
+                "n_both": pd.array(n_both, dtype="int64"),
+                "n_ante": pd.array(n_ante, dtype="int64"),
+                "conf": pd.array(
+                    n_both.astype(np.float64) / n_ante.astype(np.float64),
+                    dtype="float64",
+                ),
+            }
+        )
+
+    return pairs.map_batches(rules, batch_format="pandas", batch_size=None)
