@@ -197,6 +197,19 @@ def run_bench() -> dict:
         t0 = time.time()
         _an.nation_volume(sf_dir).count()
         queries["join_nation_volume"] = round(time.time() - t0, 3)
+        # sixth-session representatives: the ExactSubstr window exchange
+        # (heaviest new stage: corpus x W window rows through one
+        # string-keyed sort) and the iterative graph family
+        from medknowledgegraph_ray.stages import orderedagg as _oa
+
+        t0 = time.time()
+        _oa.dup_span_coverage(
+            _r.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        ).count()
+        queries["doc_dup_spans"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _an.part_supplier_pagerank(sf_dir, iters=10).count()
+        queries["graph_pagerank"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor-pool detector path (production slot for a heavy model);
