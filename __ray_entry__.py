@@ -380,6 +380,12 @@ def _doc_bigram_lm(sf_dir: str):
     return tfidf.bigram_logprob(_docs(sf_dir))
 
 
+def _ev_window_dedup(sf_dir: str):
+    # streaming debounce: drop events repeating their (user, type) within
+    # 900 s — lag semantics on the ordered scan (stages/windows.windowed_dedup)
+    return windows.windowed_dedup(readers.read_table(sf_dir, "events"))
+
+
 def _ev_assoc_rules(sf_dir: str):
     # directed association rules (support/confidence): pair supports on
     # the cooccurrence exchange, domain-bounded antecedent broadcast,
@@ -1494,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_negatives": _doc_negatives,
         "scan_skyline": _scan_skyline,
         "ev_assoc_rules": _ev_assoc_rules,
+        "ev_window_dedup": _ev_window_dedup,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3407,6 +3414,16 @@ FROM e JOIN sessions s
             " SELECT ante, cons, n_both, n_ante,"
             " CAST(n_both AS DOUBLE) / CAST(n_ante AS DOUBLE) AS conf"
             " FROM r WHERE n_both >= 5"
+        ),
+        # windowed debounce: plain lag window, ties broken by event_id
+        "ev_window_dedup": (
+            "WITH e AS (SELECT user_id, event_type,"
+            "  CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id FROM events),"
+            " l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id,"
+            "  event_type ORDER BY ts_us, event_id) AS p FROM e)"
+            " SELECT CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(event_id AS BIGINT) AS event_id, ts_us, event_type"
+            " FROM l WHERE p IS NULL OR ts_us - p >= CAST(900 AS BIGINT) * 1000000"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

@@ -918,3 +918,69 @@ def trend_corr(events: rd.Dataset) -> rd.Dataset:
         kernel,
         {"user_id": "int64", "n": "int64", "trend_corr": "float64"},
     )
+
+
+def windowed_dedup(events: rd.Dataset, window_sec: int = 900) -> rd.Dataset:
+    """Streaming debounce: drop an event when the PREVIOUS event of the
+    same (user, event_type) is less than `window_sec` older — the
+    at-ingest dedup a telemetry/training-event pipeline applies before
+    anything downstream counts things.  lag-based semantics (compare to
+    the previous RAW event, not the previous kept one), so it mirrors a
+    plain SQL lag window exactly.
+
+    Rides the ordered scan keyed on user_id, sorted
+    (user_id, event_type, ts_us, event_id); each (user, type) run's keep
+    mask is one vectorized diff — ties (equal ts) dedup deterministically
+    by event_id order.  Output: kept rows (user_id, event_id, ts_us,
+    event_type)."""
+    w_us = window_sec * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    prepped = events.select_columns(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    raw = ["user_id", "event_type", "ts_us", "event_id"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "ts_us": pd.array([], dtype="int64"),
+                    "event_type": pd.array([], dtype="object"),
+                }
+            )
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        keep = new.copy()
+        keep[1:] |= (ts[1:] - ts[:-1]) >= w_us
+        out = df[keep]
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out["user_id"].to_numpy(), dtype="int64"),
+                "event_id": pd.array(out["event_id"].to_numpy(), dtype="int64"),
+                "ts_us": pd.array(out["ts_us"].to_numpy(), dtype="int64"),
+                "event_type": out["event_type"].reset_index(drop=True),
+            }
+        )
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "event_type", "ts_us", "event_id"],
+        [False, False, False, False], kernel,
+        {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
+         "event_type": "object"},
+    )

@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "ev_mad", "ev_winsorize", "emb_dim_stats", "doc_needle_hits",
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
-    "doc_negatives", "scan_skyline", "ev_assoc_rules",
+    "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
