@@ -1309,6 +1309,16 @@ def _mm_frames(sf_dir: str):
     return multimodal.sample_frames(multimodal.to_binary_payloads(_docs(sf_dir)))
 
 
+def _mm_image(sf_dir: str):
+    # REAL dependency-free image decode: synthesized binary PPM payloads
+    # through the netpbm parser in the actor-pool decode stage.  The synth
+    # derives dims from md5(text), which DuckDB can reproduce — so unlike
+    # mm_audio/mm_video this one IS oracle-checked end to end.
+    return multimodal.decode_media(
+        multimodal.to_ppm_payloads(_docs(sf_dir))
+    ).select_columns(["doc_id", "n_bytes", "width", "height", "frames"])
+
+
 def _mm_audio(sf_dir: str):
     # REAL stdlib-wave decode of synthesized PCM WAV payloads (rows-only:
     # DuckDB cannot parse WAV; pytest checks vs an independent decode)
@@ -1501,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scan_skyline": _scan_skyline,
         "ev_assoc_rules": _ev_assoc_rules,
         "ev_window_dedup": _ev_window_dedup,
+        "mm_image": _mm_image,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3424,6 +3435,23 @@ FROM e JOIN sessions s
             " SELECT CAST(user_id AS BIGINT) AS user_id,"
             " CAST(event_id AS BIGINT) AS event_id, ts_us, event_type"
             " FROM l WHERE p IS NULL OR ts_us - p >= CAST(900 AS BIGINT) * 1000000"
+        ),
+        # netpbm image round trip: the synth derives (w, h) from the first
+        # 4 md5(text) bytes — reproduced here via hex→int arithmetic — and
+        # n_bytes is the exact header+raster length the encoder writes
+        "mm_image": (
+            "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx"
+            "  FROM documents WHERE doc_id % 3 = 0),"
+            " v AS (SELECT doc_id, list_aggregate(list_transform(range(1, 9),"
+            "  i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1))"
+            "   - 1) * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT))),"
+            "  'sum') AS d FROM h),"
+            " dims AS (SELECT doc_id, CAST(8 + d % 24 AS BIGINT) AS width,"
+            "  CAST(8 + (d // 256) % 24 AS BIGINT) AS height FROM v)"
+            " SELECT doc_id,"
+            " CAST(2 + length(' ' || width || ' ' || height || ' 255')"
+            "  + 1 + 3 * width * height AS BIGINT) AS n_bytes,"
+            " width, height, CAST(1 AS BIGINT) AS frames FROM dims"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

@@ -76,19 +76,34 @@ class MediaDecoder:
 
     def __init__(self, real: bool | None = None):
         self._pil = None
+        self._force_real = bool(real)
+        self._allow_real = real is not False
         if real is not False:
             try:
                 from PIL import Image  # codec loaded ONCE per actor
 
                 self._pil = Image
             except ImportError:
-                if real:
-                    raise
-        self.decode = self._decode_real if self._pil is not None else _decode_stub
+                pass  # netpbm (stdlib) still counts as a real image codec
 
-    def _decode_real(self, payload: bytes, media_type: str) -> dict:
-        if media_type != "image":
-            return _decode_stub(payload, media_type)  # no audio/video codec dep
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        if media_type == "image" and self._allow_real:
+            if payload[:2] in (b"P5", b"P6"):  # REAL, dependency-free
+                w, h, _, _ = _parse_netpbm(payload)
+                return {
+                    "digest": hashlib.md5(payload).hexdigest(),
+                    "width": w, "height": h, "frames": 1,
+                }
+            if self._pil is not None:
+                return self._decode_pil(payload)
+            if self._force_real:
+                raise ValueError(
+                    "MediaDecoder(real=True): image payload is not netpbm "
+                    "and PIL is not importable — no real codec available"
+                )
+        return _decode_stub(payload, media_type)  # no audio/video codec dep
+
+    def _decode_pil(self, payload: bytes) -> dict:
         import io
 
         with self._pil.open(io.BytesIO(payload)) as im:  # raises on bad bytes
@@ -128,19 +143,27 @@ def decode_media(payloads: rd.Dataset, *, batch_size: int = 256) -> rd.Dataset:
 
 
 class ImageResizer:
-    """Actor-pool resize stage (stub kernel, real plumbing).
-
-    A real implementation loads the codec/resampler once here; the stub
-    recomputes deterministic target dims and a resized-payload digest so
-    the stage's schema contract and batch shape are exercised end-to-end.
-    """
+    """Actor-pool resize stage.  netpbm payloads resize for REAL — a
+    vectorized nearest-neighbor index gather re-encoded as netpbm, so the
+    digest is of actual resized pixels; other payloads (JPEG/PNG without
+    PIL) keep the deterministic stub digest, preserving the schema
+    contract either way.  A real JPEG resampler would slot into
+    `__init__` exactly like the netpbm path."""
 
     def __init__(self, width: int = 224, height: int = 224):
         self.w, self.h = width, height
 
+    def _resize_netpbm(self, payload: bytes) -> str:
+        w, h, _, arr = _parse_netpbm(payload)
+        yi = (np.arange(self.h) * h) // self.h
+        xi = (np.arange(self.w) * w) // self.w
+        return hashlib.md5(encode_netpbm(arr[yi][:, xi])).hexdigest()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         digests = [
-            hashlib.md5(p + f"{self.w}x{self.h}".encode()).hexdigest()
+            self._resize_netpbm(p)
+            if p[:2] in (b"P5", b"P6")
+            else hashlib.md5(p + f"{self.w}x{self.h}".encode()).hexdigest()
             for p in batch["payload"].to_pylist()
         ]
         return pa.table(
@@ -428,4 +451,84 @@ def video_frame_features(payloads: rd.Dataset, *, n_frames: int = 8,
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=config.pool_size(),
+    )
+
+
+# ---- netpbm (binary PGM/PPM) — a REAL image codec with zero external
+# dependency, so the image path is exercised for real even in containers
+# without PIL (this one).  Production formats (JPEG/PNG) still route
+# through PIL when importable; netpbm payloads decode here either way.
+
+
+def _parse_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse binary PGM (P5) / PPM (P6) → (width, height, channels,
+    uint8 array of shape (h, w, c)).  Raises ValueError on malformed
+    bytes — the module's never-silently-skip policy."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("netpbm: not a binary PGM/PPM payload")
+    channels = 3 if magic == b"P6" else 1
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm: malformed header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("netpbm: only maxval 255 supported")
+    raster = payload[pos + 1 :]  # single whitespace after maxval
+    need = w * h * channels
+    if len(raster) != need:
+        raise ValueError(f"netpbm: raster is {len(raster)} bytes, need {need}")
+    return w, h, channels, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 1|3) array → binary PGM/PPM bytes."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f" {w} {h} 255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def to_ppm_payloads(docs: rd.Dataset) -> rd.Dataset:
+    """Image-striped docs as REAL binary PPM payloads: dimensions and
+    pixel bytes derive from md5(text) — w = 8 + d % 24, h = 8 + (d>>8) % 24
+    with d the first-4-bytes big-endian int of the digest, pixels the
+    digest repeated.  Deterministic AND SQL-reproducible (DuckDB md5), so
+    the synth→decode round trip is oracle-checked (`mm_image`), unlike any
+    external-file fixture.  Output: (doc_id, media_type, payload)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_pay = [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % 3 != 0:  # the image stripe of to_binary_payloads
+                continue
+            digest = hashlib.md5((t or "").encode()).digest()
+            d = int.from_bytes(digest[:4], "big")
+            w, h = 8 + d % 24, 8 + (d >> 8) % 24
+            need = w * h * 3
+            px = (digest * (need // len(digest) + 1))[:need]
+            out_id.append(doc_id)
+            out_pay.append(
+                encode_netpbm(np.frombuffer(px, np.uint8).reshape(h, w, 3))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(["image"] * len(out_id), pa.string()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
     )

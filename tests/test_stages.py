@@ -322,9 +322,12 @@ def test_media_decoder_modes():
         with pytest.raises(Exception):
             multimodal.MediaDecoder(real=True)(batch)
     else:
-        assert multimodal.MediaDecoder()(batch).equals(stub)  # auto → stub
-        with pytest.raises(ImportError):
-            multimodal.MediaDecoder(real=True)
+        # auto → stub for non-netpbm bytes when PIL is absent
+        assert multimodal.MediaDecoder()(batch).equals(stub)
+        # real=True stays LOUD: these bytes have no real codec (not
+        # netpbm, PIL absent) — decode raises, never a silent stub
+        with pytest.raises(ValueError, match="no real codec"):
+            multimodal.MediaDecoder(real=True)(batch)
 
 
 def test_intersection_sorted_exchange_matches_bruteforce():
@@ -391,3 +394,39 @@ def test_top_cuis_sorted_exchange_many_surfaces():
         .sort_values(["norm_surface", "cui"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_netpbm_roundtrip_decode_and_real_resize():
+    """The dependency-free REAL image path: encode → parse round trip,
+    actor-stage decode of actual dims, nearest-neighbor resize producing
+    a digest of real resized pixels, loud failure on malformed bytes."""
+    import pytest
+
+    from medknowledgegraph_ray.stages import multimodal
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = multimodal.encode_netpbm(arr)
+    w, h, c, back = multimodal._parse_netpbm(payload)
+    assert (w, h, c) == (3, 2, 3) and np.array_equal(back, arr)
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+        }
+    )
+    dec = multimodal.MediaDecoder()(batch)  # real netpbm decode, no PIL
+    assert dec["width"].to_pylist() == [3] and dec["height"].to_pylist() == [2]
+    assert dec["frames"].to_pylist() == [1]
+
+    # nearest-neighbor upscale 3x2 -> 6x4: every source pixel becomes 2x2
+    rs = multimodal.ImageResizer(width=6, height=4)(batch)
+    yi = (np.arange(4) * 2) // 4
+    xi = (np.arange(6) * 3) // 6
+    expect = multimodal.encode_netpbm(arr[yi][:, xi])
+    import hashlib as _hl
+    assert rs["resized_digest"].to_pylist() == [_hl.md5(expect).hexdigest()]
+
+    with pytest.raises(ValueError, match="netpbm"):
+        multimodal._parse_netpbm(b"P6 3 2 255\nshort")
