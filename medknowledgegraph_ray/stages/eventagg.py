@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -275,7 +276,7 @@ def props_field_stats(events: rd.Dataset) -> rd.Dataset:
     Extraction is one vectorized pandas str.extract per batch; the
     aggregation is algebraic over a 5-key space."""
 
-    def extract(b: pd.DataFrame) -> pd.DataFrame:
+    def extract(b: pd.DataFrame) -> pa.Table:
         k = (
             b["props"]
             .fillna("")
@@ -283,7 +284,15 @@ def props_field_stats(events: rd.Dataset) -> rd.Dataset:
             .fillna("0")
             .astype("int64")
         )
-        return pd.DataFrame({"event_type": b["event_type"], "k": k})
+        # Arrow out: a size-0 pandas OBJECT column trips Ray's size
+        # estimator (np.vectorize on empty input) and spams every block;
+        # Arrow empties keep their schema and skip that path
+        return pa.table(
+            {
+                "event_type": pa.array(b["event_type"], pa.string()),
+                "k": pa.array(k.to_numpy(), pa.int64()),
+            }
+        )
 
     keyed = events.select_columns(["event_type", "props"]).map_batches(
         extract, batch_format="pandas", batch_size=None
