@@ -380,6 +380,13 @@ def _doc_bigram_lm(sf_dir: str):
     return tfidf.bigram_logprob(_docs(sf_dir))
 
 
+def _graph_degree_hist(sf_dir: str):
+    # graph-QA degree distribution: two algebraic grouped counts, second
+    # key space bounded by the degree domain
+    # (pipelines/analytics.part_supplier_degree_hist)
+    return analytics.part_supplier_degree_hist(sf_dir)
+
+
 def _ev_window_dedup(sf_dir: str):
     # streaming debounce: drop events repeating their (user, type) within
     # 900 s — lag semantics on the ordered scan (stages/windows.windowed_dedup)
@@ -1512,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_assoc_rules": _ev_assoc_rules,
         "ev_window_dedup": _ev_window_dedup,
         "mm_image": _mm_image,
+        "graph_degree_hist": _graph_degree_hist,
         "join_region_counts": analytics.nation_region_counts,
         "kg_conversations": kg.conversations,
         "kg_turn_roundtrip": kg.turn_roundtrip,
@@ -3452,6 +3460,18 @@ FROM e JOIN sessions s
             " CAST(2 + length(' ' || width || ' ' || height || ' 255')"
             "  + 1 + 3 * width * height AS BIGINT) AS n_bytes,"
             " width, height, CAST(1 AS BIGINT) AS frames FROM dims"
+        ),
+        # degree distribution: same symmetrized distinct pairing, two
+        # grouped counts
+        "graph_degree_hist": (
+            "WITH ed AS (SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS node,"
+            " CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem"
+            " UNION ALL SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT),"
+            " CAST(l_partkey*2 AS BIGINT) FROM lineitem),"
+            " d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg"
+            "  FROM ed GROUP BY node)"
+            " SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes"
+            " FROM d GROUP BY deg"
         ),
         # no oracle entries (rows-only checks by design):
         #   ann_lsh, ann_ivf (LSH/IVF recall < 1 by construction)

@@ -2309,3 +2309,33 @@ def price_quantity_skyline(sf_dir: str) -> rd.Dataset:
                        batch_size=None),
         "price_e2", "qty",
     )
+
+
+def part_supplier_degree_hist(sf_dir: str) -> rd.Dataset:
+    """Degree distribution of the part–supplier co-purchase graph (how
+    many nodes have each trade-partner count) — the first QA report run
+    on any derived graph before centrality/peeling.  Two algebraic
+    grouped counts: corpus → node degrees → counts-of-counts; the second
+    key space is bounded by the degree DOMAIN."""
+    from ..stages.groupagg import grouped_agg
+
+    deg = grouped_agg(
+        _part_supplier_edges(sf_dir).map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["node"], [("one", "sum", "deg")],
+    )
+    return grouped_agg(
+        deg.map_batches(
+            lambda t: pa.table(
+                {"deg": t["deg"],
+                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["deg"], [("one", "sum", "n_nodes")],
+    )
