@@ -3349,8 +3349,11 @@ FROM e JOIN sessions s
         # Okapi BM25 vs the fixed query — generated SQL mirrors the
         # engine's IEEE op order term by term (see _bm25_sql)
         "doc_bm25": _bm25_sql(),
-        # k-core: the same peel, unrolled; rounds ≥ true depth is exact
-        "graph_kcore": _kcore_sql(10, 8),
+        # k-core: the same peel, unrolled; rounds ≥ true depth is exact.
+        # 16 rounds: the engine-observed peel depth on this graph is 0-1
+        # (test_kcore_oracle_unroll_covers_true_depth asserts depth+4 ≤ 16
+        # so data drift fails loudly on the test, not the parity sweep)
+        "graph_kcore": _kcore_sql(10, 16),
         # L2 normalization: quantize at 2^20 (exact), exact int64 squared
         # norm per vector, then the mirrored sqrt/divide/round_even
         "emb_normalize": (

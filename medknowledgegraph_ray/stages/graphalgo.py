@@ -106,6 +106,22 @@ def pagerank(edges: rd.Dataset, iters: int = 10) -> rd.Dataset:
     )
     deg = grouped_agg(ones, ["node"], [("one", "sum", "deg")]).materialize()
     n = deg.count()
+    # enforce the same no-dangling-node precondition the driver path raises
+    # on: every node appearing anywhere (src OR dst) must have >=1 out-edge,
+    # i.e. the distinct-node count over BOTH columns must equal deg's.
+    n_all = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [pa.compute.cast(c, pa.int64())
+                     for c in (t["node"].combine_chunks(), t["dst"].combine_chunks())]),
+                 "one": pa.array(np.ones(2 * t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["node"], [("one", "sum", "cnt")],
+    ).count()
+    if n_all != n:
+        raise ValueError("pagerank: node with no out-edge (pass a symmetrized edge list)")
     base = (R_TOT * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
     r0 = R_TOT // n
 
@@ -136,13 +152,19 @@ def pagerank(edges: rd.Dataset, iters: int = 10) -> rd.Dataset:
             ),
             ["node"], [("c", "sum", "r_in")],
         )
-        relabeled = equi_join(deg, recv, "node", ["deg"], ["r_in"]).map_batches(
+        # LEFT join with deg on the preserved (probe) side: a node with no
+        # in-edges this round gets a null r_in, coalesced to 0 — dropping it
+        # (the old inner join) silently erased its rank AND its outgoing
+        # contribution from every later iteration.
+        relabeled = equi_join(recv, deg, "node", ["r_in"], ["deg"],
+                              how="left").map_batches(
             lambda t: pa.table(
                 {
                     "node": t["node"],
                     "deg": t["deg"],
                     "rank": pa.array(
-                        base + t["r_in"].to_numpy(zero_copy_only=False)
+                        base + pa.compute.fill_null(t["r_in"], 0)
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
                     ),
                 }
             ),
@@ -154,7 +176,17 @@ def pagerank(edges: rd.Dataset, iters: int = 10) -> rd.Dataset:
 
 def _triangles_driver(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
     """Exact (n_nodes, n_edges, n_triangles) of a canonical (a < b, unique)
-    undirected edge array via degree-ordered adjacency intersection."""
+    undirected edge array via degree-ordered adjacency intersection.
+
+    Validates the same contract the distributed path enforces (a < b, ids
+    fit 31 bits via sym(); uniqueness via equi_join's unique-build-key
+    check) so malformed input fails identically on both sides of the gate."""
+    if len(a) and (a >= b).any():
+        raise ValueError("triangle_count: edges must be canonical (a < b)")
+    if len(a) and (b >= 2**31).any():
+        raise ValueError("triangle_count: node ids must fit 31 bits")
+    if len(np.unique((a << 32) | b)) != len(a):
+        raise ValueError("triangle_count: duplicate edges (pairs must be unique)")
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     n = len(nodes)
     ai, bi = inv[: len(a)], inv[len(a):]

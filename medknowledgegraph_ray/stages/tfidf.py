@@ -492,7 +492,16 @@ def bm25_scores(
         .to_pandas()
         .sum()
     )
-    n, tl = int(st["n"]), int(st["tl"])
+    # degenerate corpora: an empty docs input emits no partial rows (no
+    # 'n' key), an all-empty-text corpus gives tl=0 (inf/NaN norm) — both
+    # return the typed empty table, matching pagerank/triangle_count.
+    n = int(st.get("n", 0))
+    tl = int(st.get("tl", 0))
+    if n == 0 or tl == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_e6": pa.array([], pa.int64())})
+        )
     idf = [
         math.log((n - int(st["df_" + c]) + 0.5) / (int(st["df_" + c]) + 0.5) + 1.0)
         for c in tf_cols

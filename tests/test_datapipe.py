@@ -2329,6 +2329,68 @@ def test_pagerank_requires_out_edges():
         graphalgo.pagerank(rd.from_arrow(ed), iters=2)
 
 
+def test_pagerank_distributed_keeps_source_only_nodes(monkeypatch):
+    # A node with out-edges but NO in-edges (valid per the precondition)
+    # gets no recv row in an iteration; the distributed path must keep it
+    # via the left join + fill_null(0) instead of silently dropping it.
+    from medknowledgegraph_ray.stages import graphalgo
+
+    ed = pa.table(
+        {"node": pa.array([1, 2, 3], pa.int64()),
+         "dst": pa.array([2, 1, 1], pa.int64())}
+    )
+    drv = graphalgo.pagerank(rd.from_arrow(ed), iters=4).to_pandas()
+    drv = drv.sort_values("node").reset_index(drop=True)
+    assert set(drv["node"]) == {1, 2, 3}
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    dist = graphalgo.pagerank(rd.from_arrow(ed).repartition(2), iters=4).to_pandas()
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert drv.equals(dist)
+
+
+def test_pagerank_distributed_rejects_dangling_nodes(monkeypatch):
+    # dst-only node (no out-edge): the driver path raises; the distributed
+    # path must raise the same ValueError, not silently compute over a
+    # smaller node universe.
+    from medknowledgegraph_ray.stages import graphalgo
+
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    ed = pa.table(
+        {"node": pa.array([1, 2], pa.int64()),
+         "dst": pa.array([2, 3], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="out-edge"):
+        graphalgo.pagerank(rd.from_arrow(ed).repartition(2), iters=2)
+
+
+def test_triangles_driver_validates_contract_like_distributed():
+    from medknowledgegraph_ray.stages import graphalgo
+
+    with pytest.raises(ValueError, match="canonical"):
+        graphalgo.triangle_count(_graph_edges([(2, 1)])).to_pandas()
+    with pytest.raises(ValueError, match="duplicate"):
+        graphalgo.triangle_count(_graph_edges([(1, 2), (1, 2)])).to_pandas()
+    with pytest.raises(ValueError, match="31 bits"):
+        graphalgo.triangle_count(_graph_edges([(1, 2**31)])).to_pandas()
+
+
+def test_bm25_degenerate_corpora_return_typed_empty():
+    from medknowledgegraph_ray.stages import tfidf
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    out = tfidf.bm25_scores(empty, ["alpha"])
+    assert out.count() == 0 and out.schema().names == ["doc_id", "score_e6"]
+    blank = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", None], pa.string())})
+    )
+    out2 = tfidf.bm25_scores(blank, ["alpha"])
+    assert out2.count() == 0 and out2.schema().names == ["doc_id", "score_e6"]
+
+
 def test_dup_span_coverage_merges_overlaps_and_skips_short_docs():
     from medknowledgegraph_ray.stages import orderedagg
 
@@ -2409,6 +2471,27 @@ def test_kcore_cascading_peel_and_forced_distributed(monkeypatch):
     # k above the max degree empties the graph on both paths
     assert graphalgo.kcore(_sym_edges(und), k=5).count() == 0
     assert graphalgo.kcore(_sym_edges(und).repartition(2), k=5).count() == 0
+
+
+def test_kcore_oracle_unroll_covers_true_depth(sf_dir):
+    # The graph_kcore oracle unrolls a FIXED 16 peel rounds; it is only
+    # exact when 16 ≥ the true peel depth of the input graph.  Tie the
+    # unroll to the engine's observed depth with a ≥4-round margin so a
+    # datagen change that deepens the peel fails HERE, not as a silent
+    # oracle-side mismatch in the parity sweep.
+    from medknowledgegraph_ray.pipelines import analytics
+    from medknowledgegraph_ray.stages import graphalgo
+
+    ed = analytics._part_supplier_edges(sf_dir).to_pandas()
+    _, depth = graphalgo._kcore_driver(
+        ed["node"].to_numpy().astype(np.int64),
+        ed["dst"].to_numpy().astype(np.int64),
+        10,
+    )
+    assert depth + 4 <= 16, (
+        f"kcore peel depth {depth} too close to the oracle's 16-round "
+        "unroll — raise the unroll in __ray_entry__._kcore_sql"
+    )
 
 
 def test_normalize_vectors_unit_norm_and_zero_guard():
