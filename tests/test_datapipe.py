@@ -2416,6 +2416,76 @@ def test_dup_span_coverage_merges_overlaps_and_skips_short_docs():
     assert out.loc[1, "n_tokens"] == 14
 
 
+def _dup_span_fixture():
+    span = "a b c d e f g h i j"
+    return _docs([
+        (1, "x1 x2 " + span + " y1 y2"),
+        (2, span + " z1 " + span),
+        (3, "unique tokens only here"),
+        (4, "w1 " + span + " " + span),
+        (5, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"),  # unique 10-grams
+    ])
+
+
+def test_dup_span_fp_collisions_killed_by_string_verify(monkeypatch):
+    # Force EVERY window onto one fingerprint (0 keep-bits): phase 1 then
+    # marks all windows as candidates and only the string re-verify pass
+    # separates true duplicates from collisions — output must equal the
+    # full-width-fingerprint result exactly.
+    from medknowledgegraph_ray.stages import orderedagg
+
+    want = (
+        orderedagg.dup_span_coverage(_dup_span_fixture(), win_words=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert want.set_index("doc_id").loc[5, "dup_tokens"] == 0
+    monkeypatch.setattr(orderedagg, "_FP_KEEP_BITS", 0)
+    got = (
+        orderedagg.dup_span_coverage(_dup_span_fixture(), win_words=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert want.equals(got)
+
+
+def test_dup_span_distributed_paths_match_driver(monkeypatch):
+    # default = driver verify path; force the distributed verify branch
+    # (broadcast re-emission), then the distributed+join branch — all three
+    # must be row-identical.
+    from medknowledgegraph_ray.stages import orderedagg
+
+    want = (
+        orderedagg.dup_span_coverage(_dup_span_fixture(), win_words=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(orderedagg, "DUP_VERIFY_DRIVER_MAX", -1)
+    got_bcast = (
+        orderedagg.dup_span_coverage(_dup_span_fixture(), win_words=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert want.equals(got_bcast)
+    monkeypatch.setattr(orderedagg, "DUP_CAND_BROADCAST_MAX", -1)
+    got_join = (
+        orderedagg.dup_span_coverage(_dup_span_fixture(), win_words=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert want.equals(got_join)
+
+
+def test_dup_span_no_duplicates_short_circuit():
+    from medknowledgegraph_ray.stages import orderedagg
+
+    ds = _docs([
+        (1, " ".join(f"a{i}" for i in range(15))),
+        (2, " ".join(f"b{i}" for i in range(15))),
+    ])
+    out = (
+        orderedagg.dup_span_coverage(ds, win_words=10)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (out["dup_tokens"] == 0).all()
+    assert out.loc[1, "n_tokens"] == 15 and out.loc[2, "n_tokens"] == 15
+
+
 def test_bm25_ranking_and_zero_docs():
     import math
 
