@@ -1417,16 +1417,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
     datagen.ensure_transcripts("/root/testdata/sf0.001")
     datagen.ensure_transcripts(_SF001)
     return {
-        # ---- block 1 (r4 rotation): the driver records the FIRST 50 rows
-        # only, so the lead holds EVERY oracle entry that has never had a
-        # driver record (this round's 49 additions), plus dedup_embedding
-        # (whose r02 record predates its exact cosine oracle — it needs a
-        # first ORACLE-checked record).  The seven kg-core heads
-        # (kg_conversations … kg_nodes, r02-recorded like the rest of the
-        # demoted kg block) and join_region_counts (r01) moved below the
-        # cap to make room — at r5 ALL r01/r02-recorded entries MUST
-        # rotate back to the lead.  tools/check_oracles.py sweeps ALL
-        # entries regardless of this ordering.
+        # ---- block 1 (r5 rotation): the driver records the FIRST 50 rows
+        # only.  Stale-or-never set at r5 = 23 never-recorded oracle
+        # entries + 1 r01 + 39 r02 = 63 > 50, so the lead takes them in
+        # staleness order: all 23 never-recorded oracle entries, the r01
+        # entry, then 26 of the 39 r02 entries — every kg entry except
+        # the gene/protein intersection variants (the SAME intersection
+        # operator gets its fresh record via the umls/go variants).  The
+        # 13 r02 leftovers sit immediately after the cap (first in line
+        # if the driver ever records more) and stay green in pytest
+        # sf0.001 parity and the full tools/check_oracles.py sweep, which
+        # covers ALL entries regardless of this ordering.
+        # -- never driver-recorded (fifth/sixth-session additions) --
+        "doc_chunk": _doc_chunk,
+        "agg_forecast_rev": analytics.forecast_revenue,
+        "agg_line_priority": analytics.line_priority_counts,
+        "agg_part_suppliers": analytics.part_supplier_variety,
+        "join_heavy_suppliers": analytics.heavy_suppliers,
+        "ev_mad": _ev_mad,
+        "ev_winsorize": _ev_winsorize,
+        "emb_dim_stats": _emb_dim_stats,
+        "doc_needle_hits": _doc_needle_hits,
+        "scan_unpivot": _scan_unpivot,
+        "graph_pagerank": _graph_pagerank,
+        "graph_triangles": _graph_triangles,
+        "doc_dup_spans": _doc_dup_spans,
+        "doc_bm25": _doc_bm25,
+        "graph_kcore": _graph_kcore,
+        "emb_normalize": _emb_normalize,
+        "doc_bigram_lm": _doc_bigram_lm,
+        "doc_negatives": _doc_negatives,
+        "scan_skyline": _scan_skyline,
+        "ev_assoc_rules": _ev_assoc_rules,
+        "ev_window_dedup": _ev_window_dedup,
+        "mm_image": _mm_image,
+        "graph_degree_hist": _graph_degree_hist,
+        # -- r01-recorded --
+        "join_region_counts": analytics.nation_region_counts,
+        # -- r02-recorded kg block (26 of 28; see note above) --
+        "kg_conversations": kg.conversations,
+        "kg_turn_roundtrip": kg.turn_roundtrip,
+        "kg_mentions": kg.mention_rows,
+        "kg_conv_entities": kg.conv_entities,
+        "kg_links": kg.links,
+        "kg_edges": kg.edges,
+        "kg_nodes": kg.nodes,
+        "kg_genes": kg.genes,
+        "kg_snomed": kg.snomed,
+        "kg_proteins": kg.proteins,
+        "kg_go": kg.go_terms,
+        "kg_selected_cuis": kg.selected_cuis,
+        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
+        "kg_abbrev_defs": kg.abbrev_definitions,
+        "kg_top_cuis": kg.top_cui_links,
+        "kg_top_entities": kg.top_entities,
+        "kg_entity_counts": kg.entity_counts,
+        "kg_clinical_features": kg.clinical_features,
+        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
+        "kg_term_convs": _kg_term_convs,
+        "kg_top_cuis_strict": _kg_top_cuis_strict,
+        "kg_mentions_resolved": kg.mentions_resolved,
+        "kg_mentions_user": kg.user_mentions,
+        "kg_tool_counts": kg.tool_counts,
+        "kg_tool_edges": kg.tool_edges,
+        "kg_mentions_hourly": kg.hourly_mentions,
+        # ---- past the 50-row cap: the 13 r01/r02 leftovers that did not
+        # fit the lead (the two intersection variants + the non-kg r02
+        # block) — first in line if the driver ever records more rows
+        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
+        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
+        "doc_quality": _quality,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "ann_topk": _ann_topk,
+        "doc_stats": _doc_stats,
+        "doc_lang_id": _lang_id,
+        "doc_sample": _doc_sample,
+        "doc_tokens_bpe": _tokens_bpe,
+        "mm_metadata": _mm_metadata,
+        "ev_tumbling": _ev_tumbling,
+        "ev_sliding": _ev_sliding,
+        # ---- recorded green in CORRECTNESS_r04 ----
         "doc_typo_pairs": _doc_typo_pairs,
         "ev_time_window": _ev_time_window,
         "agg_grouping_sets": _agg_grouping_sets,
@@ -1484,82 +1555,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_sole_returns": analytics.sole_return_suppliers,
         "doc_entropy": _doc_entropy,
         "doc_epochs": _doc_epochs,
-        # ---- demoted below the driver's 50-row cap so the never-recorded
-        # entries above get their first record.  The four Q6/Q12/Q16/Q20
-        # shapes (completing all 22 TPC-H query shapes) were added when
-        # the lead was already full — they and join_region_counts
-        # (r01-recorded) MUST lead in r5 together with every r02-recorded
-        # kg entry below; all stay pytest-parity-checked at sf0.001 and
-        # swept by tools/check_oracles.py regardless.
-        "doc_chunk": _doc_chunk,
-        "agg_forecast_rev": analytics.forecast_revenue,
-        "agg_line_priority": analytics.line_priority_counts,
-        "agg_part_suppliers": analytics.part_supplier_variety,
-        "join_heavy_suppliers": analytics.heavy_suppliers,
-        # fifth/sixth-session additions — also past the cap (never
-        # driver-recorded at r4); they join the r5 lead with the block
-        # above: ev_mad…scan_unpivot, the graph quartet
-        # (pagerank/triangles/kcore), dup-span coverage, BM25, embedding
-        # normalize, bigram LM, negative sampling, skyline — all
-        # pytest-parity-checked at sf0.001 and swept by check_oracles.py
-        "ev_mad": _ev_mad,
-        "ev_winsorize": _ev_winsorize,
-        "emb_dim_stats": _emb_dim_stats,
-        "doc_needle_hits": _doc_needle_hits,
-        "scan_unpivot": _scan_unpivot,
-        "graph_pagerank": _graph_pagerank,
-        "graph_triangles": _graph_triangles,
-        "doc_dup_spans": _doc_dup_spans,
-        "doc_bm25": _doc_bm25,
-        "graph_kcore": _graph_kcore,
-        "emb_normalize": _emb_normalize,
-        "doc_bigram_lm": _doc_bigram_lm,
-        "doc_negatives": _doc_negatives,
-        "scan_skyline": _scan_skyline,
-        "ev_assoc_rules": _ev_assoc_rules,
-        "ev_window_dedup": _ev_window_dedup,
-        "mm_image": _mm_image,
-        "graph_degree_hist": _graph_degree_hist,
-        "join_region_counts": analytics.nation_region_counts,
-        "kg_conversations": kg.conversations,
-        "kg_turn_roundtrip": kg.turn_roundtrip,
-        "kg_mentions": kg.mention_rows,
-        "kg_conv_entities": kg.conv_entities,
-        "kg_links": kg.links,
-        "kg_edges": kg.edges,
-        "kg_nodes": kg.nodes,
-        "kg_genes": kg.genes,
-        "kg_snomed": kg.snomed,
-        "kg_proteins": kg.proteins,
-        "kg_go": kg.go_terms,
-        "kg_selected_cuis": kg.selected_cuis,
-        "kg_intersection_umls": lambda sf: kg.intersection(sf, "UMLS"),
-        "kg_abbrev_defs": kg.abbrev_definitions,
-        "kg_top_cuis": kg.top_cui_links,
-        "kg_top_entities": kg.top_entities,
-        "kg_entity_counts": kg.entity_counts,
-        "kg_clinical_features": kg.clinical_features,
-        "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
-        "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
-        "kg_intersection_go": lambda sf: kg.intersection(sf, "GO"),
-        "kg_term_convs": _kg_term_convs,
-        "kg_top_cuis_strict": _kg_top_cuis_strict,
-        "kg_mentions_resolved": kg.mentions_resolved,
-        "kg_mentions_user": kg.user_mentions,
-        "kg_tool_counts": kg.tool_counts,
-        "kg_tool_edges": kg.tool_edges,
-        "kg_mentions_hourly": kg.hourly_mentions,
-        "doc_quality": _quality,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash": _dedup_minhash,
-        "ann_topk": _ann_topk,
-        "doc_stats": _doc_stats,
-        "doc_lang_id": _lang_id,
-        "doc_sample": _doc_sample,
-        "doc_tokens_bpe": _tokens_bpe,
-        "mm_metadata": _mm_metadata,
-        "ev_tumbling": _ev_tumbling,
-        "ev_sliding": _ev_sliding,
         # ---- block 2: recorded green in CORRECTNESS_r03 ----
         "doc_vocab": _doc_vocab,
         "doc_inverted_index": _doc_inverted_index,
