@@ -148,11 +148,20 @@ def distinct_surfaces(mentions: rd.Dataset) -> rd.Dataset:
     return _distinct.distinct(mentions, ["norm_surface"])
 
 
+class _FuzzySurfaceLinker(SurfaceLinker):
+    """Zero-arg ctor variant for the actor pool: any fn_constructor_kwargs
+    dict (even all-defaults) is an object-store constructor arg and trips
+    Ray's issue-53727 restart-hazard banner, so the fuzzy flag is baked
+    into the class instead of shipped as a kwarg."""
+
+    def __init__(self):
+        super().__init__(None, fuzzy=True)
+
+
 def link_surfaces(mentions: rd.Dataset, *, fuzzy: bool = False) -> rd.Dataset:
     """mentions → links(norm_surface, cui, score, name, definition, label)."""
     return distinct_surfaces(mentions).map_batches(
-        SurfaceLinker,
-        fn_constructor_kwargs={"catalog_ref": None, "fuzzy": fuzzy},  # restart-safe
+        _FuzzySurfaceLinker if fuzzy else SurfaceLinker,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 2),
