@@ -151,13 +151,15 @@ def turn_roundtrip(sf_dir: str) -> rd.Dataset:
 
 
 def mention_rows(
-    sf_dir: str, *, scope: list[str] | None = None, stateful: str = "task"
+    sf_dir: str, *, scope: list[str] | None = None, stateful: str = "task",
+    reuse_pool: bool = False,
 ) -> rd.Dataset:
     ds = transcripts(sf_dir, ["conv_id", "turn_idx", "text"])
     if scope is not None:
         ds = filter_convs(ds, scope)
     return mentions.detect_mentions(
-        ds, stateful=stateful, input_blocks=readers.transcript_blocks(sf_dir)
+        ds, stateful=stateful, input_blocks=readers.transcript_blocks(sf_dir),
+        reuse_pool=reuse_pool,
     )
 
 

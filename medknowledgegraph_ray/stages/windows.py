@@ -101,6 +101,18 @@ def sliding_window(events: rd.Dataset, width_sec: int = 3600, slide_sec: int = 9
 
 _PAD = {"int64": 0, "float64": 0.0, "bool": False, "object": ""}
 
+
+def _pad_of(typ: "pa.DataType"):
+    """The _PAD value for an Arrow column type (deferred raw columns keep
+    their exact Arrow dtype; interior rows pad them with a typed zero)."""
+    if pa.types.is_integer(typ):
+        return 0
+    if pa.types.is_floating(typ):
+        return 0.0
+    if pa.types.is_boolean(typ):
+        return False
+    return ""
+
 # Edge rows past this count keep the DISTRIBUTED groupby repair; below it
 # the gathered driver-side repair saves the exchange (see _sorted_user_op).
 EDGE_REPAIR_DRIVER_MAX = 500_000
@@ -186,35 +198,61 @@ def _sorted_user_op(
     # #map x #reduce blocks (see config.sort_blocks)
     s = prepped.repartition(_config.sort_blocks()).sort(sort_cols, descending=descending)
 
-    def split(df: pd.DataFrame) -> pa.Table:
-        # output is a METADATA-FREE Arrow table: returning pandas here made
-        # the downstream filter convert via from_pandas, whose b'pandas'
-        # metadata dict breaks hash(pa.Schema) and defeats Ray's
-        # block-schema dedup in the edge groupby's reduce
-        order = out_cols + raw_only + ["is_edge"]
-        if len(df) == 0:
-            empty = {c: pd.array([], dtype=dt) for c, dt in out_dtypes.items()}
-            for c in raw_only:
-                empty[c] = df[c]
-            empty["is_edge"] = pd.array([], dtype="bool")
-            out = pd.DataFrame(empty)[order]
-        else:
-            u = df[key].to_numpy()
-            edge = (u == u[0]) | (u == u[-1])
-            interior = kernel(df[~edge]).reset_index(drop=True)
-            for c in raw_only:
-                dt = str(df[c].dtype)
-                interior[c] = pd.array([_PAD[dt]] * len(interior), dtype=dt)
-            interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
-            e = df[edge].reset_index(drop=True)
-            for c, dt in out_dtypes.items():
-                if c not in e.columns:
-                    e[c] = pd.array([_PAD[dt]] * len(e), dtype=dt)
-            e["is_edge"] = pd.array([True] * len(e), dtype="bool")
-            out = pd.concat([interior[order], e[order]], ignore_index=True)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+    pa_of = {"int64": pa.int64(), "float64": pa.float64(),
+             "bool": pa.bool_(), "object": pa.string()}
 
-    flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
+    def split(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out (no from_pandas: its b'pandas' metadata dict
+        # breaks hash(pa.Schema) and defeats Ray's block-schema dedup in
+        # the edge groupby's reduce).  The kernel still sees a pandas frame
+        # — built from numpy VIEWS of the Arrow columns (zero-copy for the
+        # int64 working columns after the sort's single-chunk blocks) —
+        # and its output columns convert back via pa.array on the numpy
+        # buffers, dropping the two full-frame conversions every windowed
+        # operator used to pay per batch (round-4 VERDICT item 3).
+        order = out_cols + raw_only + ["is_edge"]
+        n = t.num_rows
+        if n == 0:
+            cols = {c: pa.array([], pa_of[dt]) for c, dt in out_dtypes.items()}
+            for c in raw_only:
+                cols[c] = pa.array([], t.schema.field(c).type)
+            cols["is_edge"] = pa.array([], pa.bool_())
+            return pa.table({c: cols[c] for c in order})
+        u = t[key]
+        edge_mask = pc.or_(pc.equal(u, u[0]), pc.equal(u, u[n - 1]))
+        interior_t = t.filter(pc.invert(edge_mask))
+        edge_t = t.filter(edge_mask)
+        kdf = pd.DataFrame(
+            {c: interior_t[c].to_numpy(zero_copy_only=False)
+             for c in interior_t.column_names},
+            copy=False,
+        )
+        out = kernel(kdf)
+        ni = len(out)
+        icols = {
+            c: pa.array(out[c], type=pa_of[dt], from_pandas=True)
+            for c, dt in out_dtypes.items()
+        }
+        for c in raw_only:
+            typ = t.schema.field(c).type
+            icols[c] = pa.nulls(ni, typ).fill_null(_pad_of(typ))
+        icols["is_edge"] = pa.array(np.zeros(ni, dtype=bool))
+        ecols = {}
+        ne = edge_t.num_rows
+        for c, dt in out_dtypes.items():
+            if c in edge_t.column_names:
+                ecols[c] = pc.cast(edge_t[c], pa_of[dt])
+            else:
+                ecols[c] = pa.nulls(ne, pa_of[dt]).fill_null(_PAD[dt])
+        for c in raw_only:
+            ecols[c] = edge_t[c]
+        ecols["is_edge"] = pa.array(np.ones(ne, dtype=bool))
+        return pa.concat_tables([
+            pa.table({c: icols[c] for c in order}),
+            pa.table({c: ecols[c] for c in order}),
+        ])
+
+    flagged = s.map_batches(split, batch_format="pyarrow", batch_size=None).materialize()
     interior = flagged.filter(expr="is_edge == False").select_columns(out_cols)
     local_sort = [c for c in sort_cols if c != key]
     local_asc = [not d for c, d in zip(sort_cols, descending) if c != key]

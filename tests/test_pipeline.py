@@ -317,3 +317,30 @@ def test_heavy_state_actor_rehearsal(sf_dir):
     # per batch (4 blocks × many batches would show immediately)
     assert 2 <= loads <= 4, loads
     ray.kill(counter)
+
+
+def test_warm_pool_parity_and_crash_recovery(sf_dir):
+    """The session-lifetime warm detector pool (mentions.warm_detector_pool
+    + detect_mentions(reuse_pool=True)): row-identical to the task path,
+    the SAME pool object is reused across executions (zero re-spawn), and
+    a hard-killed warm actor is restarted by Ray (max_restarts) with the
+    in-flight call replayed (max_task_retries) — the run still completes
+    correctly."""
+    import ray
+
+    from medknowledgegraph_ray.pipelines import kg as kgmod
+    from medknowledgegraph_ray.stages import mentions as m
+
+    task = kgmod.mention_rows(sf_dir).to_pandas()
+    warm1 = kgmod.mention_rows(sf_dir, stateful="actor", reuse_pool=True).to_pandas()
+    assert _norm(task).equals(_norm(warm1))
+    pool_before = m._WARM_POOL["actors"]
+    assert pool_before is not None and len(pool_before) >= 1
+    # second execution: the pool object must be THE SAME handles (reused)
+    warm2 = kgmod.mention_rows(sf_dir, stateful="actor", reuse_pool=True).to_pandas()
+    assert m._WARM_POOL["actors"] is pool_before
+    assert _norm(task).equals(_norm(warm2))
+    # hard-kill one warm actor; Ray restarts it and replays the call
+    ray.kill(pool_before[0], no_restart=False)
+    warm3 = kgmod.mention_rows(sf_dir, stateful="actor", reuse_pool=True).to_pandas()
+    assert _norm(task).equals(_norm(warm3))
