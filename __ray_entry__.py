@@ -1326,6 +1326,20 @@ def _mm_image(sf_dir: str):
     ).select_columns(["doc_id", "n_bytes", "width", "height", "frames"])
 
 
+def _mm_png(sf_dir: str):
+    # REAL COMPRESSED image decode with zero external dependency: the
+    # md5(text)-derived synth pixels are PNG-encoded (stdlib zlib DEFLATE)
+    # and decoded back through the actor-pool stage's PNG branch
+    # (stages/multimodal.decode_png — CRC-checked, all 5 scanline
+    # filters).  n_bytes is compressed size (not SQL-derivable), so the
+    # oracle checks the dimension round trip (doc_id, width, height,
+    # frames) — still oracle-EXACT, closing the compressed-codec seam the
+    # missing PIL left stubbed.
+    return multimodal.decode_media(
+        multimodal.to_png_payloads(_docs(sf_dir))
+    ).select_columns(["doc_id", "width", "height", "frames"])
+
+
 def _mm_audio(sf_dir: str):
     # REAL stdlib-wave decode of synthesized PCM WAV payloads (rows-only:
     # DuckDB cannot parse WAV; pytest checks vs an independent decode)
@@ -1451,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_assoc_rules": _ev_assoc_rules,
         "ev_window_dedup": _ev_window_dedup,
         "mm_image": _mm_image,
+        "mm_png": _mm_png,
         "graph_degree_hist": _graph_degree_hist,
         # -- r01-recorded --
         "join_region_counts": analytics.nation_region_counts,
@@ -1480,10 +1495,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions_user": kg.user_mentions,
         "kg_tool_counts": kg.tool_counts,
         "kg_tool_edges": kg.tool_edges,
+        # ---- past the 50-row cap: the 14 r01/r02 leftovers that did not
+        # fit the lead (mm_png, a new never-recorded oracle entry, takes
+        # the 50th slot; kg_mentions_hourly joins the two intersection
+        # variants + the non-kg r02 block here) — first in line if the
+        # driver ever records more rows
         "kg_mentions_hourly": kg.hourly_mentions,
-        # ---- past the 50-row cap: the 13 r01/r02 leftovers that did not
-        # fit the lead (the two intersection variants + the non-kg r02
-        # block) — first in line if the driver ever records more rows
         "kg_intersection_gene": lambda sf: kg.intersection(sf, "Gene"),
         "kg_intersection_protein": lambda sf: kg.intersection(sf, "Protein"),
         "doc_quality": _quality,
@@ -3458,6 +3475,19 @@ FROM e JOIN sessions s
             " CAST(2 + length(' ' || width || ' ' || height || ' 255')"
             "  + 1 + 3 * width * height AS BIGINT) AS n_bytes,"
             " width, height, CAST(1 AS BIGINT) AS frames FROM dims"
+        ),
+        # PNG round trip: same md5-derived dims; n_bytes (DEFLATE size)
+        # is not SQL-derivable, so the oracle checks dims only
+        "mm_png": (
+            "WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx"
+            "  FROM documents WHERE doc_id % 3 = 0),"
+            " v AS (SELECT doc_id, list_aggregate(list_transform(range(1, 9),"
+            "  i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1))"
+            "   - 1) * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT))),"
+            "  'sum') AS d FROM h)"
+            " SELECT doc_id, CAST(8 + d % 24 AS BIGINT) AS width,"
+            "  CAST(8 + (d // 256) % 24 AS BIGINT) AS height,"
+            "  CAST(1 AS BIGINT) AS frames FROM v"
         ),
         # degree distribution: same symmetrized distinct pairing, two
         # grouped counts

@@ -94,12 +94,19 @@ class MediaDecoder:
                     "digest": hashlib.md5(payload).hexdigest(),
                     "width": w, "height": h, "frames": 1,
                 }
+            if payload[:8] == _PNG_SIG:  # REAL COMPRESSED, dependency-free
+                w, h, _, _ = decode_png(payload)
+                return {
+                    "digest": hashlib.md5(payload).hexdigest(),
+                    "width": w, "height": h, "frames": 1,
+                }
             if self._pil is not None:
                 return self._decode_pil(payload)
             if self._force_real:
                 raise ValueError(
                     "MediaDecoder(real=True): image payload is not netpbm "
-                    "and PIL is not importable — no real codec available"
+                    "or PNG and PIL is not importable — no real codec "
+                    "available"
                 )
         return _decode_stub(payload, media_type)  # no audio/video codec dep
 
@@ -520,6 +527,161 @@ def to_ppm_payloads(docs: rd.Dataset) -> rd.Dataset:
             out_id.append(doc_id)
             out_pay.append(
                 encode_netpbm(np.frombuffer(px, np.uint8).reshape(h, w, 3))
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "media_type": pa.array(["image"] * len(out_id), pa.string()),
+                "payload": pa.array(out_pay, pa.binary()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+
+
+# ---- PNG (stdlib zlib) — a REAL COMPRESSED image codec with zero external
+# dependency.  Baseline subset: 8-bit greyscale / RGB / RGBA, no interlace,
+# all five scanline filters on decode, CRC-verified chunks.  This is the
+# compressed-codec seam test the container's missing PIL used to leave
+# stubbed: the dispatch path (MediaDecoder -> decode_png) now exercises a
+# real DEFLATE round trip end-to-end.  Production still swaps in
+# PIL/torchvision for full-coverage JPEG/PNG; nothing else changes.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples/pixel (8-bit)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 1|3|4) array → PNG bytes (bit depth 8, filter 0
+    scanlines, one IDAT)."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Un-apply PNG scanline filters (0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth) over the decompressed stream → uint8 (h, w, c)."""
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError(f"png: decompressed stream is {len(raw)} bytes, "
+                         f"need {h * (1 + stride)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — vectorized
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # left-neighbor dependency: sequential per pixel
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                if ft == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ft == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    pp = prev[i - c] if i >= c else 0
+                    pd_, pa_, pb_, pc_ = a + b - pp, None, None, None
+                    pa_ = abs(pd_ - a)
+                    pb_ = abs(pd_ - b)
+                    pc_ = abs(pd_ - pp)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else pp)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Minimal baseline PNG decoder → (width, height, channels, uint8
+    array).  CRC-verified; raises ValueError on non-PNG bytes, unsupported
+    bit depth/interlace, chunk corruption, or stream-length mismatch — the
+    module's never-silently-skip policy."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("png: truncated chunk header")
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("png: truncated chunk data")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"png: CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or comp or filt or inter:
+                raise ValueError(
+                    f"png: unsupported format (depth={depth} color={color} "
+                    f"interlace={inter})")
+            ihdr = (w, h, _PNG_CHANNELS[color])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    w, h, c = ihdr
+    raw = zlib.decompress(b"".join(idat))
+    return w, h, c, _png_unfilter(raw, w, h, c)
+
+
+def to_png_payloads(docs: rd.Dataset) -> rd.Dataset:
+    """Image-striped docs as REAL COMPRESSED PNG payloads: same
+    md5(text)-derived dimensions and pixel bytes as to_ppm_payloads, so
+    the synth→DEFLATE→decode round trip is oracle-checked against the
+    same SQL dimension derivation (`mm_png`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out_id, out_pay = [], []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if doc_id % 3 != 0:  # the image stripe of to_binary_payloads
+                continue
+            digest = hashlib.md5((t or "").encode()).digest()
+            d = int.from_bytes(digest[:4], "big")
+            w, h = 8 + d % 24, 8 + (d >> 8) % 24
+            need = w * h * 3
+            px = (digest * (need // len(digest) + 1))[:need]
+            out_id.append(doc_id)
+            out_pay.append(
+                encode_png(np.frombuffer(px, np.uint8).reshape(h, w, 3))
             )
         return pa.table(
             {

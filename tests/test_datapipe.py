@@ -56,7 +56,7 @@ SQL_CHECKED = [
     "scan_unpivot", "graph_pagerank", "graph_triangles", "doc_dup_spans",
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
     "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
-    "mm_image", "graph_degree_hist",
+    "mm_image", "graph_degree_hist", "mm_png",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

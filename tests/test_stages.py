@@ -430,3 +430,75 @@ def test_netpbm_roundtrip_decode_and_real_resize():
 
     with pytest.raises(ValueError, match="netpbm"):
         multimodal._parse_netpbm(b"P6 3 2 255\nshort")
+
+
+def test_png_roundtrip_filters_and_decode_stage():
+    """The dependency-free REAL COMPRESSED image path: encode → decode
+    round trip (DEFLATE + CRC), correct un-filtering of ALL five PNG
+    scanline filter types, actor-stage dispatch on the PNG signature, and
+    loud failure on corrupted bytes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from medknowledgegraph_ray.stages import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for c in (1, 3, 4):
+        arr = rng.randint(0, 256, size=(5, 7, c), dtype=np.uint8)
+        w, h, cc, back = mm.decode_png(mm.encode_png(arr))
+        assert (w, h, cc) == (7, 5, c) and np.array_equal(back, arr)
+
+    # hand-filter a reference image with each filter type per row, then
+    # assert the decoder reconstructs the original exactly
+    arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, dtype=np.int64), prev[:-c]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, ul))
+            enc = cur - pred
+        raw += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + mm._png_chunk(b"IEND", b""))
+    w2, h2, c2, back = mm.decode_png(payload)
+    assert (w2, h2, c2) == (w, h, c) and np.array_equal(back, arr)
+
+    # actor-stage dispatch: PNG signature routes to the real decoder
+    batch = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "media_type": pa.array(["image"], pa.string()),
+            "payload": pa.array([mm.encode_png(arr)], pa.binary()),
+        }
+    )
+    dec = mm.MediaDecoder(real=True)(batch)  # no PIL needed
+    assert dec["width"].to_pylist() == [w] and dec["height"].to_pylist() == [h]
+
+    # corruption fails loudly: flip a byte inside IDAT (CRC mismatch)
+    good = bytearray(mm.encode_png(arr))
+    good[40] ^= 0xFF
+    with pytest.raises(ValueError, match="png"):
+        mm.decode_png(bytes(good))
+    with pytest.raises(ValueError, match="png"):
+        mm.decode_png(b"\x89PNGnope" + b"x" * 20)
