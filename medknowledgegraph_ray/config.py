@@ -45,6 +45,21 @@ CONV_LOCAL_SHARDS = os.environ.get("GRAFT_CONV_LOCAL", "1") == "1"
 SALT_BUCKETS = 16             # salt fan-out for two-phase aggregation on hot keys
 MENTION_BUCKETS = 64          # resume-unit buckets for the mention stage write
 
+# Over-gate rehearsal switch: every two-path size gate (driver/broadcast
+# shortcut below the gate, distributed exchange above it) is defined through
+# gate(), so GRAFT_FORCE_DIST=1 zeroes them ALL and the full query surface
+# runs through the exact paths a 100 TB corpus would take.  Loud guards that
+# RAISE past their bound (HOT_BROADCAST_MAX, BLOOM_BUILD_MAX, MAX_BUCKET)
+# are deliberately NOT gated — zeroing them would reject valid input, not
+# reroute it.
+FORCE_DIST = os.environ.get("GRAFT_FORCE_DIST", "0") == "1"
+
+
+def gate(default: int) -> int:
+    """Size-gate value: `default` normally, 0 under GRAFT_FORCE_DIST=1 so
+    every consumer takes its distributed branch regardless of input size."""
+    return 0 if FORCE_DIST else default
+
 
 def pool_size(cap: int | None = None) -> tuple[int, int]:
     """Actor-pool (min, max) sized to the CLUSTER, not a constant.

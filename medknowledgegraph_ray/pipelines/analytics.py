@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources import readers
 from ..stages.groupagg import rename_after_groupby
+from .. import config
 
 
 def lineitem_agg(sf_dir: str) -> rd.Dataset:
@@ -485,7 +486,7 @@ def promo_revenue_ratio(sf_dir: str) -> rd.Dataset:
 # (ray.put once, searchsorted per batch — same gate scale as
 # tfidf.VOCAB_BROADCAST_MAX); larger dims ride the sorted-exchange
 # equi-join so nothing corpus-sized ever lands on one worker
-DIM_BROADCAST_MAX = 2_000_000
+DIM_BROADCAST_MAX = config.gate(2_000_000)
 
 
 def _attach_dim(

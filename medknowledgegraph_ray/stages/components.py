@@ -38,6 +38,7 @@ import ray
 import ray.data as rd
 
 from .groupagg import grouped_agg
+from .. import config
 
 # kind 0 = label row (node -> lab), kind 1 = edge row (node -> dst)
 _JOIN_SCHEMA = pa.schema(
@@ -168,7 +169,7 @@ def _repair_messages(deferred: list[dict], labels: rd.Dataset) -> pa.Table:
 
 # edge counts up to this resolve driver-side (a 2M-row gather is ~32 MB);
 # row-identical to the distributed rounds — tests force both paths
-SMALL_GRAPH_EDGES = 2_000_000
+SMALL_GRAPH_EDGES = config.gate(2_000_000)
 
 
 def _components_driver_side(edges: rd.Dataset) -> rd.Dataset:

@@ -554,8 +554,8 @@ def _verify_block(t: pa.Table, threshold: float, flag_edges: bool,
 # low-threshold angular LSH degenerates toward all-pairs), and the
 # driver's per-pair score loop melts there while the distributed verify
 # spreads the same loop over every core.
-SMALL_VERIFY_IDS = 50_000
-SMALL_VERIFY_PAIRS = 200_000
+SMALL_VERIFY_IDS = config.gate(50_000)
+SMALL_VERIFY_PAIRS = config.gate(200_000)
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.8, **kw) -> rd.Dataset:

@@ -27,6 +27,7 @@ import ray.data as rd
 
 from .groupagg import grouped_agg
 from .join import equi_join
+from .. import config
 
 # total PageRank mass in integer units; 85/100 damping (floor division)
 R_TOT = 1_000_000_000_000
@@ -35,7 +36,7 @@ DAMP_NUM, DAMP_DEN = 85, 100
 # edge lists up to this iterate driver-side (the components.SMALL_GRAPH_EDGES
 # pattern: a 2M-row gather is ~32 MB and beats 3 exchanges × iters of fixed
 # latency); the distributed rounds are the ≥100-TB path
-SMALL_GRAPH_EDGES = 2_000_000
+SMALL_GRAPH_EDGES = config.gate(2_000_000)
 
 
 def _lineage_cut(ds: rd.Dataset) -> rd.Dataset:

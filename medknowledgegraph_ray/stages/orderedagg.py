@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from .. import config
 
 
 def _sort_blocks() -> int:
@@ -241,14 +242,14 @@ def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
 # Candidate-doc count at or below which the duplicated-window re-emission
 # broadcasts the (doc_id -> positions) map via ray.put instead of joining
 # full doc text through the sorted-merge exchange.  Tests force both paths.
-DUP_CAND_BROADCAST_MAX = 2_000_000
+DUP_CAND_BROADCAST_MAX = config.gate(2_000_000)
 
 # Candidate-WINDOW count at or below which the string re-verify and the
 # coverage sweep run driver-side on the gathered candidate set (the
 # EDGE_REPAIR_DRIVER_MAX pattern: two whole sort exchanges collapse into
 # one pandas pass over ≤ ~100 MB of duplicated windows); above it the
 # fully distributed verify/coverage scans run.  Tests force both paths.
-DUP_VERIFY_DRIVER_MAX = 1_000_000
+DUP_VERIFY_DRIVER_MAX = config.gate(1_000_000)
 
 # Tests shrink this to force fingerprint collisions (all windows share a
 # fingerprint at 0 bits) and assert the string re-verify pass kills them.

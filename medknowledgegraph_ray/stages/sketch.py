@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import text as textfn
+from .. import config
 
 
 def _alpha(m: int) -> float:
@@ -131,7 +132,7 @@ def distinct_token_count(docs: rd.Dataset) -> pd.DataFrame:
 # flat driver gathers above this many summary points route through one
 # hierarchical re-compaction pass (costing one extra N/compactor of
 # one-sided rank error) so driver state stays bounded at any block count
-DRIVER_SUMMARY_MAX = 1_000_000
+DRIVER_SUMMARY_MAX = config.gate(1_000_000)
 
 
 def quantile_sketch(

@@ -39,6 +39,7 @@ def _sort_blocks() -> int:
 
 from ..functions import text as textfn
 from .groupagg import grouped_agg
+from .. import config
 
 # kind 0 = df row (a=df), kind 1 = tf row (a=doc_id, b=tf)
 _JOIN_COLS = ["tok", "kind", "a", "b"]
@@ -194,7 +195,7 @@ def _attach_df(tf_rows: rd.Dataset, df_rows: rd.Dataset) -> rd.Dataset:
 # vocab sizes up to this broadcast as one DF dict per worker (a 2M-entry
 # str->int dict is ~200 MB — the same gate scale as the canonicalize and
 # linker funnels); beyond it the sorted-exchange join path runs
-VOCAB_BROADCAST_MAX = 2_000_000
+VOCAB_BROADCAST_MAX = config.gate(2_000_000)
 
 
 def _tfidf_broadcast(

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from .. import config as _config
 
 
 def tumbling_window(events: rd.Dataset, width_sec: int = 3600) -> rd.Dataset:
@@ -115,7 +116,7 @@ def _pad_of(typ: "pa.DataType"):
 
 # Edge rows past this count keep the DISTRIBUTED groupby repair; below it
 # the gathered driver-side repair saves the exchange (see _sorted_user_op).
-EDGE_REPAIR_DRIVER_MAX = 500_000
+EDGE_REPAIR_DRIVER_MAX = _config.gate(500_000)
 
 
 def _run_firsts(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -2681,3 +2681,36 @@ def test_anti_join_cols_string_payload_with_nonempty_right():
     assert set(out["k"]) == set(range(40)) - {3, 7, 11, 35}
     assert (out["name"] == out["k"].map(lambda i: f"n{i}")).all()
     assert out["name"].map(type).eq(str).all()
+
+
+def test_force_dist_env_zeroes_every_two_path_gate():
+    """GRAFT_FORCE_DIST=1 must zero ALL two-path size gates (the over-gate
+    rehearsal switch: the full sweep then runs the exact distributed
+    branches a 100 TB corpus would take) and must leave the loud RAISE
+    guards (hot-shingle / bloom-build bounds) untouched — zeroing those
+    would reject valid input rather than reroute it.  Checked in a
+    subprocess so the env var is seen at import time, as in a real run."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from medknowledgegraph_ray.stages import windows, graphalgo, dedupe,"
+        " components, orderedagg, sketch, tfidf\n"
+        "from medknowledgegraph_ray.pipelines import analytics\n"
+        "gates = [windows.EDGE_REPAIR_DRIVER_MAX, graphalgo.SMALL_GRAPH_EDGES,"
+        " dedupe.SMALL_VERIFY_IDS, dedupe.SMALL_VERIFY_PAIRS,"
+        " components.SMALL_GRAPH_EDGES, orderedagg.DUP_CAND_BROADCAST_MAX,"
+        " orderedagg.DUP_VERIFY_DRIVER_MAX, sketch.DRIVER_SUMMARY_MAX,"
+        " tfidf.VOCAB_BROADCAST_MAX, analytics.DIM_BROADCAST_MAX]\n"
+        "assert gates == [0] * 10, gates\n"
+        "assert dedupe.HOT_BROADCAST_MAX > 0 and analytics.BLOOM_BUILD_MAX > 0\n"
+        "assert dedupe.MAX_BUCKET > 0\n"
+    )
+    env = dict(os.environ, GRAFT_FORCE_DIST="1")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # and the default (unset) values stay at their documented sizes
+    from medknowledgegraph_ray.stages import windows
+
+    assert windows.EDGE_REPAIR_DRIVER_MAX == 500_000
