@@ -114,18 +114,15 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
     if edge_src.count() <= EDGE_REPAIR_DRIVER_MAX:
         # size-gated driver-side repair — saves the groupby exchange
         # (windows._sorted_user_op pattern)
-        import pyarrow as pa
-        import ray.data as _rd
-
         edf = edge_src.to_pandas()
         outs = [edge_fold(g) for _, g in edf.groupby("tok", sort=False)] if len(edf) else []
         outs = [o for o in outs if len(o)]
         if not outs:
             return interior
         rep = pd.concat(outs, ignore_index=True)
-        return interior.union(_rd.from_arrow(
-            pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
-        ))
+        # pandas literal — interior's blocks are pandas here, and the union
+        # must be block-type-uniform for any downstream exchange
+        return interior.union(rd.from_pandas(rep))
     edges = edge_src.groupby("tok").map_groups(edge_fold, batch_format="pandas")
     return interior.union(edges)
 

@@ -195,19 +195,21 @@ def join_many(
                               else pc.cast(rep_t[c], fields[c])) for c in out_names})
         return interior.union(rd.from_arrow(rep_t))
 
-    def fix(g: pd.DataFrame) -> pd.DataFrame:
+    fields = {c: (pa.int64() if c == key else types[c]) for c in out_names}
+
+    def fix(g: pd.DataFrame) -> pa.Table:
         lf = g[g["__kindd"] == 0][[key] + left_cols]
         rf = g[g["__kindd"] == 1][[key] + right_cols]
         rep = lf.merge(rf, on=key, how="inner")[out_names]
-        # the edge rows' null-filled opposite-side columns float-promote
-        # through pandas; the inner merge leaves no nulls, so casting back
-        # to the declared dtype is exact
-        for c in out_names:
-            want = pa.int64() if c == key else types[c]
-            np_want = want.to_pandas_dtype()
-            if rep[c].dtype != np_want and not pa.types.is_string(want):
-                rep[c] = rep[c].astype(np_want)
-        return rep
+        # Arrow out, typed per the declared contract (the edge rows'
+        # null-filled opposite-side columns float-promote through pandas;
+        # the inner merge leaves no nulls, so the cast back is exact) —
+        # and the union with the Arrow interior must be block-type-uniform
+        # or any downstream exchange's block builder asserts
+        return pa.table({
+            c: pa.array(rep[c], type=fields[c], from_pandas=True)
+            for c in out_names
+        })
 
     return interior.union(
         edge_src.groupby(key).map_groups(fix, batch_format="pandas")

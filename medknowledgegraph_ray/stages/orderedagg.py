@@ -103,9 +103,13 @@ def ordered_concat(
         if not len(edf):
             return interior
         # the global sort only interleaves an edge key's rows ACROSS blocks;
-        # re-sort the gathered rows, then fold once driver-side
+        # re-sort the gathered rows, then fold once driver-side.  Pandas
+        # literal — interior's blocks are pandas here, and the union must be
+        # block-type-uniform for any downstream exchange's block builder.
         rep = fold(edf.sort_values([key, *order_cols], kind="mergesort"))
-        return _literal_union(interior, rep)
+        if not len(rep):
+            return interior
+        return interior.union(rd.from_pandas(rep))
 
     return interior.union(
         edge_src.groupby(key).map_groups(
@@ -179,11 +183,13 @@ def keep_first(
             )
         return _literal_union(interior, rep)
 
-    def edge_first(g: pd.DataFrame) -> pd.DataFrame:
+    def edge_first(g: pd.DataFrame) -> pa.Table:
         out = g.sort_values(order_cols, kind="mergesort").head(k)
         if count_col:
             out = out.assign(**{count_col: pd.array([len(g)] * len(out), dtype="int64")})
-        return out
+        # Arrow out — uniform block type with the Arrow interior (a mixed
+        # pandas/Arrow union breaks any downstream exchange's block builder)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return interior.union(
         edge_src.groupby(group_col).map_groups(edge_first, batch_format="pandas")

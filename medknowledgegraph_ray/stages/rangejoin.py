@@ -173,7 +173,13 @@ def interval_join(points: rd.Dataset, intervals: rd.Dataset) -> rd.Dataset:
         rep = pd.concat(outs, ignore_index=True)[_OUT_COLS]
         rep_tab = pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
         return interior.union(rd.from_arrow(rep_tab))
-    edges = edge_src.groupby("key").map_groups(edge_join, batch_format="pandas")
+    def edge_join_arrow(g: pd.DataFrame) -> pa.Table:
+        # Arrow out — uniform block type with the Arrow interior (a mixed
+        # pandas/Arrow union breaks any downstream exchange's block builder)
+        out = edge_join(g)[_OUT_COLS]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    edges = edge_src.groupby("key").map_groups(edge_join_arrow, batch_format="pandas")
     return interior.union(edges)
 
 

@@ -353,9 +353,9 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         if not outs:
             return interior
         rep = pd.concat(outs, ignore_index=True)
-        return interior.union(rd.from_arrow(
-            pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
-        ))
+        # pandas literal — interior's blocks are pandas here, and the union
+        # must be block-type-uniform for any downstream exchange
+        return interior.union(rd.from_pandas(rep))
     edges = edge_src.groupby("doc_id").map_groups(edge_topk, batch_format="pandas")
     return interior.union(edges)
 

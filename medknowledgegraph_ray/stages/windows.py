@@ -280,10 +280,20 @@ def _sorted_user_op(
         rep = pd.concat(outs, ignore_index=True)
         rep_tab = pa.Table.from_pandas(rep, preserve_index=False).replace_schema_metadata(None)
         return interior.union(rd.from_arrow(rep_tab))
+    def edge_fix_arrow(g: pd.DataFrame) -> pa.Table:
+        # Arrow out, typed per the declared contract — the union with the
+        # Arrow interior must be block-type-uniform or any downstream
+        # exchange's block builder asserts (mixed pandas/Arrow blocks)
+        out = edge_fix(g)
+        return pa.table({
+            c: pa.array(out[c], type=pa_of[dt], from_pandas=True)
+            for c, dt in out_dtypes.items()
+        })
+
     edges = (
         edge_src
         .groupby(key)
-        .map_groups(edge_fix, batch_format="pandas")
+        .map_groups(edge_fix_arrow, batch_format="pandas")
     )
     return interior.union(edges)
 

@@ -2714,3 +2714,42 @@ def test_force_dist_env_zeroes_every_two_path_gate():
     from medknowledgegraph_ray.stages import windows
 
     assert windows.EDGE_REPAIR_DRIVER_MAX == 500_000
+
+
+def test_forced_repair_output_is_exchangeable(sf_dir, monkeypatch):
+    """Regression: with the distributed edge repair forced, every
+    interior∪edge union must stay block-type-UNIFORM — a mixed
+    pandas/Arrow union poisons any DOWNSTREAM exchange (repartition /
+    sort reduce asserts in DelegatingBlockBuilder).  Chain each repaired
+    output through a repartition+sort (the doc_dup_spans composition that
+    exposed it) and compare against the driver-repair rows."""
+    from medknowledgegraph_ray.sources import readers
+    from medknowledgegraph_ray.stages import joinmany, orderedagg
+
+    ev = lambda: readers.read_table(sf_dir, "events")  # noqa: E731
+    docs = lambda: readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+
+    def through_exchange(ds):
+        return _norm(ds.repartition(4).sort(ds.columns()[0]).to_pandas())
+
+    makers = {
+        "scaffold": lambda: windows.ranked_events(ev()),
+        "rangejoin": lambda: _entry.queries()["ev_range_join"](sf_dir),
+        "keep_first": lambda: orderedagg.keep_first(
+            ev().select_columns(["user_id", "event_id"]),
+            "user_id", "event_id", count_col="n"),
+        "join_many": lambda: joinmany.join_many(
+            ev().select_columns(["user_id", "event_id"]),
+            ev().select_columns(["user_id", "event_id"]).limit(500).map_batches(
+                lambda t: t.rename_columns(["user_id", "right_id"]),
+                batch_format="pyarrow"),
+            "user_id", ["event_id"], ["right_id"]),
+        "dup_spans": lambda: orderedagg.dup_span_coverage(docs()),
+    }
+    want = {k: through_exchange(m()) for k, m in makers.items()}
+    monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)  # force groupby
+    monkeypatch.setattr(orderedagg, "DUP_CAND_BROADCAST_MAX", -1)
+    monkeypatch.setattr(orderedagg, "DUP_VERIFY_DRIVER_MAX", -1)
+    for k, m in makers.items():
+        got = through_exchange(m())
+        assert got.equals(want[k]) and len(got) > 0, k

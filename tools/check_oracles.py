@@ -62,8 +62,13 @@ def main() -> int:
     failures = []
     for name in names:
         t0 = time.time()
-        res = qs[name](args.sf)
-        eng = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        try:
+            res = qs[name](args.sf)
+            eng = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        except Exception as e:  # keep sweeping; record the crash as a failure
+            failures.append(name)
+            print(f"  {name:24s} CRASH: {type(e).__name__}: {str(e)[:200]}")
+            continue
         t1 = time.time()
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(eng):7d} rows   ({t1-t0:5.1f}s ray)")
