@@ -46,7 +46,10 @@ def _lineage_cut(ds: rd.Dataset) -> rd.Dataset:
 
 
 def _pagerank_driver(src: np.ndarray, dst: np.ndarray, iters: int) -> pd.DataFrame:
-    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    # hash factorization, not sort-based np.unique(return_inverse=True):
+    # O(E) vs O(E log E), ~10x cheaper at cardinality << E, and the label
+    # order is irrelevant (pure relabeling; ranks are per-node exact)
+    inv, nodes = pd.factorize(np.concatenate([src, dst]), sort=False)
     n = len(nodes)
     si, di = inv[: len(src)], inv[len(src):]
     deg = np.bincount(si, minlength=n).astype(np.int64)
@@ -188,7 +191,8 @@ def _triangles_driver(a: np.ndarray, b: np.ndarray) -> tuple[int, int, int]:
         raise ValueError("triangle_count: node ids must fit 31 bits")
     if len(np.unique((a << 32) | b)) != len(a):
         raise ValueError("triangle_count: duplicate edges (pairs must be unique)")
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    # hash factorization (order-free relabeling) — see _pagerank_driver
+    inv, nodes = pd.factorize(np.concatenate([a, b]), sort=False)
     n = len(nodes)
     ai, bi = inv[: len(a)], inv[len(a):]
     deg = np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)
@@ -356,7 +360,8 @@ def _kcore_driver(src: np.ndarray, dst: np.ndarray, k: int) -> tuple[pd.DataFram
     a, b = src, dst
     rounds = 0
     while len(a):
-        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        # hash factorization per peel round (order-free) — see _pagerank_driver
+        inv, nodes = pd.factorize(np.concatenate([a, b]), sort=False)
         # input is SYMMETRIZED: each undirected edge appears in both
         # directions, so a node's degree is its src-column count alone
         deg = np.bincount(inv[: len(a)], minlength=len(nodes))
