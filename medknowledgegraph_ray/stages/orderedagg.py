@@ -407,8 +407,9 @@ def dup_span_coverage(docs: rd.Dataset, win_words: int = 10) -> rd.Dataset:
             batch_format="pyarrow", batch_size=None,
         )
 
-    def emit_wins(batch: pd.DataFrame) -> pd.DataFrame:
-        # candidate docs only — per-doc loop bounded by duplicate volume
+    def emit_wins(batch: pd.DataFrame) -> pa.Table:
+        # candidate docs only — per-doc loop bounded by duplicate volume.
+        # Arrow out: size-0 pandas OBJECT columns trip Ray's size estimator
         ids: list[int] = []
         poss: list[int] = []
         texts_out: list[str] = []
@@ -421,11 +422,11 @@ def dup_span_coverage(docs: rd.Dataset, win_words: int = 10) -> rd.Dataset:
                 ids.append(int(doc_id))
                 poss.append(p)
                 texts_out.append(" ".join(toks_[p - 1 : p - 1 + win_words]))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "win": pd.Series(texts_out, dtype="object"),
-                "doc_id": pd.array(ids, dtype="int64"),
-                "pos": pd.array(poss, dtype="int64"),
+                "win": pa.array(texts_out, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
             }
         )
 

@@ -21,6 +21,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -79,23 +80,27 @@ def exact_quantiles(
         wanted.setdefault(key, {}).setdefault(int(rank - offsets[blk]), []).append(name)
     want_ref = ray.put(wanted)
 
-    def extract(b: pd.DataFrame) -> pd.DataFrame:
+    # Arrow out: a size-0 pandas OBJECT column trips Ray's size estimator
+    # (np.vectorize on empty input) and logs an error per block; Arrow
+    # empties keep their schema and skip that path (same note: eventagg)
+    _empty = pa.table({"name": pa.array([], pa.string()),
+                       "value": pa.array([], pa.int64())})
+
+    def extract(b: pd.DataFrame) -> pa.Table:
         if len(b) == 0:
-            return pd.DataFrame({"name": pd.Series([], dtype="object"),
-                                 "value": pd.array([], dtype="int64")})
+            return _empty
         key = (int(b[col].iloc[0]), int(b["uid"].iloc[0]))
         mine = ray.get(want_ref).get(key)
         if not mine:
-            return pd.DataFrame({"name": pd.Series([], dtype="object"),
-                                 "value": pd.array([], dtype="int64")})
+            return _empty
         names, vals = [], []
         for off, labels in mine.items():
             v = int(b[col].iloc[off])
             for lb in labels:
                 names.append(lb)
                 vals.append(v)
-        return pd.DataFrame({"name": pd.Series(names, dtype="object"),
-                             "value": pd.array(vals, dtype="int64")})
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "value": pa.array(vals, pa.int64())})
 
     rows = s.map_batches(extract, batch_format="pandas", batch_size=None).to_pandas()
     out = {name: pd.array([int(v)], dtype="int64")
