@@ -20,12 +20,31 @@ encoding, same exchange.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
 from ..functions import text as textfn
 
 _OUT = ["tok", "n_docs", "postings"]
+
+# every block in this plan is Arrow with this exact metadata-free schema —
+# pandas-format blocks here would re-enter Arrow via pa.Table.from_pandas
+# inside the groupby/sort reduce, whose b'pandas' metadata makes pa.Schema
+# unhashable and logs a schema-dedup warning per reduce task
+_OUT_SCHEMA = pa.schema(
+    [("tok", pa.string()), ("n_docs", pa.int64()), ("postings", pa.string())]
+)
+
+
+def _out_table(df: pd.DataFrame) -> pa.Table:
+    return pa.table(
+        {
+            "tok": pa.array(df["tok"], pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy(), pa.int64()),
+            "postings": pa.array(df["postings"], pa.string()),
+        }
+    )
 
 
 def _sort_blocks() -> int:
@@ -47,32 +66,29 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
     """documents(doc_id, text) → (tok, n_docs, postings) — one row per
     distinct token with its ascending doc-id posting list."""
 
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    def pairs(batch: pd.DataFrame) -> pa.Table:
         toks: list[str] = []
         ids: list[int] = []
         for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
             uniq = set(textfn.TOKEN_RE.findall(text.lower()))
             toks.extend(uniq)
             ids.extend([int(doc_id)] * len(uniq))
-        return pd.DataFrame(
-            {"tok": pd.Series(toks, dtype="object"), "doc_id": pd.array(ids, dtype="int64")}
+        return pa.table(
+            {"tok": pa.array(toks, pa.string()), "doc_id": pa.array(ids, pa.int64())}
         )
 
     s = docs.map_batches(pairs, batch_format="pandas", batch_size=None).repartition(
         _sort_blocks()
     ).sort(["tok", "doc_id"])
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
+    _flag_schema = pa.schema(
+        list(_OUT_SCHEMA)
+        + [pa.field("doc_id", pa.int64()), pa.field("is_edge", pa.bool_())]
+    )
+
+    def split(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "tok": pd.Series([], dtype="object"),
-                    "n_docs": pd.array([], dtype="int64"),
-                    "postings": pd.Series([], dtype="object"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "is_edge": pd.array([], dtype="bool"),
-                }
-            )
+            return _flag_schema.empty_table()
         # adjacent-duplicate drop (global sort ⇒ equal pairs are adjacent
         # within a block; cross-block duplicates belong to edge tokens,
         # which are re-folded from raw pairs anyway)
@@ -83,22 +99,29 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
         df = df[keep.to_numpy()]
         t = df["tok"].to_numpy()
         edge_mask = (t == t[0]) | (t == t[-1])
-        interior = _fold_sorted(df[~edge_mask]).assign(
-            doc_id=lambda x: pd.array([0] * len(x), dtype="int64"),
-            is_edge=lambda x: pd.array([False] * len(x), dtype="bool"),
+        interior = _fold_sorted(df[~edge_mask])
+        n_i, n_e = len(interior), int(edge_mask.sum())
+        edge = df[edge_mask]
+        return pa.table(
+            {
+                "tok": pa.array(
+                    list(interior["tok"]) + list(edge["tok"]), pa.string()
+                ),
+                "n_docs": pa.array(
+                    list(interior["n_docs"]) + [0] * n_e, pa.int64()
+                ),
+                "postings": pa.array(
+                    list(interior["postings"]) + [""] * n_e, pa.string()
+                ),
+                "doc_id": pa.array(
+                    [0] * n_i + list(edge["doc_id"]), pa.int64()
+                ),
+                "is_edge": pa.array([False] * n_i + [True] * n_e, pa.bool_()),
+            }
         )
-        edge = df[edge_mask].assign(
-            n_docs=pd.array([0] * int(edge_mask.sum()), dtype="int64"),
-            postings=pd.Series([""] * int(edge_mask.sum()), dtype="object", index=df[edge_mask].index),
-            is_edge=pd.array([True] * int(edge_mask.sum()), dtype="bool"),
-        )
-        cols = _OUT + ["doc_id", "is_edge"]
-        return pd.concat([interior[cols], edge[cols]], ignore_index=True)
 
     flagged = s.map_batches(split, batch_format="pandas", batch_size=None).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda b: b[_OUT], batch_format="pandas"
-    )
+    interior = flagged.filter(expr="is_edge == False").select_columns(_OUT)
 
     def edge_fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["tok", "doc_id"]).sort_values("doc_id", kind="mergesort")
@@ -120,10 +143,10 @@ def inverted_index(docs: rd.Dataset) -> rd.Dataset:
         if not outs:
             return interior
         rep = pd.concat(outs, ignore_index=True)
-        # pandas literal — interior's blocks are pandas here, and the union
-        # must be block-type-uniform for any downstream exchange
-        return interior.union(rd.from_pandas(rep))
-    edges = edge_src.groupby("tok").map_groups(edge_fold, batch_format="pandas")
+        return interior.union(rd.from_arrow(_out_table(rep)))
+    edges = edge_src.groupby("tok").map_groups(
+        lambda g: _out_table(edge_fold(g)), batch_format="pandas"
+    )
     return interior.union(edges)
 
 
