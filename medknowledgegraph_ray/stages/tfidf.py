@@ -299,17 +299,32 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
     )
 
     cols = ["doc_id", "tok", "tf", "tfidf_e6", "rank"]
+    # Arrow blocks end-to-end from here: a pandas-block groupby exchange
+    # re-enters Arrow via pa.Table.from_pandas inside its reduce, whose
+    # b'pandas' metadata makes pa.Schema unhashable and logs a schema-dedup
+    # warning per reduce task (the invindex precedent)
+    _flag_schema = pa.schema(
+        [("doc_id", pa.int64()), ("tok", pa.string()), ("tf", pa.int64()),
+         ("tfidf_e6", pa.int64()), ("rank", pa.int64()),
+         ("is_edge", pa.bool_())]
+    )
 
-    def headk(df: pd.DataFrame) -> pd.DataFrame:
+    def _flag_table(df: pd.DataFrame, is_edge) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
+                "tfidf_e6": pa.array(df["tfidf_e6"].to_numpy(), pa.int64()),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+                "is_edge": pa.array(is_edge, pa.bool_()),
+            }
+        )
+
+    def headk(df: pd.DataFrame) -> pa.Table:
         n = len(df)
         if n == 0:
-            return pd.DataFrame(
-                {
-                    **{c: pd.array([], dtype="int64") for c in ["doc_id", "tf", "tfidf_e6", "rank"]},
-                    "tok": pd.Series([], dtype="object"),
-                    "is_edge": pd.array([], dtype="bool"),
-                }
-            )[cols + ["is_edge"]]
+            return _flag_schema.empty_table()
         d = df["doc_id"].to_numpy()
         flagged = (d == d[0]) | (d == d[-1])
         inner = df[~flagged]
@@ -322,17 +337,15 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         rank = np.arange(ni) - first_pos + 1
         interior = inner[rank <= k].copy()
         interior["rank"] = pd.array(rank[rank <= k], dtype="int64")
-        interior["is_edge"] = pd.array([False] * len(interior), dtype="bool")
         edge = df[flagged].copy()
         edge["rank"] = pd.array([0] * len(edge), dtype="int64")
-        edge["is_edge"] = pd.array([True] * len(edge), dtype="bool")
-        return pd.concat([interior[cols + ["is_edge"]], edge[cols + ["is_edge"]]],
-                         ignore_index=True)
+        both = pd.concat([interior[cols], edge[cols]], ignore_index=True)
+        return _flag_table(
+            both, [False] * len(interior) + [True] * len(edge)
+        )
 
     flagged = scored.map_batches(headk, batch_format="pandas", batch_size=None).materialize()
-    interior = flagged.filter(expr="is_edge == False").map_batches(
-        lambda t: t[cols], batch_format="pandas"
-    )
+    interior = flagged.filter(expr="is_edge == False").select_columns(cols)
 
     def edge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["tfidf_e6", "tok"], ascending=[False, True],
@@ -353,10 +366,16 @@ def doc_tfidf(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
         if not outs:
             return interior
         rep = pd.concat(outs, ignore_index=True)
-        # pandas literal — interior's blocks are pandas here, and the union
-        # must be block-type-uniform for any downstream exchange
-        return interior.union(rd.from_pandas(rep))
-    edges = edge_src.groupby("doc_id").map_groups(edge_topk, batch_format="pandas")
+        return interior.union(
+            rd.from_arrow(_flag_table(rep, [False] * len(rep)).drop_columns(["is_edge"]))
+        )
+    def edge_topk_arrow(g: pd.DataFrame) -> pa.Table:
+        t = edge_topk(g)
+        return _flag_table(t, [False] * len(t)).drop_columns(["is_edge"])
+
+    edges = edge_src.groupby("doc_id").map_groups(
+        edge_topk_arrow, batch_format="pandas"
+    )
     return interior.union(edges)
 
 
