@@ -467,6 +467,24 @@ def _graph_triangles(sf_dir: str):
     return analytics.nation_trade_triangles(sf_dir)
 
 
+def _graph_jaccard(sf_dir: str):
+    # per-edge neighborhood Jaccard of the same nation trade graph — the
+    # link-prediction feature; jaccard_e6 is pure-int64 round-half-up
+    # (stages/graphalgo.edge_jaccard)
+    return analytics.nation_trade_jaccard(sf_dir)
+
+
+def _doc_boilerplate(sf_dir: str):
+    # RefinedWeb/CCNet-style boilerplate removal: segments occurring >= 3
+    # times corpus-wide drop from EVERY document (vs doc_seg_dedup's
+    # keep-first); one string-keyed ordered scan, no frequency table
+    # (stages/orderedagg.boilerplate_strip)
+    return orderedagg.boilerplate_strip(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        seg_words=15, max_df=3,
+    )
+
+
 def _pagerank_sql(iters: int = 10) -> str:
     """The 10-iteration damped power iteration, unrolled CTE per round —
     identical integer floor-division arithmetic as graphalgo.pagerank."""
@@ -1639,6 +1657,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": _mm_frames,
         "mm_audio": _mm_audio,
         "mm_video": _mm_video,
+        # -- new in round 5 (past the 50-row cap; covered by the full
+        #    check_oracles.py sweep and sf0.001 pytest parity) --
+        "doc_boilerplate": _doc_boilerplate,
+        "graph_jaccard": _graph_jaccard,
     }
 
 
@@ -2440,6 +2462,22 @@ def oracle_sql() -> dict[str, str]:
             "    ROW_NUMBER() OVER (PARTITION BY seg"
             "     ORDER BY doc_id, seg_idx) AS rn"
             "   FROM s) WHERE rn = 1)"
+            " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+            "  string_agg(seg, ' ' ORDER BY seg_idx) AS text"
+            " FROM f GROUP BY doc_id"
+        ),
+        # boilerplate removal: same segmentation, but segments with corpus
+        # frequency >= 3 drop from EVERY document (vs seg_dedup keep-first)
+        "doc_boilerplate": (
+            "WITH t AS (SELECT doc_id, string_split(coalesce(text,''), ' ')"
+            "  AS toks FROM documents),"
+            " s AS (SELECT doc_id, j // 15 AS seg_idx,"
+            "   array_to_string(list_slice(toks, j+1, j+15), ' ') AS seg"
+            "  FROM t, unnest(range(0, greatest(len(toks),1), 15)) AS u(j)),"
+            " c AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM s"
+            "  GROUP BY seg),"
+            " f AS (SELECT s.doc_id, s.seg_idx, s.seg FROM s"
+            "  JOIN c USING (seg) WHERE c.n < 3)"
             " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
             "  string_agg(seg, ' ' ORDER BY seg_idx) AS text"
             " FROM f GROUP BY doc_id"
@@ -3328,6 +3366,42 @@ FROM e JOIN sessions s
             " SELECT (SELECT c FROM nn) AS n_nodes,"
             " (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,"
             " (SELECT c FROM tri) AS n_triangles"
+        ),
+        # per-edge neighborhood Jaccard over the same thresholded trade
+        # graph; jaccard_e6 is the engine's pure-int64 round-half-up
+        # (2e6·n + d) // (2d) verbatim — no float division on either side
+        "graph_jaccard": (
+            "WITH j AS (SELECT least(s.s_nationkey, c.c_nationkey) AS a,"
+            "  greatest(s.s_nationkey, c.c_nationkey) AS b,"
+            "  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "   AS BIGINT) AS rev"
+            "  FROM lineitem l"
+            "  JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN customer c ON c.c_custkey = o.o_custkey"
+            "  WHERE s.s_nationkey <> c.c_nationkey),"
+            " pr AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+            "  CAST(sum(rev) AS BIGINT) AS r FROM j GROUP BY 1, 2),"
+            " tot AS (SELECT CAST(sum(r) AS BIGINT) AS t,"
+            "  CAST(count(*) AS BIGINT) AS np FROM pr),"
+            " ed AS (SELECT a, b FROM pr, tot WHERE 10 * r * np > 8 * t),"
+            " adj AS (SELECT a AS src, b AS dst FROM ed"
+            "  UNION ALL SELECT b, a FROM ed),"
+            " deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+            "  FROM adj GROUP BY 1),"
+            " com AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c"
+            "  FROM ed e JOIN adj x ON x.src = e.a"
+            "  JOIN adj y ON y.src = e.b AND y.dst = x.dst"
+            "  GROUP BY e.a, e.b)"
+            " SELECT e.a, e.b, da.d AS deg_a, db.d AS deg_b,"
+            "  CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,"
+            "  CAST((2000000 * coalesce(c.c, 0)"
+            "    + da.d + db.d - coalesce(c.c, 0))"
+            "   // (2 * (da.d + db.d - coalesce(c.c, 0))) AS BIGINT)"
+            "   AS jaccard_e6"
+            " FROM ed e JOIN deg da ON da.node = e.a"
+            " JOIN deg db ON db.node = e.b"
+            " LEFT JOIN com c ON c.a = e.a AND c.b = e.b"
         ),
         # ExactSubstr dup-span coverage: same overlapping 10-token windows,
         # count(*) OVER win ≥ 2 marks corpus-repeated windows, and the

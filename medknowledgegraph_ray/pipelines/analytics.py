@@ -2233,11 +2233,11 @@ def part_supplier_kcore(sf_dir: str, k: int = 10) -> rd.Dataset:
     return graphalgo.kcore(_part_supplier_edges(sf_dir), k=k)
 
 
-def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
-    """Triangle count of the nation trade graph: nations are connected
-    when their mutual trade revenue (customer-side ⊕ supplier-side summed
-    over the unordered pair) exceeds 0.8× the mean pair revenue — a
-    local-clustering summary of the Q7-style volume analysis.
+def _nation_trade_edges(sf_dir: str) -> rd.Dataset:
+    """Canonical (a < b) edge list of the thresholded nation trade graph:
+    nations are connected when their mutual trade revenue (customer-side ⊕
+    supplier-side summed over the unordered pair) exceeds 0.8× the mean
+    pair revenue.
 
     The heavy reduction (lineitem → per-pair revenue) is the shared
     distributed join chain (_li_with_nations) plus one grouped sum; the
@@ -2245,9 +2245,7 @@ def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
     the nation-pair DOMAIN (≤ n_nations², independent of corpus size).
     The edge threshold is exact integer cross-multiplication
     (10·pair_rev·n_pairs > 8·total_rev ⟺ pair_rev > 0.8·mean), so no
-    float enters.  Counting is stages/graphalgo.triangle_count (size-gated
-    driver/distributed, test-forced parity)."""
-    from ..stages import graphalgo
+    float enters."""
     from ..stages.groupagg import grouped_agg
 
     j3 = _li_with_nations(sf_dir)
@@ -2273,7 +2271,7 @@ def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
     total = int(pairs["r"].sum())
     n_pairs = len(pairs)
     keep = 10 * pairs["r"].to_numpy() * n_pairs > 8 * total
-    edges = rd.from_arrow(
+    return rd.from_arrow(
         pa.table(
             {
                 "a": pa.array(pairs["a"].to_numpy()[keep], pa.int64()),
@@ -2281,7 +2279,27 @@ def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
             }
         )
     )
-    return graphalgo.triangle_count(edges)
+
+
+def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count of the nation trade graph (_nation_trade_edges) — a
+    local-clustering summary of the Q7-style volume analysis.  Counting is
+    stages/graphalgo.triangle_count (size-gated driver/distributed,
+    test-forced parity)."""
+    from ..stages import graphalgo
+
+    return graphalgo.triangle_count(_nation_trade_edges(sf_dir))
+
+
+def nation_trade_jaccard(sf_dir: str) -> rd.Dataset:
+    """Per-edge neighborhood Jaccard similarity of the nation trade graph
+    (_nation_trade_edges) — the link-prediction / edge-strength feature
+    (stages/graphalgo.edge_jaccard, size-gated driver/distributed).  The
+    Σ deg² wedge cost of exact per-edge common-neighbor counting is safe
+    here by construction: the graph is bounded by the nation DOMAIN."""
+    from ..stages import graphalgo
+
+    return graphalgo.edge_jaccard(_nation_trade_edges(sf_dir))
 
 
 def price_quantity_skyline(sf_dir: str) -> rd.Dataset:

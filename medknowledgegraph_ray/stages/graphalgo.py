@@ -454,3 +454,213 @@ def kcore(edges: rd.Dataset, k: int, max_rounds: int = 100) -> rd.Dataset:
         )
         cur = _lineage_cut(kept.materialize())
     raise RuntimeError(f"kcore: no fixpoint within {max_rounds} peel rounds")
+
+
+# ---------------------------------------------------------------------------
+# Per-edge neighborhood Jaccard similarity (link-prediction feature)
+# ---------------------------------------------------------------------------
+
+_JAC_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("deg_a", pa.int64()),
+     ("deg_b", pa.int64()), ("n_common", pa.int64()),
+     ("jaccard_e6", pa.int64())]
+)
+
+
+def _jaccard_e6(n_common: np.ndarray, deg_a: np.ndarray, deg_b: np.ndarray) -> np.ndarray:
+    """round-half-up(1e6 * |N(a)∩N(b)| / |N(a)∪N(b)|) in PURE int64 —
+    (2e6·n + d) // (2d) with d = deg_a + deg_b - n_common, mirrored verbatim
+    in the SQL oracle so no float division can disagree at a boundary.
+    d ≥ 1 always: (a,b) being an edge puts b ∈ N(a), so the union is
+    non-empty (self-loops are rejected by the canonical a < b contract)."""
+    d = deg_a + deg_b - n_common
+    return (2_000_000 * n_common + d) // (2 * d)
+
+
+def _edge_jaccard_driver(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    # identical validation to _triangles_driver so malformed input fails
+    # the same on both sides of the size gate
+    if len(a) and (a >= b).any():
+        raise ValueError("edge_jaccard: edges must be canonical (a < b)")
+    if len(a) and (b >= 2**31).any():
+        raise ValueError("edge_jaccard: node ids must fit 31 bits")
+    if len(np.unique((a << 32) | b)) != len(a):
+        raise ValueError("edge_jaccard: duplicate edges (pairs must be unique)")
+    inv, _nodes = pd.factorize(np.concatenate([a, b]), sort=False)
+    n = len(_nodes)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    deg = (np.bincount(ai, minlength=n) + np.bincount(bi, minlength=n)).astype(np.int64)
+    nbrs: list[set] = [set() for _ in range(n)]
+    for u, v in zip(ai.tolist(), bi.tolist()):
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    n_common = np.fromiter(
+        (len(nbrs[u] & nbrs[v]) for u, v in zip(ai.tolist(), bi.tolist())),
+        dtype=np.int64, count=len(ai),
+    )
+    da, db = deg[ai], deg[bi]
+    return pd.DataFrame(
+        {
+            "a": pd.array(a, dtype="int64"),
+            "b": pd.array(b, dtype="int64"),
+            "deg_a": pd.array(da, dtype="int64"),
+            "deg_b": pd.array(db, dtype="int64"),
+            "n_common": pd.array(n_common, dtype="int64"),
+            "jaccard_e6": pd.array(_jaccard_e6(n_common, da, db), dtype="int64"),
+        }
+    )
+
+
+def edge_jaccard(edges: rd.Dataset, col_a: str = "a", col_b: str = "b") -> rd.Dataset:
+    """Neighborhood Jaccard similarity of every edge of an undirected graph
+    given as CANONICAL unique pairs (col_a < col_b, ids < 2³¹): per edge
+    (a, b) — degrees, common-neighbor count, and
+    jaccard_e6 = round(1e6 · |N(a)∩N(b)| / |N(a)∪N(b)|), the standard
+    link-prediction / edge-strength feature (e.g. Liben-Nowell & Kleinberg
+    2003) and the graph analog of the dedup pipeline's set Jaccard.
+
+    Size-gated like triangle_count: a driver path for edge lists that fit
+    one node, else a fully distributed plan from the existing exchange
+    primitives — wedges per center via join_many of the full adjacency with
+    itself (each unordered neighbor pair counted once per common center),
+    grouped wedge counts per packed pair key, and one outer equi_join back
+    to the degree-attached edge list (edges with zero common neighbors
+    survive with n_common = 0).  Unlike triangle counting there is no
+    degree orientation to hide hub cost: exact per-edge common-neighbor
+    counts are inherently Σ deg² wedge work — the same self-join every SQL
+    statement of this query performs — so feed this operator thresholded /
+    domain-bounded graphs, not raw hub-skewed corpora."""
+    edges = edges.materialize()
+    m = edges.count()
+    if m == 0:
+        return rd.from_arrow(_JAC_SCHEMA.empty_table())
+    if m <= SMALL_GRAPH_EDGES:
+        df = edges.to_pandas()
+        out = _edge_jaccard_driver(
+            df[col_a].to_numpy().astype(np.int64),
+            df[col_b].to_numpy().astype(np.int64),
+        )
+        return rd.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a >= b).any():
+            raise ValueError("edge_jaccard: edges must be canonical (a < b)")
+        if len(a) and (b >= 2**31).any():
+            raise ValueError("edge_jaccard: node ids must fit 31 bits")
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b])),
+             "nbr": pa.array(np.concatenate([b, a])),
+             "one": pa.array(np.ones(2 * len(a), dtype=np.int64))}
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow", batch_size=None).materialize()
+    deg = grouped_agg(adj, ["node"], [("one", "sum", "deg")]).materialize()
+
+    # explicit pair-uniqueness check (the driver path's np.unique check,
+    # distributed): one grouped count over packed pair keys — the outer
+    # join below tolerates duplicate deferred edge keys, so it cannot be
+    # relied on to enforce the contract
+    n_distinct = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"pairkey": pa.array(
+                    (t[col_a].to_numpy(zero_copy_only=False).astype(np.int64) << 32)
+                    | t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)),
+                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["pairkey"], [("one", "sum", "n")],
+        types={"pairkey": pa.int64(), "one": pa.int64()},
+    ).count()
+    if n_distinct != m:
+        raise ValueError("edge_jaccard: duplicate edges (pairs must be unique)")
+
+    # degree-attached packed edge list (the triangle_count attach pattern)
+    def a_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.compute.cast(t[col_a], pa.int64()),
+             "other": pa.compute.cast(t[col_b], pa.int64())}
+        )
+
+    withda = equi_join(deg, edges.map_batches(a_key, batch_format="pyarrow",
+                                              batch_size=None),
+                       "node", ["deg"], ["other"])
+    withdb = equi_join(
+        deg,
+        withda.map_batches(
+            lambda t: pa.table({"node": t["other"], "a_node": t["node"],
+                                "deg_a": t["deg"]}),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        "node", ["deg"], ["a_node", "deg_a"],
+    )
+    packed_edges = withdb.map_batches(
+        lambda t: pa.table(
+            {"pairkey": pa.array(
+                (t["a_node"].to_numpy(zero_copy_only=False) << 32)
+                | t["node"].to_numpy(zero_copy_only=False)),
+             "deg_a": t["deg_a"],
+             "deg_b": t["deg"]}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    # wedges: full-adjacency self-join per center; each unordered neighbor
+    # pair (v1 < v2) of a center is one common-neighbor witness
+    from .joinmany import join_many
+
+    left = adj.map_batches(
+        lambda t: pa.table({"u": t["node"], "v1": t["nbr"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    right = adj.map_batches(
+        lambda t: pa.table({"u": t["node"], "v2": t["nbr"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    wedges = join_many(left, right, "u", ["v1"], ["v2"])
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        v1 = t["v1"].to_numpy(zero_copy_only=False)
+        v2 = t["v2"].to_numpy(zero_copy_only=False)
+        keep = v1 < v2
+        return pa.table(
+            {"pairkey": pa.array((v1[keep] << 32) | v2[keep]),
+             "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+        )
+
+    wcounts = grouped_agg(
+        wedges.map_batches(wedge_keys, batch_format="pyarrow", batch_size=None),
+        ["pairkey"], [("one", "sum", "n_common")],
+        types={"pairkey": pa.int64(), "one": pa.int64()},
+    )
+
+    # outer join keeps zero-common edges (null n_common) AND emits non-edge
+    # wedge pairs with null degrees — dropped by the deg_a filter below
+    joined = equi_join(packed_edges, wcounts, "pairkey",
+                       ["deg_a", "deg_b"], ["n_common"], how="outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        real = ~pd.isna(da)
+        da = da[real].astype(np.int64)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)[real].astype(np.int64)
+        nc = t["n_common"].to_numpy(zero_copy_only=False)[real]
+        nc = np.where(pd.isna(nc), 0, nc).astype(np.int64)
+        key = t["pairkey"].to_numpy(zero_copy_only=False)[real].astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(key >> 32),
+                "b": pa.array(key & ((1 << 32) - 1)),
+                "deg_a": pa.array(da),
+                "deg_b": pa.array(db),
+                "n_common": pa.array(nc),
+                "jaccard_e6": pa.array(_jaccard_e6(nc, da, db)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)

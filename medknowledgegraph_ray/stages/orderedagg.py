@@ -196,12 +196,10 @@ def keep_first(
     )
 
 
-def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
-    """Corpus-wide segment-level exact dedup: split each document's text
-    into `seg_words`-word segments, keep only each distinct segment's first
-    occurrence (min (doc_id, seg_idx) across the corpus), re-assemble the
-    survivors per document.  Documents whose every segment appeared earlier
-    vanish; the rest shrink.  Returns (doc_id, n_kept, text)."""
+def _segment_emitter(seg_words: int):
+    """Per-batch map: (doc_id, text) → (seg, packed) rows, one per
+    `seg_words`-word segment, with (doc_id, seg_idx) packed into one int64
+    ordering/identity key (seg_idx in the low _PACK_BITS)."""
 
     def segments(batch: pd.DataFrame) -> pd.DataFrame:
         ids: list[int] = []
@@ -224,10 +222,12 @@ def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
             }
         )
 
-    segs = docs.select_columns(["doc_id", "text"]).map_batches(
-        segments, batch_format="pandas", batch_size=None
-    )
-    firsts = keep_first(segs, "seg", "packed")
+    return segments
+
+
+def _reassemble_segments(kept: rd.Dataset) -> rd.Dataset:
+    """(seg, packed) survivor rows → (doc_id, n_kept, text) with segments
+    re-joined in seg_idx order (documents with no survivors vanish)."""
 
     def unpack(batch: pd.DataFrame) -> pd.DataFrame:
         p = batch["packed"].to_numpy()
@@ -239,10 +239,69 @@ def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
             }
         )
 
-    kept = firsts.map_batches(unpack, batch_format="pandas")
+    rows = kept.map_batches(unpack, batch_format="pandas")
     return ordered_concat(
-        kept, "doc_id", ["seg_idx"], "seg", " ", out_col="text", count_col="n_kept"
+        rows, "doc_id", ["seg_idx"], "seg", " ", out_col="text", count_col="n_kept"
     )
+
+
+def seg_dedup(docs: rd.Dataset, seg_words: int = 15) -> rd.Dataset:
+    """Corpus-wide segment-level exact dedup: split each document's text
+    into `seg_words`-word segments, keep only each distinct segment's first
+    occurrence (min (doc_id, seg_idx) across the corpus), re-assemble the
+    survivors per document.  Documents whose every segment appeared earlier
+    vanish; the rest shrink.  Returns (doc_id, n_kept, text)."""
+    segs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _segment_emitter(seg_words), batch_format="pandas", batch_size=None
+    )
+    firsts = keep_first(segs, "seg", "packed")
+    return _reassemble_segments(firsts)
+
+
+def boilerplate_strip(
+    docs: rd.Dataset, seg_words: int = 15, max_df: int = 3
+) -> rd.Dataset:
+    """Boilerplate removal (the RefinedWeb / CCNet line-frequency filter,
+    re-stated over `seg_words`-word segments since the synthetic corpus has
+    no newlines): a segment occurring >= max_df times corpus-wide is
+    BOILERPLATE and removed from EVERY document — unlike seg_dedup, which
+    keeps the first occurrence.  Survivors re-assemble in order; returns
+    (doc_id, n_kept, text), documents stripped to nothing vanish.
+
+    Scale shape: ONE string-keyed ordered scan (the _sorted_user_op
+    scaffold) — after the global sort a segment's occurrences are
+    contiguous, so each interior run's length is its corpus frequency and
+    the keep/drop decision is block-local; only the <=2 segments straddling
+    each block edge defer to the size-gated repair.  No join, no broadcast,
+    no frequency table materialized (the hot-segment set at a 100 TB corpus
+    need not fit anywhere)."""
+    from .windows import _run_firsts, _sorted_user_op
+
+    segs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _segment_emitter(seg_words), batch_format="pandas", batch_size=None
+    )
+
+    def rare_runs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"seg": pd.Series([], dtype="object"),
+                 "packed": pd.array([], dtype="int64")}
+            )
+        new, _ = _run_firsts(df["seg"].to_numpy())
+        idx = np.cumsum(new) - 1
+        keep = np.bincount(idx)[idx] < max_df
+        return pd.DataFrame(
+            {
+                "seg": pd.Series(df["seg"].to_numpy()[keep], dtype="object"),
+                "packed": pd.array(df["packed"].to_numpy()[keep], dtype="int64"),
+            }
+        )
+
+    kept = _sorted_user_op(
+        segs, ["seg", "packed"], ["seg", "packed"], [False, False],
+        rare_runs, {"seg": "object", "packed": "int64"}, key="seg",
+    )
+    return _reassemble_segments(kept)
 
 
 # Candidate-doc count at or below which the duplicated-window re-emission

@@ -57,6 +57,7 @@ SQL_CHECKED = [
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
     "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
     "mm_image", "graph_degree_hist", "mm_png",
+    "doc_boilerplate", "graph_jaccard",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2753,3 +2754,96 @@ def test_forced_repair_output_is_exchangeable(sf_dir, monkeypatch):
     for k, m in makers.items():
         got = through_exchange(m())
         assert got.equals(want[k]) and len(got) > 0, k
+
+
+def test_edge_jaccard_known_and_forced_distributed(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    # K4 plus a pendant edge: degrees 1:3 2:3 3:3 4:4 9:1
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    # hand-computed (n_common, jaccard_e6 = (2e6 n + d) // (2 d)):
+    # K4 edge not touching 4: |∩|=2, |∪|=4 -> 500000
+    # K4 edge touching 4:     |∩|=2, |∪|=5 -> 400000
+    # pendant (4,9):          |∩|=0        -> 0
+    want = {
+        (1, 2): (2, 500_000), (1, 3): (2, 500_000), (2, 3): (2, 500_000),
+        (1, 4): (2, 400_000), (2, 4): (2, 400_000), (3, 4): (2, 400_000),
+        (4, 9): (0, 0),
+    }
+
+    def as_map(ds):
+        df = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        return {
+            (int(r["a"]), int(r["b"])): (int(r["n_common"]), int(r["jaccard_e6"]))
+            for _, r in df.iterrows()
+        }
+
+    got = as_map(graphalgo.edge_jaccard(_graph_edges(k4)))
+    assert got == want
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    got_d = as_map(graphalgo.edge_jaccard(_graph_edges(k4).repartition(3)))
+    assert got_d == want
+
+
+def test_edge_jaccard_paths_match_on_random_graph(monkeypatch):
+    from itertools import combinations
+
+    from medknowledgegraph_ray.stages import graphalgo
+
+    rng = np.random.RandomState(11)
+    pairs = [p for p in combinations(range(14), 2) if rng.rand() < 0.3]
+    want = graphalgo.edge_jaccard(_graph_edges(pairs)).to_pandas()
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    got = graphalgo.edge_jaccard(_graph_edges(pairs).repartition(4)).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # degrees in the output must equal the true degrees
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, r in want.iterrows():
+        assert int(r["deg_a"]) == deg[int(r["a"])]
+        assert int(r["deg_b"]) == deg[int(r["b"])]
+
+
+def test_edge_jaccard_validates_contract_both_paths(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    bad_noncanon = _graph_edges([(2, 1)])
+    bad_dup = _graph_edges([(1, 2), (1, 2)])
+    with pytest.raises(ValueError, match="canonical"):
+        graphalgo.edge_jaccard(bad_noncanon)
+    with pytest.raises(ValueError, match="duplicate"):
+        graphalgo.edge_jaccard(bad_dup)
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    with pytest.raises(Exception, match="canonical"):
+        graphalgo.edge_jaccard(bad_noncanon).materialize()
+    with pytest.raises(Exception, match="(?s)duplicate|unique"):
+        graphalgo.edge_jaccard(bad_dup).materialize()
+
+
+def test_boilerplate_strip_known_and_forced(monkeypatch):
+    from medknowledgegraph_ray.stages import orderedagg, windows
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", "a b x y", "c d q"], pa.string()),
+    }))
+    # seg_words=2, max_df=2: "a b" (x2) and "c d" (x2) are boilerplate and
+    # drop from EVERY doc; doc 1 is stripped to nothing and vanishes
+    want = {2: (1, "x y"), 3: (1, "q")}
+
+    def as_map(ds):
+        df = ds.to_pandas()
+        return {int(r["doc_id"]): (int(r["n_kept"]), r["text"])
+                for _, r in df.iterrows()}
+
+    got = as_map(orderedagg.boilerplate_strip(docs, seg_words=2, max_df=2))
+    assert got == want
+    monkeypatch.setattr(windows, "EDGE_REPAIR_DRIVER_MAX", -1)
+    got_f = as_map(
+        orderedagg.boilerplate_strip(docs.repartition(3), seg_words=2, max_df=2)
+    )
+    assert got_f == want
