@@ -1661,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    check_oracles.py sweep and sf0.001 pytest parity) --
         "doc_boilerplate": _doc_boilerplate,
         "graph_jaccard": _graph_jaccard,
+        "kg_entity_pmi": kg.entity_pmi,
     }
 
 
@@ -1753,6 +1754,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_roundtrip": _kg_sql("SELECT conv_id, turn_idx, text FROM g_transcripts"),
         "kg_mentions": _kg_sql("SELECT conv_id, turn_idx, norm_surface, label FROM g_mentions"),
         "kg_conv_entities": _kg_sql("SELECT conv_id, norm_surface, label FROM g_conv_entities"),
+        # entity co-occurrence PMI edges: distinct (conv, surface) incidence,
+        # unordered co-mention pair counts, marginals, and the doc_pmi
+        # double-op-order ln — engine arithmetic mirrored verbatim
+        "kg_entity_pmi": _kg_sql(
+            "SELECT ent_a, ent_b, n_xy, n_x, n_y, n_convs, pmi_e6 FROM ("
+            " WITH de AS (SELECT DISTINCT conv_id, norm_surface AS ent"
+            "   FROM g_conv_entities),"
+            " nt AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n"
+            "   FROM g_transcripts),"
+            " m AS (SELECT ent, CAST(count(*) AS BIGINT) AS n FROM de"
+            "   GROUP BY 1),"
+            " p AS (SELECT a.ent AS ent_a, b.ent AS ent_b,"
+            "   CAST(count(*) AS BIGINT) AS n_xy"
+            "   FROM de a JOIN de b ON a.conv_id = b.conv_id"
+            "    AND a.ent < b.ent GROUP BY 1, 2)"
+            " SELECT p.ent_a, p.ent_b, p.n_xy, ma.n AS n_x, mb.n AS n_y,"
+            "  nt.n AS n_convs,"
+            "  CAST(round(ln((CAST(p.n_xy AS DOUBLE) * nt.n) /"
+            "   (CAST(ma.n AS DOUBLE) * mb.n)) * 1000000) AS BIGINT)"
+            "   AS pmi_e6"
+            " FROM p JOIN m ma ON ma.ent = p.ent_a"
+            " JOIN m mb ON mb.ent = p.ent_b, nt"
+            " WHERE p.n_xy >= 2)"
+        ),
         "kg_links": _kg_sql("SELECT norm_surface, cui, score, name, definition, label FROM g_links"),
         "kg_entity_counts": _kg_sql("SELECT norm_surface, label, n_convs FROM g_counts"),
         "kg_top_entities": _kg_sql("SELECT norm_surface, label, n_convs FROM g_top15"),

@@ -226,6 +226,134 @@ def entity_counts(sf_dir: str) -> rd.Dataset:
     return canonicalize.entity_counts(conv_entities(sf_dir))
 
 
+def entity_pmi(sf_dir: str, min_count: int = 2) -> rd.Dataset:
+    """Entity co-occurrence PMI edges — corpus-statistical edge weighting
+    for the knowledge graph: for every unordered pair of entity surfaces
+    co-mentioned in ≥ min_count conversations, (ent_a, ent_b, n_xy, n_x,
+    n_y, n_convs, pmi_e6) with pmi_e6 = round(ln((n_xy·N)/(n_x·n_y))·1e6).
+    The reference's CONTAINS edges are unweighted (neo4jconnector.py:
+    165-193); PMI is the standard association strength a downstream graph
+    consumer ranks them by (doc_pmi's Church & Hanks measure lifted from
+    token bigrams to the entity-conversation incidence).
+
+    Scale shape: one distinct exchange over (conv_id, surface), a per-
+    conversation pair expansion on the ordered scan (pairs per conv are
+    C(e,2) with e bounded by entities-per-conversation, never corpus
+    size), one pair-count exchange bounded by the entity-vocabulary², and
+    a driver-side marginal attach (entity vocabulary is KB-bounded — the
+    canonicalize funnel convention).  N is the exchange-free conv-local
+    distinct count.  ln is one libm call per pair, op order mirrored in
+    the oracle (the doc_pmi precedent), so pmi_e6 is oracle-exact."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..stages import distinct as _dx
+    from ..stages.groupagg import grouped_agg
+    from ..stages.windows import _sorted_user_op
+
+    ce = conv_entities(sf_dir)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "ent": b["norm_surface"],
+                "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64"),
+            }
+        )
+
+    de = grouped_agg(
+        ce.map_batches(keyed, batch_format="pandas", batch_size=None),
+        ["conv_id", "ent"], [("one", "count", "c")],
+    ).select_columns(["conv_id", "ent"]).materialize()
+
+    # marginals: conversations per entity — entity-vocabulary bounded
+    marg = grouped_agg(
+        de.map_batches(
+            lambda b: pd.DataFrame(
+                {"ent": b["ent"],
+                 "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        ),
+        ["ent"], [("one", "sum", "n")],
+    ).to_pandas()
+    n_of = dict(zip(marg["ent"], marg["n"].astype("int64")))
+    n_convs = _dx.group_local_distinct(
+        transcripts(sf_dir, ["conv_id"]), ["conv_id"], "conv_id"
+    ).count()
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"ent_a": pd.array([], dtype="object"),
+                 "ent_b": pd.array([], dtype="object")}
+            )
+        cid = df["conv_id"].to_numpy()
+        ent = df["ent"].to_numpy()
+        n = len(df)
+        new = np.ones(n, dtype=bool)
+        new[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        a_parts, b_parts = [], []
+        for c in np.unique(counts):
+            if c < 2:
+                continue
+            runs = starts[counts == c]
+            ii, jj = np.triu_indices(int(c), k=1)
+            a_parts.append(ent[(runs[:, None] + ii[None, :]).ravel()])
+            b_parts.append(ent[(runs[:, None] + jj[None, :]).ravel()])
+        if not a_parts:
+            return pd.DataFrame(
+                {"ent_a": pd.array([], dtype="object"),
+                 "ent_b": pd.array([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"ent_a": np.concatenate(a_parts), "ent_b": np.concatenate(b_parts)}
+        )
+
+    pairs = _sorted_user_op(
+        de, ["conv_id", "ent"], ["conv_id", "ent"], [False, False],
+        pair_kernel, {"ent_a": "object", "ent_b": "object"}, key="conv_id",
+    )
+    counts = grouped_agg(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"ent_a": b["ent_a"], "ent_b": b["ent_b"],
+                 "one": pd.array(np.ones(len(b), dtype=np.int64), dtype="int64")}
+            ),
+            batch_format="pandas", batch_size=None,
+        ),
+        ["ent_a", "ent_b"], [("one", "sum", "n_xy")],
+    ).filter(expr=f"n_xy >= {int(min_count)}")
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        n_xy = b["n_xy"].to_numpy().astype(np.int64)
+        n_x = np.array([n_of[e] for e in b["ent_a"]], dtype=np.int64)
+        n_y = np.array([n_of[e] for e in b["ent_b"]], dtype=np.int64)
+        pmi = [
+            int(round(math.log((float(a) * float(n_convs))
+                               / (float(x) * float(y))) * 1e6))
+            for a, x, y in zip(n_xy.tolist(), n_x.tolist(), n_y.tolist())
+        ]
+        return pa.table(
+            {
+                "ent_a": pa.array(b["ent_a"], pa.string()),
+                "ent_b": pa.array(b["ent_b"], pa.string()),
+                "n_xy": pa.array(n_xy),
+                "n_x": pa.array(n_x),
+                "n_y": pa.array(n_y),
+                "n_convs": pa.array(np.full(len(b), n_convs, dtype=np.int64)),
+                "pmi_e6": pa.array(np.array(pmi, dtype=np.int64)),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pandas", batch_size=None)
+
+
 def top_entities(sf_dir: str, *, k: int = config.TOP_ENTITIES) -> rd.Dataset:
     return canonicalize.top_entities(entity_counts(sf_dir), k=k)
 

@@ -344,3 +344,33 @@ def test_warm_pool_parity_and_crash_recovery(sf_dir):
     ray.kill(pool_before[0], no_restart=False)
     warm3 = kgmod.mention_rows(sf_dir, stateful="actor", reuse_pool=True).to_pandas()
     assert _norm(task).equals(_norm(warm3))
+
+
+def test_entity_pmi_self_consistent_and_symmetric(sf_dir):
+    """kg.entity_pmi at sf0.001: canonical pair order, pmi recomputable
+    from its own integer columns, marginals consistent with the distinct
+    (conv, surface) incidence.  (Oracle exactness is checked at sf0.01 by
+    tools/check_oracles.py — the kg SQL views are pinned to that corpus.)"""
+    import math
+
+    from medknowledgegraph_ray.pipelines import kg
+
+    df = kg.entity_pmi(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert (df["ent_a"] < df["ent_b"]).all()
+    assert (df["n_xy"] >= 2).all()
+    assert df["n_convs"].nunique() == 1
+    n = int(df["n_convs"].iloc[0])
+    for _, r in df.head(50).iterrows():
+        want = int(round(math.log(
+            (float(r["n_xy"]) * float(n))
+            / (float(r["n_x"]) * float(r["n_y"]))) * 1e6))
+        assert int(r["pmi_e6"]) == want
+    # marginal spot-check against the incidence derived independently
+    ce = kg.conv_entities(sf_dir).to_pandas()[["conv_id", "norm_surface"]]
+    ce = ce.drop_duplicates()
+    marg = ce.groupby("norm_surface").size()
+    top = df.sort_values(["n_xy", "ent_a", "ent_b"],
+                         ascending=[False, True, True]).iloc[0]
+    assert int(top["n_x"]) == int(marg[top["ent_a"]])
+    assert int(top["n_y"]) == int(marg[top["ent_b"]])
