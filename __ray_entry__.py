@@ -1405,6 +1405,14 @@ def _dedup_simhash_groups(sf_dir: str):
     return dedupe.simhash_dup_groups(_docs(sf_dir))
 
 
+def _dedup_simhash_pairs(sf_dir: str):
+    # Hamming-near pairs over 64-bit SimHash (Manku et al. web dedup):
+    # pigeonhole 4×16-bit banding (recall exactly 1 at hamming ≤ 3) through
+    # the guarded _bucket_pairs + _verified_pairs machinery
+    # (stages/dedupe.simhash_near_pairs)
+    return dedupe.simhash_near_pairs(_docs(sf_dir), max_hamming=3)
+
+
 _TERM = "xelorvan"  # guaranteed planted disease stem (datagen._DIS_STEMS[0])
 _TERM_CAP = 50
 
@@ -1662,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": _doc_boilerplate,
         "graph_jaccard": _graph_jaccard,
         "kg_entity_pmi": kg.entity_pmi,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
     }
 
 
@@ -1950,6 +1959,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": (
             "WITH " + _SIMHASH_SIG_SQL + " SELECT doc_id, simhash FROM signed"
+        ),
+        # all-pairs Hamming ≤ 3 over the same bit-exact signature CTE —
+        # the engine's pigeonhole banding has recall exactly 1, so the
+        # brute-force oracle matches identically
+        "dedup_simhash_pairs": (
+            "WITH " + _SIMHASH_SIG_SQL
+            + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)"
+            "  AS hamming"
+            " FROM signed a JOIN signed b ON a.doc_id < b.doc_id"
+            " WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "dedup_simhash_groups": (
             "WITH " + _SIMHASH_SIG_SQL

@@ -453,6 +453,16 @@ def _jaccard_score(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def _hamming_sim_score(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Matching-bit count (64 − Hamming distance) of two 64-bit signatures
+    transported as one-element int64 lists — integer-exact, so the verify
+    threshold 64 − max_hamming admits no float boundary issues."""
+    if sa.size != 1 or sb.size != 1:
+        return 0.0
+    x = (int(sa[0]) ^ int(sb[0])) & ((1 << 64) - 1)
+    return float(64 - bin(x).count("1"))
+
+
 def _cosine_score(sa: np.ndarray, sb: np.ndarray) -> float:
     """Cosine of two float64 vectors transported BITCAST as int64 lists (so
     they ride the same `_ATTACH_SCHEMA` exchange as shingle sets).  The
@@ -1004,6 +1014,102 @@ def simhash_dup_groups(docs: rd.Dataset) -> rd.Dataset:
         [("doc_id", "count", "n_docs"), ("doc_id", "min", "min_doc")],
     )
     return counted.filter(expr="n_docs >= 2")
+
+
+def simhash_near_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Hamming-near duplicate pairs over the 64-bit SimHash signatures (the
+    Manku-Jain-Sarma web-dedup query): every (doc_a, doc_b, hamming) with
+    popcount(sig_a XOR sig_b) ≤ max_hamming.
+
+    Recall is EXACTLY 1 by the pigeonhole banding: the 64 bits split into
+    k = max_hamming + 1 contiguous blocks, so a pair within distance
+    max_hamming differs in at most max_hamming blocks and must agree on at
+    least one — every qualifying pair collides in some band.  Band rows
+    ride the SAME guarded machinery as minhash/embedding near-dups
+    (`_bucket_pairs` sorted runs + MAX_BUCKET skew guard, `_verified_pairs`
+    sorted-exchange exact verify; size-gated driver path value-identical),
+    so the all-pairs bit_count(xor) DuckDB oracle matches at any
+    max_hamming."""
+    import ray
+
+    k = max_hamming + 1
+    if not (1 <= k <= 64):
+        raise ValueError("simhash_near_pairs: 0 <= max_hamming <= 63 required")
+    # k nearly-equal contiguous blocks (widths differ by <=1; pigeonhole
+    # needs only "k blocks", not equal ones)
+    bounds = np.linspace(0, 64, k + 1).astype(np.int64)
+    starts, widths = bounds[:-1], np.diff(bounds)
+
+    sigs = simhash_signatures(docs).materialize()
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({
+                "band_id": pd.array([], dtype="int32"),
+                "band_hash": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+            })
+        sig = batch["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        hashes = np.empty((n, k), dtype=np.int64)
+        for i, (s, w) in enumerate(zip(starts.tolist(), widths.tolist())):
+            hashes[:, i] = ((sig >> np.uint64(s))
+                            & np.uint64((1 << w) - 1)).astype(np.int64)
+        return pd.DataFrame({
+            "band_id": pd.array(np.tile(np.arange(k, dtype=np.int32), n),
+                                dtype="int32"),
+            "band_hash": pd.array(hashes.reshape(-1), dtype="int64"),
+            "doc_id": pd.array(
+                np.repeat(batch["doc_id"].to_numpy().astype(np.int64), k),
+                dtype="int64"),
+        })
+
+    cands = _bucket_pairs(
+        sigs.map_batches(band_rows, batch_format="pandas", batch_size=None),
+        distinct_pairs=False,
+    )
+
+    def rows_factory(id_ref):
+        def sig_rows(batch: pd.DataFrame) -> pa.Table:
+            cand = ray.get(id_ref)
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(cand, ids)
+            pos[pos >= len(cand)] = 0
+            sub = batch[cand[pos] == ids]
+            kk = sub["doc_id"].astype("int64").to_numpy()
+            return pa.table(
+                {
+                    "key": pa.array(kk, pa.int64()),
+                    "doc_a": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                    "doc_b": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                    "shingles": pa.array(
+                        [[int(s)] for s in sub["simhash"]], pa.list_(pa.int64())
+                    ),
+                },
+                schema=_ATTACH_SCHEMA,
+            )
+
+        return sig_rows
+
+    # score = matching bits (64 - hamming) so the generic ">= threshold"
+    # verify gate keeps pairs with hamming <= max_hamming
+    verified = _verified_pairs(sigs, cands, rows_factory,
+                               float(64 - max_hamming), _hamming_sim_score,
+                               "sim_bits")
+
+    def to_hamming(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "hamming": pa.array(
+                    (64 - t["sim_bits"].to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        )
+
+    return verified.map_batches(to_hamming, batch_format="pyarrow",
+                                batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ SQL_CHECKED = [
     "doc_bm25", "graph_kcore", "emb_normalize", "doc_bigram_lm",
     "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
     "mm_image", "graph_degree_hist", "mm_png",
-    "doc_boilerplate", "graph_jaccard",
+    "doc_boilerplate", "graph_jaccard", "dedup_simhash_pairs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
