@@ -1405,6 +1405,15 @@ def _dedup_simhash_groups(sf_dir: str):
     return dedupe.simhash_dup_groups(_docs(sf_dir))
 
 
+def _ev_histogram_eqdepth(sf_dir: str):
+    # equi-depth (ntile) histogram: global-rank sort + map-only bucket
+    # assignment + k-bounded grouped agg (stages/eventagg.equi_depth_histogram)
+    return eventagg.equi_depth_histogram(
+        readers.read_table(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        k=8,
+    )
+
+
 def _dedup_simhash_pairs(sf_dir: str):
     # Hamming-near pairs over 64-bit SimHash (Manku et al. web dedup):
     # pigeonhole 4×16-bit banding (recall exactly 1 at hamming ≤ 3) through
@@ -1671,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_jaccard": _graph_jaccard,
         "kg_entity_pmi": kg.entity_pmi,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "ev_histogram_eqdepth": _ev_histogram_eqdepth,
     }
 
 
@@ -2034,6 +2044,17 @@ def oracle_sql() -> dict[str, str]:
             " CAST(quantile_disc(value_e6, 0.9) AS BIGINT) AS p90_e6,"
             " CAST(quantile_disc(value_e6, 0.99) AS BIGINT) AS p99_e6"
             " FROM v"
+        ),
+        # equi-depth histogram: ntile over the SAME (value_e6, event_id)
+        # total order the engine's global row number uses
+        "ev_histogram_eqdepth": (
+            "WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)"
+            "  AS value_e6, event_id FROM events),"
+            " t AS (SELECT value_e6, CAST(ntile(8) OVER"
+            "  (ORDER BY value_e6, event_id) AS BIGINT) AS bucket FROM v)"
+            " SELECT bucket, CAST(count(*) AS BIGINT) AS n,"
+            " min(value_e6) AS min_e6, max(value_e6) AS max_e6"
+            " FROM t GROUP BY bucket"
         ),
         "ev_histogram": (
             "WITH b AS (SELECT CAST(floor(CAST(round(value * 1000000) AS BIGINT)"

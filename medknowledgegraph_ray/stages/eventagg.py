@@ -656,3 +656,57 @@ def association_rules(events: rd.Dataset, min_support: int = 5) -> rd.Dataset:
         )
 
     return pairs.map_batches(rules, batch_format="pandas", batch_size=None)
+
+
+def equi_depth_histogram(events: rd.Dataset, k: int = 8) -> rd.Dataset:
+    """Equi-depth (equal-count) histogram of the value column — the
+    data-profiling complement of the fixed-width `ev_histogram`: ntile(k)
+    buckets over the total order (value_e6, event_id), so bucket
+    BOUNDARIES adapt while counts stay equal (first n%k buckets carry one
+    extra row — exact ntile semantics).  Per bucket: (bucket, n, min_e6,
+    max_e6) — the quantile-boundary summary optimizers and data-balance
+    checks consume.
+
+    Shape: ONE global range sort with the O(blocks) offset-map row number
+    (ranks.global_row_number), a map-only ntile assignment computed from
+    the global rank (pure integer arithmetic — no second pass), and one
+    algebraic grouped_agg whose key space is bounded by k."""
+    from .groupagg import grouped_agg
+    from .ranks import global_row_number
+    from .windows import _prep_events
+
+    empty = pa.table({
+        "bucket": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "min_e6": pa.array([], pa.int64()),
+        "max_e6": pa.array([], pa.int64()),
+    })
+    prepped, _cols = _prep_events(events, ("event_id", "value_e6"))
+    prepped = prepped.materialize()
+    n_total = prepped.count()
+    if n_total == 0:
+        return rd.from_arrow(empty)
+    q, r = divmod(n_total, int(k))
+    cut = (q + 1) * r
+    q_safe = max(q, 1)  # q == 0 (n < k) puts every row below `cut`
+
+    rn = global_row_number(prepped, ["value_e6", "event_id"], out_col="rn")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        r0 = b["rn"].to_numpy() - 1
+        bucket = np.where(
+            r0 < cut, r0 // (q + 1), r + (r0 - cut) // q_safe
+        ) + 1
+        return pd.DataFrame(
+            {
+                "bucket": pd.array(bucket.astype(np.int64), dtype="int64"),
+                "value_e6": b["value_e6"].astype("int64"),
+            }
+        )
+
+    rows = rn.map_batches(assign, batch_format="pandas", batch_size=None)
+    return grouped_agg(
+        rows, ["bucket"],
+        [("value_e6", "count", "n"), ("value_e6", "min", "min_e6"),
+         ("value_e6", "max", "max_e6")],
+    )

@@ -58,6 +58,7 @@ SQL_CHECKED = [
     "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
     "mm_image", "graph_degree_hist", "mm_png",
     "doc_boilerplate", "graph_jaccard", "dedup_simhash_pairs",
+    "ev_histogram_eqdepth",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
