@@ -1405,6 +1405,26 @@ def _dedup_simhash_groups(sf_dir: str):
     return dedupe.simhash_dup_groups(_docs(sf_dir))
 
 
+def _emb_gram(sf_dir: str):
+    # exact integer Gram matrix (covariance/PCA primitive): one X'X matmul
+    # per block into a dim²-bounded grouped agg (stages/ann.embedding_gram)
+    from medknowledgegraph_ray.stages import ann as _ann_mod
+
+    return _ann_mod.embedding_gram(
+        readers.read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        dim=64,
+    )
+
+
+def _ev_rolling_median(sf_dir: str):
+    # per-user rolling lower median (ROWS 6 PRECEDING), the order-statistic
+    # window on the ordered-scan scaffold (stages/windows.rolling_median)
+    return windows.rolling_median(
+        readers.read_table(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        w=7,
+    )
+
+
 def _ev_histogram_eqdepth(sf_dir: str):
     # equi-depth (ntile) histogram: global-rank sort + map-only bucket
     # assignment + k-bounded grouped agg (stages/eventagg.equi_depth_histogram)
@@ -1681,6 +1701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pmi": kg.entity_pmi,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "ev_histogram_eqdepth": _ev_histogram_eqdepth,
+        "ev_rolling_median": _ev_rolling_median,
+        "emb_gram": _emb_gram,
     }
 
 
@@ -2043,6 +2065,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(quantile_disc(value_e6, 0.5) AS BIGINT) AS p50_e6,"
             " CAST(quantile_disc(value_e6, 0.9) AS BIGINT) AS p90_e6,"
             " CAST(quantile_disc(value_e6, 0.99) AS BIGINT) AS p99_e6"
+            " FROM v"
+        ),
+        # rolling lower median: quantile_disc(0.5) over the ROWS frame —
+        # identical (n-1)//2 lower-element semantics as the engine kernel
+        "ev_rolling_median": (
+            "WITH v AS (SELECT CAST(user_id AS BIGINT) AS user_id,"
+            "  CAST(event_id AS BIGINT) AS event_id,"
+            "  CAST(round(value * 1000000) AS BIGINT) AS value_e6"
+            "  FROM events)"
+            " SELECT user_id, event_id, value_e6,"
+            " CAST(quantile_disc(value_e6, 0.5) OVER (PARTITION BY user_id"
+            "  ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+            "  AS BIGINT) AS med_e6"
             " FROM v"
         ),
         # equi-depth histogram: ntile over the SAME (value_e6, event_id)
@@ -3364,6 +3399,18 @@ FROM e JOIN sessions s
         ),
         # per-dimension embedding moments: quantize at 2^20 (exact in
         # float64), integer sums, then the mirrored float64 mean/variance
+        # exact integer Gram matrix: the same round_even power-of-2
+        # quantization as emb_dim_stats; HUGEINT-exact sum cast at the end
+        "emb_gram": (
+            "WITH x AS (SELECT e.vec_id, t.i AS dim,"
+            "  CAST(round_even(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)"
+            "   * 1024, 0) AS BIGINT) AS q"
+            "  FROM embeddings e CROSS JOIN range(1, 65) t(i))"
+            " SELECT a.dim AS i, b.dim AS j,"
+            "  CAST(sum(a.q * b.q) AS BIGINT) AS gram_q"
+            " FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim"
+            " GROUP BY 1, 2"
+        ),
         "emb_dim_stats": (
             "WITH x AS (SELECT t.i AS dim,"
             "  CAST(round_even(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)"

@@ -541,3 +541,51 @@ def normalize_vectors(embeddings: rd.Dataset) -> rd.Dataset:
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         norm, batch_format="pandas", batch_size=None
     )
+
+
+def embedding_gram(embeddings: rd.Dataset, dim: int = 64) -> rd.Dataset:
+    """Exact integer Gram matrix of the corpus embedding matrix — the
+    covariance/PCA-whitening primitive: for every dimension pair i ≤ j
+    (1-based), gram_e6 = Σ_rows v_e3[i]·v_e3[j] over components quantized
+    to e-3 fixed point.  One (dim·(dim+1)/2)-row result regardless of
+    corpus size.
+
+    Scale shape: ONE streaming pass — each block contributes a dim×dim
+    int64 partial (a single X'X matmul per batch, never per row), emitted
+    as upper-triangle rows into the algebraic grouped_agg exchange whose
+    key space is the dim² DOMAIN.  The e-3 quantization keeps every
+    partial AND the global sum exact int64 (|q| ≤ ~2¹⁰ ⇒ row products
+    ≤ ~2²⁰ ⇒ a 10¹²-row corpus sums to ≈ 1e18 < 2⁶³ — the user_moments
+    bound argument)."""
+    from .groupagg import grouped_agg
+
+    iu = np.triu_indices(dim)
+    ii = (iu[0] + 1).astype(np.int64)
+    jj = (iu[1] + 1).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "i": pd.array([], dtype="int64"),
+                "j": pd.array([], dtype="int64"),
+                "gram_q": pd.array([], dtype="int64"),
+            })
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
+        )
+        if x.shape[1] != dim:
+            raise ValueError(
+                f"embedding_gram: expected dim {dim}, got {x.shape[1]}"
+            )
+        q = np.round(x * 1024).astype(np.int64)
+        g = q.T @ q  # int64 matmul, dim² × block_rows
+        return pd.DataFrame({
+            "i": pd.array(ii, dtype="int64"),
+            "j": pd.array(jj, dtype="int64"),
+            "gram_q": pd.array(g[iu], dtype="int64"),
+        })
+
+    rows = embeddings.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+    return grouped_agg(rows, ["i", "j"], [("gram_q", "sum", "gram_q")])

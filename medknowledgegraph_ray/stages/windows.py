@@ -1033,3 +1033,48 @@ def windowed_dedup(events: rd.Dataset, window_sec: int = 900) -> rd.Dataset:
         {"user_id": "int64", "event_id": "int64", "ts_us": "int64",
          "event_type": "object"},
     )
+
+
+def rolling_median(events: rd.Dataset, w: int = 7) -> rd.Dataset:
+    """Per-user rolling lower median of the last `w` events —
+    quantile_disc(0.5) OVER (PARTITION BY user ORDER BY event_id ROWS
+    BETWEEN w-1 PRECEDING AND CURRENT ROW): the order-statistic rolling
+    window the sum/avg family can't express, and the robust-smoothing
+    primitive (spike rejection) of monitoring pipelines.
+
+    Kernel: full windows go through ONE sliding_window_view + axis-sort
+    (vectorized, w-bounded); only each run's first w-1 ragged-prefix rows
+    loop in Python — per RUN, never per row.  The lower median
+    (sorted[(n-1)//2]) is integer-exact and matches DuckDB quantile_disc
+    at every window length, odd or even."""
+    prepped, raw = _prep_events(events, ("event_id", "value_e6"))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return df.assign(med_e6=pd.array([], dtype="int64"))
+        u = df["user_id"].to_numpy()
+        v = df["value_e6"].to_numpy()
+        new, _ = _run_firsts(u)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        out = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            vr = v[s:e]
+            m = e - s
+            head = min(w - 1, m)
+            for i in range(head):
+                win = np.sort(vr[: i + 1])
+                out[s + i] = win[i // 2]
+            if m >= w:
+                sw = np.sort(
+                    np.lib.stride_tricks.sliding_window_view(vr, w), axis=1
+                )
+                out[s + w - 1 : e] = sw[:, (w - 1) // 2]
+        return df.assign(med_e6=pd.array(out, dtype="int64"))
+
+    return _sorted_user_op(
+        prepped, raw, ["user_id", "event_id"], [False, False], kernel,
+        {"user_id": "int64", "event_id": "int64", "value_e6": "int64",
+         "med_e6": "int64"},
+    )

@@ -58,7 +58,7 @@ SQL_CHECKED = [
     "doc_negatives", "scan_skyline", "ev_assoc_rules", "ev_window_dedup",
     "mm_image", "graph_degree_hist", "mm_png",
     "doc_boilerplate", "graph_jaccard", "dedup_simhash_pairs",
-    "ev_histogram_eqdepth",
+    "ev_histogram_eqdepth", "ev_rolling_median", "emb_gram",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
