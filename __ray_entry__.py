@@ -474,6 +474,12 @@ def _graph_jaccard(sf_dir: str):
     return analytics.nation_trade_jaccard(sf_dir)
 
 
+def _graph_link_predict(sf_dir: str):
+    # common-neighbor link prediction: top-20 NON-edge pairs of the trade
+    # graph by shared-neighbor count (stages/graphalgo.link_predict)
+    return analytics.nation_trade_link_predict(sf_dir)
+
+
 def _doc_boilerplate(sf_dir: str):
     # RefinedWeb/CCNet-style boilerplate removal: segments occurring >= 3
     # times corpus-wide drop from EVERY document (vs doc_seg_dedup's
@@ -1703,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_histogram_eqdepth": _ev_histogram_eqdepth,
         "ev_rolling_median": _ev_rolling_median,
         "emb_gram": _emb_gram,
+        "graph_link_predict": _graph_link_predict,
     }
 
 
@@ -3479,6 +3486,35 @@ FROM e JOIN sessions s
             " SELECT (SELECT c FROM nn) AS n_nodes,"
             " (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,"
             " (SELECT c FROM tri) AS n_triangles"
+        ),
+        # top-20 non-edge pairs by common-neighbor count over the same
+        # thresholded trade graph (Liben-Nowell & Kleinberg completion)
+        "graph_link_predict": (
+            "WITH j AS (SELECT least(s.s_nationkey, c.c_nationkey) AS a,"
+            "  greatest(s.s_nationkey, c.c_nationkey) AS b,"
+            "  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)"
+            "   AS BIGINT) AS rev"
+            "  FROM lineitem l"
+            "  JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            "  JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+            "  JOIN customer c ON c.c_custkey = o.o_custkey"
+            "  WHERE s.s_nationkey <> c.c_nationkey),"
+            " pr AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+            "  CAST(sum(rev) AS BIGINT) AS r FROM j GROUP BY 1, 2),"
+            " tot AS (SELECT CAST(sum(r) AS BIGINT) AS t,"
+            "  CAST(count(*) AS BIGINT) AS np FROM pr),"
+            " ed AS (SELECT a, b FROM pr, tot WHERE 10 * r * np > 8 * t),"
+            " adj AS (SELECT a AS src, b AS dst FROM ed"
+            "  UNION ALL SELECT b, a FROM ed),"
+            " w AS (SELECT x.dst AS a, y.dst AS b,"
+            "  CAST(count(*) AS BIGINT) AS n_common"
+            "  FROM adj x JOIN adj y ON x.src = y.src AND x.dst < y.dst"
+            "  GROUP BY 1, 2),"
+            " nw AS (SELECT w.a, w.b, w.n_common FROM w"
+            "  LEFT JOIN ed ON ed.a = w.a AND ed.b = w.b"
+            "  WHERE ed.a IS NULL)"
+            " SELECT a, b, n_common FROM nw"
+            " ORDER BY n_common DESC, a, b LIMIT 20"
         ),
         # per-edge neighborhood Jaccard over the same thresholded trade
         # graph; jaccard_e6 is the engine's pure-int64 round-half-up

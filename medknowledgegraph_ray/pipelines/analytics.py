@@ -2291,6 +2291,16 @@ def nation_trade_triangles(sf_dir: str) -> rd.Dataset:
     return graphalgo.triangle_count(_nation_trade_edges(sf_dir))
 
 
+def nation_trade_link_predict(sf_dir: str):
+    """Top-20 missing-edge candidates of the nation trade graph by
+    common-neighbor count (stages/graphalgo.link_predict) — "which trade
+    link does the thresholded graph most suggest", the completion query
+    for any derived graph."""
+    from ..stages import graphalgo
+
+    return graphalgo.link_predict(_nation_trade_edges(sf_dir), k=20)
+
+
 def nation_trade_jaccard(sf_dir: str) -> rd.Dataset:
     """Per-edge neighborhood Jaccard similarity of the nation trade graph
     (_nation_trade_edges) — the link-prediction / edge-strength feature

@@ -511,6 +511,109 @@ def _edge_jaccard_driver(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
     )
 
 
+def _wedge_machinery(edges: rd.Dataset, m: int, col_a: str, col_b: str, op: str):
+    """Shared distributed machinery of the common-neighbor family
+    (edge_jaccard / link_predict): validated symmetric adjacency, degrees,
+    the degree-attached packed edge list, and the grouped wedge-pair
+    counts (full-adjacency join_many self-join — each unordered neighbor
+    pair of a center is one common-neighbor witness).  Returns
+    (adj, deg, packed_edges, wcounts)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a >= b).any():
+            raise ValueError(f"{op}: edges must be canonical (a < b)")
+        if len(a) and (b >= 2**31).any():
+            raise ValueError(f"{op}: node ids must fit 31 bits")
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b])),
+             "nbr": pa.array(np.concatenate([b, a])),
+             "one": pa.array(np.ones(2 * len(a), dtype=np.int64))}
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow", batch_size=None).materialize()
+    deg = grouped_agg(adj, ["node"], [("one", "sum", "deg")]).materialize()
+
+    # explicit pair-uniqueness check (the driver path's np.unique check,
+    # distributed): one grouped count over packed pair keys — an outer
+    # join downstream tolerates duplicate deferred edge keys, so it cannot
+    # be relied on to enforce the contract
+    n_distinct = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"pairkey": pa.array(
+                    (t[col_a].to_numpy(zero_copy_only=False).astype(np.int64) << 32)
+                    | t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)),
+                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["pairkey"], [("one", "sum", "n")],
+        types={"pairkey": pa.int64(), "one": pa.int64()},
+    ).count()
+    if n_distinct != m:
+        raise ValueError(f"{op}: duplicate edges (pairs must be unique)")
+
+    # degree-attached packed edge list (the triangle_count attach pattern)
+    def a_key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.compute.cast(t[col_a], pa.int64()),
+             "other": pa.compute.cast(t[col_b], pa.int64())}
+        )
+
+    withda = equi_join(deg, edges.map_batches(a_key, batch_format="pyarrow",
+                                              batch_size=None),
+                       "node", ["deg"], ["other"])
+    withdb = equi_join(
+        deg,
+        withda.map_batches(
+            lambda t: pa.table({"node": t["other"], "a_node": t["node"],
+                                "deg_a": t["deg"]}),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        "node", ["deg"], ["a_node", "deg_a"],
+    )
+    packed_edges = withdb.map_batches(
+        lambda t: pa.table(
+            {"pairkey": pa.array(
+                (t["a_node"].to_numpy(zero_copy_only=False) << 32)
+                | t["node"].to_numpy(zero_copy_only=False)),
+             "deg_a": t["deg_a"],
+             "deg_b": t["deg"]}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    from .joinmany import join_many
+
+    left = adj.map_batches(
+        lambda t: pa.table({"u": t["node"], "v1": t["nbr"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    right = adj.map_batches(
+        lambda t: pa.table({"u": t["node"], "v2": t["nbr"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    wedges = join_many(left, right, "u", ["v1"], ["v2"])
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        v1 = t["v1"].to_numpy(zero_copy_only=False)
+        v2 = t["v2"].to_numpy(zero_copy_only=False)
+        keep = v1 < v2
+        return pa.table(
+            {"pairkey": pa.array((v1[keep] << 32) | v2[keep]),
+             "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
+        )
+
+    wcounts = grouped_agg(
+        wedges.map_batches(wedge_keys, batch_format="pyarrow", batch_size=None),
+        ["pairkey"], [("one", "sum", "n_common")],
+        types={"pairkey": pa.int64(), "one": pa.int64()},
+    )
+    return adj, deg, packed_edges, wcounts
+
+
 def edge_jaccard(edges: rd.Dataset, col_a: str = "a", col_b: str = "b") -> rd.Dataset:
     """Neighborhood Jaccard similarity of every edge of an undirected graph
     given as CANONICAL unique pairs (col_a < col_b, ids < 2³¹): per edge
@@ -544,99 +647,8 @@ def edge_jaccard(edges: rd.Dataset, col_a: str = "a", col_b: str = "b") -> rd.Da
             pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
         )
 
-    def sym(t: pa.Table) -> pa.Table:
-        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(a) and (a >= b).any():
-            raise ValueError("edge_jaccard: edges must be canonical (a < b)")
-        if len(a) and (b >= 2**31).any():
-            raise ValueError("edge_jaccard: node ids must fit 31 bits")
-        return pa.table(
-            {"node": pa.array(np.concatenate([a, b])),
-             "nbr": pa.array(np.concatenate([b, a])),
-             "one": pa.array(np.ones(2 * len(a), dtype=np.int64))}
-        )
-
-    adj = edges.map_batches(sym, batch_format="pyarrow", batch_size=None).materialize()
-    deg = grouped_agg(adj, ["node"], [("one", "sum", "deg")]).materialize()
-
-    # explicit pair-uniqueness check (the driver path's np.unique check,
-    # distributed): one grouped count over packed pair keys — the outer
-    # join below tolerates duplicate deferred edge keys, so it cannot be
-    # relied on to enforce the contract
-    n_distinct = grouped_agg(
-        edges.map_batches(
-            lambda t: pa.table(
-                {"pairkey": pa.array(
-                    (t[col_a].to_numpy(zero_copy_only=False).astype(np.int64) << 32)
-                    | t[col_b].to_numpy(zero_copy_only=False).astype(np.int64)),
-                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
-            ),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        ["pairkey"], [("one", "sum", "n")],
-        types={"pairkey": pa.int64(), "one": pa.int64()},
-    ).count()
-    if n_distinct != m:
-        raise ValueError("edge_jaccard: duplicate edges (pairs must be unique)")
-
-    # degree-attached packed edge list (the triangle_count attach pattern)
-    def a_key(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": pa.compute.cast(t[col_a], pa.int64()),
-             "other": pa.compute.cast(t[col_b], pa.int64())}
-        )
-
-    withda = equi_join(deg, edges.map_batches(a_key, batch_format="pyarrow",
-                                              batch_size=None),
-                       "node", ["deg"], ["other"])
-    withdb = equi_join(
-        deg,
-        withda.map_batches(
-            lambda t: pa.table({"node": t["other"], "a_node": t["node"],
-                                "deg_a": t["deg"]}),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        "node", ["deg"], ["a_node", "deg_a"],
-    )
-    packed_edges = withdb.map_batches(
-        lambda t: pa.table(
-            {"pairkey": pa.array(
-                (t["a_node"].to_numpy(zero_copy_only=False) << 32)
-                | t["node"].to_numpy(zero_copy_only=False)),
-             "deg_a": t["deg_a"],
-             "deg_b": t["deg"]}
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    # wedges: full-adjacency self-join per center; each unordered neighbor
-    # pair (v1 < v2) of a center is one common-neighbor witness
-    from .joinmany import join_many
-
-    left = adj.map_batches(
-        lambda t: pa.table({"u": t["node"], "v1": t["nbr"]}),
-        batch_format="pyarrow", batch_size=None,
-    )
-    right = adj.map_batches(
-        lambda t: pa.table({"u": t["node"], "v2": t["nbr"]}),
-        batch_format="pyarrow", batch_size=None,
-    )
-    wedges = join_many(left, right, "u", ["v1"], ["v2"])
-
-    def wedge_keys(t: pa.Table) -> pa.Table:
-        v1 = t["v1"].to_numpy(zero_copy_only=False)
-        v2 = t["v2"].to_numpy(zero_copy_only=False)
-        keep = v1 < v2
-        return pa.table(
-            {"pairkey": pa.array((v1[keep] << 32) | v2[keep]),
-             "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64))}
-        )
-
-    wcounts = grouped_agg(
-        wedges.map_batches(wedge_keys, batch_format="pyarrow", batch_size=None),
-        ["pairkey"], [("one", "sum", "n_common")],
-        types={"pairkey": pa.int64(), "one": pa.int64()},
+    adj, deg, packed_edges, wcounts = _wedge_machinery(
+        edges, m, col_a, col_b, "edge_jaccard"
     )
 
     # outer join keeps zero-common edges (null n_common) AND emits non-edge
@@ -664,3 +676,101 @@ def edge_jaccard(edges: rd.Dataset, col_a: str = "a", col_b: str = "b") -> rd.Da
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _link_predict_driver(a: np.ndarray, b: np.ndarray, k: int) -> pd.DataFrame:
+    # same validation as _edge_jaccard_driver (contract aligned across gates)
+    if len(a) and (a >= b).any():
+        raise ValueError("link_predict: edges must be canonical (a < b)")
+    if len(a) and (b >= 2**31).any():
+        raise ValueError("link_predict: node ids must fit 31 bits")
+    if len(np.unique((a << 32) | b)) != len(a):
+        raise ValueError("link_predict: duplicate edges (pairs must be unique)")
+    edge_set = set(((a << 32) | b).tolist())
+    nbrs: dict[int, list] = {}
+    for u, v in zip(a.tolist(), b.tolist()):
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    counts: dict[int, int] = {}
+    for c, vs in nbrs.items():
+        vs = sorted(vs)
+        for x in range(len(vs)):
+            for y in range(x + 1, len(vs)):
+                key = (vs[x] << 32) | vs[y]
+                counts[key] = counts.get(key, 0) + 1
+    cand = [(key, n) for key, n in counts.items() if key not in edge_set]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    cand = cand[:k]
+    return pd.DataFrame(
+        {
+            "a": pd.array([key >> 32 for key, _ in cand], dtype="int64"),
+            "b": pd.array([key & ((1 << 32) - 1) for key, _ in cand], dtype="int64"),
+            "n_common": pd.array([n for _, n in cand], dtype="int64"),
+        }
+    )
+
+
+def link_predict(edges: rd.Dataset, k: int = 20,
+                 col_a: str = "a", col_b: str = "b") -> pd.DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    the top-k NON-edge node pairs ranked by common-neighbor count
+    (tiebreak a asc, b asc) — "which edge is most likely missing", the
+    completion query a derived knowledge/trade graph gets asked first.
+
+    Distributed path: the shared wedge machinery (_wedge_machinery) gives
+    grouped common-neighbor counts per packed pair; one outer equi_join
+    against the (marker-carrying) edge list leaves exactly the non-edge
+    pairs (null marker), and the top-k is the restriction-exact partial
+    funnel (skew.partial_topk_pandas) — O(blocks·k) driver rows, never
+    the full candidate table.  Same Σ deg² wedge caveat as edge_jaccard."""
+    edges = edges.materialize()
+    m = edges.count()
+    if m == 0:
+        return pd.DataFrame(
+            {"a": pd.array([], dtype="int64"),
+             "b": pd.array([], dtype="int64"),
+             "n_common": pd.array([], dtype="int64")}
+        )
+    if m <= SMALL_GRAPH_EDGES:
+        df = edges.to_pandas()
+        return _link_predict_driver(
+            df[col_a].to_numpy().astype(np.int64),
+            df[col_b].to_numpy().astype(np.int64),
+            k,
+        )
+
+    _adj, _deg, packed_edges, wcounts = _wedge_machinery(
+        edges, m, col_a, col_b, "link_predict"
+    )
+    marked = packed_edges.map_batches(
+        lambda t: pa.table(
+            {"pairkey": t["pairkey"],
+             "is_edge": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = equi_join(marked, wcounts, "pairkey", ["is_edge"], ["n_common"],
+                       how="outer")
+
+    def non_edges(t: pa.Table) -> pd.DataFrame:
+        ie = t["is_edge"].to_numpy(zero_copy_only=False)
+        nc = t["n_common"].to_numpy(zero_copy_only=False)
+        keep = pd.isna(ie) & ~pd.isna(nc)
+        key = t["pairkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "a": pd.array(key >> 32, dtype="int64"),
+                "b": pd.array(key & ((1 << 32) - 1), dtype="int64"),
+                "n_common": pd.array(nc[keep].astype(np.int64), dtype="int64"),
+            }
+        )
+
+    from .skew import partial_topk_pandas
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n_common", "a", "b"],
+                             ascending=[False, True, True],
+                             kind="mergesort").head(k)
+
+    cands = joined.map_batches(non_edges, batch_format="pyarrow", batch_size=None)
+    return partial_topk_pandas(cands, pick)

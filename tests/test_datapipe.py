@@ -59,6 +59,7 @@ SQL_CHECKED = [
     "mm_image", "graph_degree_hist", "mm_png",
     "doc_boilerplate", "graph_jaccard", "dedup_simhash_pairs",
     "ev_histogram_eqdepth", "ev_rolling_median", "emb_gram",
+    "graph_link_predict",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -2848,3 +2849,22 @@ def test_boilerplate_strip_known_and_forced(monkeypatch):
         orderedagg.boilerplate_strip(docs.repartition(3), seg_words=2, max_df=2)
     )
     assert got_f == want
+
+
+def test_link_predict_known_and_forced_distributed(monkeypatch):
+    from medknowledgegraph_ray.stages import graphalgo
+
+    # K4 + pendant (4,9): the only non-edge pairs with common neighbors
+    # are (1,9), (2,9), (3,9) — each sharing exactly node 4
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    want = [(1, 9, 1), (2, 9, 1), (3, 9, 1)]
+
+    def as_rows(df):
+        return [tuple(int(v) for v in r)
+                for r in df[["a", "b", "n_common"]].itertuples(index=False)]
+
+    got = as_rows(graphalgo.link_predict(_graph_edges(k4), k=5))
+    assert got == want
+    monkeypatch.setattr(graphalgo, "SMALL_GRAPH_EDGES", 0)
+    got_d = as_rows(graphalgo.link_predict(_graph_edges(k4).repartition(3), k=5))
+    assert got_d == want
