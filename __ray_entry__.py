@@ -1422,6 +1422,13 @@ def _emb_gram(sf_dir: str):
     )
 
 
+def _ev_overlap_pairs(sf_dir: str):
+    # interval×interval overlap self-join: concurrent-session user pairs
+    # via time-chunk bucketing (recall 1) + guarded bucket pairs + exact
+    # interval verify (stages/eventagg.session_overlap_pairs)
+    return eventagg.session_overlap_pairs(readers.read_table(sf_dir, "events"))
+
+
 def _ev_rolling_median(sf_dir: str):
     # per-user rolling lower median (ROWS 6 PRECEDING), the order-statistic
     # window on the ordered-scan scaffold (stages/windows.rolling_median)
@@ -1710,6 +1717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ev_rolling_median": _ev_rolling_median,
         "emb_gram": _emb_gram,
         "graph_link_predict": _graph_link_predict,
+        "ev_overlap_pairs": _ev_overlap_pairs,
     }
 
 
@@ -3311,6 +3319,35 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        min(ts_us) AS start_us, max(ts_us) AS end_us,
        CAST(sum(value_e6) AS BIGINT) AS value_sum_e6
 FROM sess GROUP BY 1, 2
+""",
+        # interval×interval overlap self-join over the SAME session
+        # derivation: user pairs with time-overlapping sessions (closed
+        # intervals), counted per pair
+        "ev_overlap_pairs": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+),
+s AS (
+  SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlaps
+FROM s a JOIN s b ON a.user_id < b.user_id
+  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+GROUP BY 1, 2
 """,
         # Interval-containment join (stages/rangejoin.py): event ⋈ the
         # qualifying (≥3-event) session whose [start, end] contains its ts.

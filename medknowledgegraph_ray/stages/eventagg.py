@@ -710,3 +710,113 @@ def equi_depth_histogram(events: rd.Dataset, k: int = 8) -> rd.Dataset:
         [("value_e6", "count", "n"), ("value_e6", "min", "min_e6"),
          ("value_e6", "max", "max_e6")],
     )
+
+
+def session_overlap_pairs(events: rd.Dataset, gap_sec: int = 1800,
+                          bucket_sec: int = 3600) -> rd.Dataset:
+    """Interval-overlap self-join of the session table — concurrent-user
+    analysis: for every user pair (user_a < user_b) with at least one pair
+    of time-overlapping sessions, the count of overlapping session pairs.
+    The interval×interval join primitive (ev_range_join is point-in-
+    interval; this closes the join-shape family).
+
+    Scale shape: each session emits one (bucket) row per `bucket_sec` time
+    chunk it spans — overlap ⟹ the two sessions share ≥1 chunk, so recall
+    is exactly 1 — and candidates ride the SAME guarded `_bucket_pairs`
+    sorted-run machinery as the dedup family (MAX_BUCKET skew guard = the
+    concurrency bound made loud), then `_verified_pairs` attaches each
+    candidate session's (start, end) payload on the sorted exchange and
+    keeps exact overlaps (closed intervals: s1 ≤ e2 ∧ s2 ≤ e1).  The final
+    user-pair roll-up is one algebraic grouped count.  Session identity
+    packs (user_id << 20 | session_idx): user ids must fit 43 bits and a
+    user's session count 20 (asserted)."""
+    import ray
+
+    from .dedupe import _ATTACH_SCHEMA, _bucket_pairs, _verified_pairs
+    from .windows import sessionize
+
+    bucket_us = bucket_sec * 1_000_000
+    sessions = sessionize(events, gap_sec=gap_sec).materialize()
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        s = b["session_idx"].to_numpy().astype(np.int64)
+        assert (u < (1 << 43)).all() and (s < (1 << 20)).all(), \
+            "session_overlap_pairs: id packing overflow"
+        return pd.DataFrame({
+            "sid": pd.array((u << 20) | s, dtype="int64"),
+            "start_us": b["start_us"].astype("int64"),
+            "end_us": b["end_us"].astype("int64"),
+        })
+
+    packed = sessions.map_batches(pack, batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    def buckets(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["start_us"].to_numpy() // bucket_us
+        e = b["end_us"].to_numpy() // bucket_us
+        counts = (e - s + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), counts)
+        offs = (
+            np.concatenate([np.arange(c) for c in counts])
+            if len(counts) else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame({
+            "band_id": pd.array(np.zeros(len(idx), dtype=np.int32), dtype="int32"),
+            "band_hash": pd.array(s[idx] + offs, dtype="int64"),
+            "doc_id": pd.array(b["sid"].to_numpy()[idx], dtype="int64"),
+        })
+
+    cands = _bucket_pairs(
+        packed.map_batches(buckets, batch_format="pandas", batch_size=None),
+        distinct_pairs=True,
+    )
+
+    def rows_factory(id_ref):
+        def span_rows(batch: pd.DataFrame) -> pa.Table:
+            cand = ray.get(id_ref)
+            ids = batch["sid"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(cand, ids)
+            pos[pos >= len(cand)] = 0
+            sub = batch[cand[pos] == ids]
+            spans = [[int(a), int(b)]
+                     for a, b in zip(sub["start_us"], sub["end_us"])]
+            return pa.table(
+                {
+                    "key": pa.array(sub["sid"].to_numpy().astype(np.int64), pa.int64()),
+                    "doc_a": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                    "doc_b": pa.array(np.full(len(sub), -1, dtype=np.int64), pa.int64()),
+                    "shingles": pa.array(spans, pa.list_(pa.int64())),
+                },
+                schema=_ATTACH_SCHEMA,
+            )
+
+        return span_rows
+
+    verified = _verified_pairs(packed, cands, rows_factory, 1.0,
+                               _overlap_score, "ov", out_a="sid_a",
+                               out_b="sid_b")
+
+    def to_users(t: pa.Table) -> pd.DataFrame:
+        sa = t["sid_a"].to_numpy(zero_copy_only=False).astype(np.int64) >> 20
+        sb = t["sid_b"].to_numpy(zero_copy_only=False).astype(np.int64) >> 20
+        keep = sa != sb
+        sa, sb = sa[keep], sb[keep]
+        return pd.DataFrame({
+            "user_a": pd.array(np.minimum(sa, sb), dtype="int64"),
+            "user_b": pd.array(np.maximum(sa, sb), dtype="int64"),
+            "one": pd.array(np.ones(len(sa), dtype=np.int64), dtype="int64"),
+        })
+
+    return grouped_agg(
+        verified.map_batches(to_users, batch_format="pyarrow", batch_size=None),
+        ["user_a", "user_b"], [("one", "sum", "n_overlaps")],
+    )
+
+
+def _overlap_score(sa: np.ndarray, sb: np.ndarray) -> float:
+    """1.0 iff the two [start, end] closed intervals (2-element int64
+    payloads) overlap — integer comparison, no float boundary."""
+    if sa.size != 2 or sb.size != 2:
+        return 0.0
+    return 1.0 if (sa[0] <= sb[1] and sb[0] <= sa[1]) else 0.0

@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "mm_image", "graph_degree_hist", "mm_png",
     "doc_boilerplate", "graph_jaccard", "dedup_simhash_pairs",
     "ev_histogram_eqdepth", "ev_rolling_median", "emb_gram",
-    "graph_link_predict",
+    "graph_link_predict", "ev_overlap_pairs",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
