@@ -1422,6 +1422,14 @@ def _emb_gram(sf_dir: str):
     )
 
 
+def _doc_compression(sf_dir: str):
+    # zlib compression-ratio quality signal (Gopher repetitive-content
+    # filter); rows-only — no SQL zlib (stages/textstats.compression_ratio)
+    return textstats.compression_ratio(
+        readers.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def _ev_overlap_pairs(sf_dir: str):
     # interval×interval overlap self-join: concurrent-session user pairs
     # via time-chunk bucketing (recall 1) + guarded bucket pairs + exact
@@ -1718,6 +1726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_gram": _emb_gram,
         "graph_link_predict": _graph_link_predict,
         "ev_overlap_pairs": _ev_overlap_pairs,
+        # rows-only BY DESIGN (DuckDB has no zlib); behavior pinned by
+        # tests/test_stages.py::test_compression_ratio_*
+        "doc_compression": _doc_compression,
     }
 
 

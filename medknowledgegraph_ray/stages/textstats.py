@@ -484,3 +484,45 @@ def needle_hits(docs: rd.Dataset, needles: list[str]) -> rd.Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def compression_ratio(docs: rd.Dataset, level: int = 6) -> rd.Dataset:
+    """Per-document zlib compression ratio — the Gopher/RefinedWeb
+    repetitive-content signal (Rae et al. 2021 quality filters):
+    machine-generated or boilerplate-heavy text compresses far below
+    natural prose, so pipelines drop documents under a ratio floor.
+    Returns (doc_id, raw_bytes, comp_bytes, ratio_e6) with
+    ratio_e6 = round-half-up(1e6 · comp/raw) in pure int64; empty
+    documents get ratio_e6 = 1e6 (incompressible convention).
+
+    No SQL oracle BY DESIGN (DuckDB has no zlib): the operator is
+    deterministic for a fixed (level, zlib build) and pytest pins its
+    behavior — exact self-consistency, repetition ⇒ low ratio, unique
+    prose ⇒ high ratio, and the empty/byte-count contracts.  The per-doc
+    loop calls C zlib once per document (the payload-bounded pattern the
+    multimodal actors use); compute scales with corpus bytes, no
+    exchange at all."""
+    import zlib
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        texts = b["text"].fillna("")
+        raw = np.array([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), level)) for t in texts],
+            dtype=np.int64,
+        )
+        denom = np.maximum(raw, 1)
+        ratio = (2_000_000 * comp + denom) // (2 * denom)
+        ratio = np.where(raw == 0, 1_000_000, ratio)
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64)),
+                "raw_bytes": pa.array(raw),
+                "comp_bytes": pa.array(comp),
+                "ratio_e6": pa.array(ratio.astype(np.int64)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas", batch_size=None
+    )

@@ -502,3 +502,38 @@ def test_png_roundtrip_filters_and_decode_stage():
         mm.decode_png(bytes(good))
     with pytest.raises(ValueError, match="png"):
         mm.decode_png(b"\x89PNGnope" + b"x" * 20)
+
+
+def test_compression_ratio_contracts():
+    """doc_compression is rows-only (no SQL zlib) — pin its behavior:
+    byte counts, determinism, the repetition/prose separation the Gopher
+    filter relies on, and the empty-doc convention."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from medknowledgegraph_ray.stages import textstats
+
+    rep = "spam ham " * 500                      # highly repetitive
+    prose = " ".join(f"w{i}x{i*7%13}" for i in range(700))  # high-entropy
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([rep, prose, ""], pa.string()),
+    }))
+    out = textstats.compression_ratio(docs).to_pandas().set_index("doc_id")
+    # exact self-consistency vs direct zlib
+    for did, txt in [(1, rep), (2, prose)]:
+        raw = len(txt.encode()); comp = len(zlib.compress(txt.encode(), 6))
+        assert int(out.loc[did, "raw_bytes"]) == raw
+        assert int(out.loc[did, "comp_bytes"]) == comp
+        assert int(out.loc[did, "ratio_e6"]) == (2_000_000 * comp + raw) // (2 * raw)
+    # the separation the quality filter uses
+    assert int(out.loc[1, "ratio_e6"]) < 100_000      # repetition compresses hard
+    assert int(out.loc[2, "ratio_e6"]) > 300_000      # unique prose does not
+    # empty-doc convention
+    assert int(out.loc[3, "ratio_e6"]) == 1_000_000
+    assert int(out.loc[3, "raw_bytes"]) == 0
+    # deterministic across executions
+    again = textstats.compression_ratio(docs).to_pandas().set_index("doc_id")
+    assert (again["ratio_e6"] == out["ratio_e6"]).all()
