@@ -3352,7 +3352,7 @@ sess AS (
 ),
 s AS (
   SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
-  FROM sess GROUP BY 1, 2
+  FROM sess GROUP BY 1, 2 HAVING count(*) >= 2
 )
 SELECT a.user_id AS user_a, b.user_id AS user_b,
        CAST(count(*) AS BIGINT) AS n_overlaps

@@ -219,6 +219,23 @@ def run_bench() -> dict:
         t0 = time.time()
         _an.part_supplier_pagerank(sf_dir, iters=10).count()
         queries["graph_pagerank"] = round(time.time() - t0, 3)
+        # round-5 representatives: the boilerplate ordered scan (second
+        # string-keyed segment exchange family), the entity co-occurrence
+        # PMI chain (distinct -> pair expansion -> pair counts), and the
+        # interval-overlap join (bucketed candidates + exact verify)
+        t0 = time.time()
+        _oa.boilerplate_strip(
+            _r.read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        ).count()
+        queries["doc_boilerplate"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        kg.entity_pmi(sf_dir).count()
+        queries["kg_entity_pmi"] = round(time.time() - t0, 3)
+        from medknowledgegraph_ray.stages import eventagg as _ea
+
+        t0 = time.time()
+        _ea.session_overlap_pairs(_r.read_table(sf_dir, "events")).count()
+        queries["ev_overlap_pairs"] = round(time.time() - t0, 3)
 
     if mode == "full" or os.environ.get("GRAFT_DETECT_STATEFUL") == "actor":
         # the actor detector path (production slot for a heavy model),

@@ -713,7 +713,8 @@ def equi_depth_histogram(events: rd.Dataset, k: int = 8) -> rd.Dataset:
 
 
 def session_overlap_pairs(events: rd.Dataset, gap_sec: int = 1800,
-                          bucket_sec: int = 3600) -> rd.Dataset:
+                          bucket_sec: int = 3600,
+                          min_events: int = 2) -> rd.Dataset:
     """Interval-overlap self-join of the session table — concurrent-user
     analysis: for every user pair (user_a < user_b) with at least one pair
     of time-overlapping sessions, the count of overlapping session pairs.
@@ -729,14 +730,24 @@ def session_overlap_pairs(events: rd.Dataset, gap_sec: int = 1800,
     keeps exact overlaps (closed intervals: s1 ≤ e2 ∧ s2 ≤ e1).  The final
     user-pair roll-up is one algebraic grouped count.  Session identity
     packs (user_id << 20 | session_idx): user ids must fit 43 bits and a
-    user's session count 20 (asserted)."""
+    user's session count 20 (asserted).
+
+    Only sessions with ≥ min_events events qualify (the ev_range_join
+    precedent): singleton "sessions" are isolated events, not concurrent
+    activity, and at dense corpora they dominate the session table —
+    keeping them makes the per-bucket pair expansion quadratic in RAW
+    event concurrency instead of genuine-session concurrency."""
     import ray
 
     from .dedupe import _ATTACH_SCHEMA, _bucket_pairs, _verified_pairs
     from .windows import sessionize
 
     bucket_us = bucket_sec * 1_000_000
-    sessions = sessionize(events, gap_sec=gap_sec).materialize()
+    sessions = (
+        sessionize(events, gap_sec=gap_sec)
+        .filter(expr=f"n_events >= {int(min_events)}")
+        .materialize()
+    )
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
         u = b["user_id"].to_numpy().astype(np.int64)
