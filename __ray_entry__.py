@@ -1729,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only BY DESIGN (DuckDB has no zlib); behavior pinned by
         # tests/test_stages.py::test_compression_ratio_*
         "doc_compression": _doc_compression,
+        "kg_entity_components": kg.entity_components,
     }
 
 
@@ -1821,6 +1822,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_roundtrip": _kg_sql("SELECT conv_id, turn_idx, text FROM g_transcripts"),
         "kg_mentions": _kg_sql("SELECT conv_id, turn_idx, norm_surface, label FROM g_mentions"),
         "kg_conv_entities": _kg_sql("SELECT conv_id, norm_surface, label FROM g_conv_entities"),
+        # entity co-mention connected components: the pmi edge list under
+        # transitive closure, labeled by the lexicographically smallest
+        # member (the engine's rank-ordered int ids preserve string order)
+        "kg_entity_components": _kg_sql(
+            ", de AS (SELECT DISTINCT conv_id,"
+            "   norm_surface AS ent FROM g_conv_entities),"
+            " p AS (SELECT a.ent AS ent_a, b.ent AS ent_b"
+            "   FROM de a JOIN de b ON a.conv_id = b.conv_id"
+            "    AND a.ent < b.ent GROUP BY 1, 2 HAVING count(*) >= 2),"
+            " edges AS (SELECT ent_a AS u, ent_b AS v FROM p"
+            "  UNION SELECT ent_b, ent_a FROM p),"
+            " reach(u, v) AS ("
+            "  SELECT u, u FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+            " SELECT u AS entity, MIN(v) AS component FROM reach GROUP BY u"
+        ).replace("\nWITH ", "\nWITH RECURSIVE ", 1),
         # entity co-occurrence PMI edges: distinct (conv, surface) incidence,
         # unordered co-mention pair counts, marginals, and the doc_pmi
         # double-op-order ln — engine arithmetic mirrored verbatim

@@ -358,6 +358,72 @@ def top_entities(sf_dir: str, *, k: int = config.TOP_ENTITIES) -> rd.Dataset:
     return canonicalize.top_entities(entity_counts(sf_dir), k=k)
 
 
+def entity_components(sf_dir: str, min_count: int = 2) -> rd.Dataset:
+    """Connected components of the entity co-mention graph — the topic /
+    concept-cluster view of the knowledge graph: entities joined by
+    ≥ min_count shared conversations (the entity_pmi edge list) collapse
+    into clusters labeled by their lexicographically smallest member.
+    Returns (entity, component), one row per entity in any qualifying
+    pair.
+
+    Scale shape: the pmi pair chain provides the edge list; surfaces map
+    to dense int ids through the global-rank sort over the (vocabulary-
+    bounded) distinct-surface set — rank order preserves lexicographic
+    order, so the int components' MIN-id labels translate back to MIN
+    surfaces verbatim — and the labeling is components.py's hash-min
+    pointer jumping (O(log d) rounds, size-gated driver path)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages import components as comp
+    from ..stages.ranks import global_row_number
+
+    edges = entity_pmi(sf_dir, min_count=min_count).select_columns(
+        ["ent_a", "ent_b"]
+    ).materialize()
+
+    from ..stages.groupagg import grouped_agg
+
+    distinct_ents = grouped_agg(
+        edges.map_batches(
+            lambda b: pd.DataFrame({
+                "ent": pd.concat([b["ent_a"], b["ent_b"]], ignore_index=True),
+                "one": pd.array(
+                    np.ones(2 * len(b), dtype=np.int64), dtype="int64"),
+            }),
+            batch_format="pandas", batch_size=None,
+        ),
+        ["ent"], [("one", "sum", "n")],
+    ).select_columns(["ent"])
+    ranked = global_row_number(distinct_ents, ["ent"], out_col="eid").to_pandas()
+    id_of = dict(zip(ranked["ent"], ranked["eid"].astype("int64")))
+    ent_of = {int(v): k for k, v in id_of.items()}
+    id_ref = ray.put(id_of)
+
+    def to_ids(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(id_ref)
+        return pd.DataFrame({
+            "doc_a": pd.array([m[e] for e in b["ent_a"]], dtype="int64"),
+            "doc_b": pd.array([m[e] for e in b["ent_b"]], dtype="int64"),
+        })
+
+    labeled = comp.connected_components(
+        edges.map_batches(to_ids, batch_format="pandas", batch_size=None)
+    )
+    ent_ref = ray.put(ent_of)
+
+    def back(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ent_ref)
+        return pd.DataFrame({
+            "entity": pd.Series([m[int(i)] for i in b["doc_id"]], dtype="object"),
+            "component": pd.Series(
+                [m[int(c)] for c in b["component"]], dtype="object"),
+        })
+
+    return labeled.map_batches(back, batch_format="pandas", batch_size=None)
+
+
 def top_cui_links(
     sf_dir: str,
     *,
