@@ -374,3 +374,31 @@ def test_entity_pmi_self_consistent_and_symmetric(sf_dir):
                          ascending=[False, True, True]).iloc[0]
     assert int(top["n_x"]) == int(marg[top["ent_a"]])
     assert int(top["n_y"]) == int(marg[top["ent_b"]])
+
+
+def test_entity_components_structure(sf_dir):
+    """kg.entity_components at sf0.001: labels are cluster-internal minima
+    and agree with a driver-side union-find over the same pmi edge list."""
+    from medknowledgegraph_ray.pipelines import kg
+
+    edges = kg.entity_pmi(sf_dir).to_pandas()[["ent_a", "ent_b"]]
+    got = kg.entity_components(sf_dir).to_pandas()
+    lab = dict(zip(got["entity"], got["component"]))
+    # reference union-find on strings
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for e in set(edges["ent_a"]) | set(edges["ent_b"]):
+        groups.setdefault(find(e), set()).add(e)
+    want = {e: min(g) for g in groups.values() for e in g}
+    assert lab == want
